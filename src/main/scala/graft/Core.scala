@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: a Spark plan builder plus (optionally) the ANSI-SQL
+  * oracle the driver runs in DuckDB over the same parquet tables.
+  * Oracle absent => driver records a weaker rows-only check.
+  */
+case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** Readers for the driver-generated corpus (see /root/repo/TESTDATA.md).
+  * One parquet file per table; at 100 TB these would be directory-partitioned
+  * datasets, and everything downstream only assumes `DataFrame`, so the
+  * reader is the single place that would change.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
+
+/** Determinism helpers for oracle-exact numeric aggregation.
+  *
+  * Problem: `sum(double)` is order-dependent, and shuffle arrival order is
+  * not deterministic run-to-run (nor equal to DuckDB's scan order). Fix:
+  * sum an exact per-row DECIMAL image of the expression. Decimal addition is
+  * associative, so ANY physical plan (partial agg, AQE coalesce, skew split)
+  * produces bit-identical results, and DuckDB mirrors the same CAST chain.
+  * The per-row double->decimal rounding is itself deterministic because the
+  * source expressions carry <= `scale` true decimal digits, so the nearest
+  * grid point is unambiguous. Final cast back to DOUBLE is exact-to-nearest.
+  */
+object Det {
+  /** Order-independent sum of a double expression, exact to `scale` digits. */
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  /** Order-independent mean: exact decimal sum divided by count (one IEEE
+    * division — identical in any engine). */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String, scale: Int = 6): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** SQL mirror of [[davg]]. */
+  def davgSql(expr: String, scale: Int = 6): String =
+    s"(${dsumSql(expr, scale)} / count(*))"
+}
