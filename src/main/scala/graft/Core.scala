@@ -23,6 +23,17 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session settings every entry point (Verify/Bench/tests) must share.
+    * `nanosAsLong`: the corpus' `events.ts` is parquet TIMESTAMP(NANOS),
+    * which vanilla Spark rejects; read it as epoch-nanos BIGINT and let
+    * [[events]] expose a derived µs timestamp. */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
@@ -30,7 +41,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  /** `ts` arrives as epoch-nanos BIGINT (see [[configure]]); expose a
+    * µs-truncated proper timestamp as `event_ts` alongside it. DuckDB
+    * mirror: `epoch_ns(ts)` for the long, `CAST(ts AS TIMESTAMP)` loses
+    * parity on rounding, so oracles use the BIGINT form or explicit µs. */
+  def events(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events").withColumn(
+      "event_ts",
+      // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
+      // would silently round the microsecond
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }
@@ -51,16 +71,17 @@ object Det {
   def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(30, scale))).cast("double")
 
-  /** Order-independent mean: exact decimal sum divided by count (one IEEE
-    * division — identical in any engine). */
+  /** Order-independent mean: exact decimal sum divided by the NON-NULL
+    * count (SQL AVG semantics — nulls are skipped by both sum and count),
+    * one IEEE division — identical in any engine. */
   def davg(c: Column, scale: Int = 6): Column =
-    dsum(c, scale) / count(lit(1))
+    dsum(c, scale) / count(c)
 
   /** SQL mirror of [[dsum]] for the DuckDB oracle. */
   def dsumSql(expr: String, scale: Int = 6): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(30,$scale))) AS DOUBLE)"
 
-  /** SQL mirror of [[davg]]. */
+  /** SQL mirror of [[davg]] — divides by the non-null count to match. */
   def davgSql(expr: String, scale: Int = 6): String =
-    s"(${dsumSql(expr, scale)} / count(*))"
+    s"(${dsumSql(expr, scale)} / count(($expr)))"
 }

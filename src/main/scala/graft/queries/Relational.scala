@@ -1,0 +1,455 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.5): scans, filters, joins
+  * (broadcast / SMJ / semi / anti / range), hash aggregates, distinct aggs,
+  * rollup/cube/grouping-sets, window ranking + frames, set ops, top-k.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension joins (`nation`, `region`, bracket tables) are explicitly
+  *    `broadcast()` — never a shuffle against a ~25-row table;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
+  *    aggregate partially map-side (Catalyst plans partial_agg → exchange
+  *    → final_agg for all `Det.dsum` decimal sums);
+  *  - every output is `orderBy`-ed on a full key so the driver's DuckDB
+  *    hash compare is deterministic (SURVEY.md §5).
+  */
+object Relational {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
+
+  /** TPC-H Q1-style pricing summary: full-scan hash aggregate. */
+  val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(revenue).as("sum_disc_price"),
+          Det.dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Det.dsumSql("l_quantity")} AS sum_qty,
+        ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+        ${Det.dsumSql(revenueSql)} AS sum_disc_price,
+        ${Det.dsumSql(s"$revenueSql * (1.0 + l_tax)")} AS sum_charge,
+        ${Det.davgSql("l_quantity")} AS avg_qty,
+        ${Det.davgSql("l_extendedprice")} AS avg_price,
+        ${Det.davgSql("l_discount")} AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  /** Monthly rollup of orders — the flagship (`SparkEntry.entry`); P9
+    * month-bucketing semantics (reference `src/movie.py:228-238`) expressed
+    * as `trunc(date, 'month')` so parquet stats still prune on the raw col. */
+  val q02 = Q(
+    "q02_monthly_rollup",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("order_month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("total_price"),
+          Det.davg(col("o_totalprice")).as("avg_price"))
+        .orderBy("order_month")
+    },
+    Some(s"""
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        count(*) AS n_orders,
+        ${Det.dsumSql("o_totalprice")} AS total_price,
+        ${Det.davgSql("o_totalprice")} AS avg_price
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+    headline = true)
+
+  /** Broadcast dimension joins: customer ⋈ nation ⋈ region (S3 analog —
+    * the genre-dimension lookup pattern at cluster scale). */
+  val q03 = Q(
+    "q03_region_acctbal",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          Det.dsum(col("c_acctbal")).as("sum_acctbal"),
+          Det.davg(col("c_acctbal")).as("avg_acctbal"))
+        .orderBy("r_name")
+    },
+    Some(s"""
+      SELECT r_name, count(*) AS n_customers,
+        ${Det.dsumSql("c_acctbal")} AS sum_acctbal,
+        ${Det.davgSql("c_acctbal")} AS avg_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  /** Fact-fact equi join (sort-merge / shuffled-hash territory at scale):
+    * orders ⋈ lineitem on the natural key, aggregated by priority. */
+  val q04 = Q(
+    "q04_priority_revenue",
+    (s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          Det.dsum(revenue).as("total_revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""
+      SELECT o_orderpriority,
+        ${Det.dsumSql(revenueSql)} AS total_revenue,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    headline = true)
+
+  /** Left-semi join: customers that have at least one order. */
+  val q05 = Q(
+    "q05_semi_join",
+    (s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_active
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Left-anti join: customers with no orders in 1998 (D6 checkpoint-manifest
+    * anti-join shape, reference `src/movie.py:257-263`). The year filter keeps
+    * the result non-vacuous — in this corpus every customer has *some* order. */
+  val q06 = Q(
+    "q06_anti_join",
+    (s, d) => {
+      val o98 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1999-01-01"))
+      Tables.customer(s, d)
+        .join(o98, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_inactive
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01' AND o.o_orderdate < TIMESTAMP '1999-01-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Range (theta) join against a broadcast bracket table. */
+  val q07 = Q(
+    "q07_range_join",
+    (s, d) => {
+      val brackets = s.range(0, 10)
+        .select(
+          col("id").as("bracket"),
+          (lit(900.0) + col("id") * 10).as("lo"),
+          (lit(900.0) + (col("id") + 1) * 10).as("hi"))
+      Tables.part(s, d)
+        .join(broadcast(brackets),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("bracket")
+        .agg(count(lit(1)).as("n_parts"), Det.dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("bracket")
+    },
+    Some(s"""
+      SELECT bracket, count(*) AS n_parts, ${Det.dsumSql("p_retailprice")} AS sum_price
+      FROM part
+      JOIN (SELECT i AS bracket, CAST(900 + i*10 AS DOUBLE) AS lo,
+                   CAST(900 + (i+1)*10 AS DOUBLE) AS hi
+            FROM range(0, 10) t(i)) b
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY bracket ORDER BY bracket"""))
+
+  /** Exact distinct aggregation (expands to two-phase agg in Spark). */
+  val q08 = Q(
+    "q08_distinct_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Rollup over the region→nation hierarchy; names coalesced to 'ALL' so
+    * no NULL ever reaches a sort key (Spark/DuckDB null-order differs). */
+  val q09 = Q(
+    "q09_rollup",
+    (s, d) => {
+      // rollup-over-join trips Spark's ambiguous-self-join detector in the
+      // Dataset API (even with explicit aliases), so this one goes through
+      // the SQL front end; q10 covers the Dataset-API cube form. The join
+      // hint keeps the two dimensions broadcast, never shuffled.
+      Tables.customer(s, d).createOrReplaceTempView("q09_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q09_nation")
+      Tables.region(s, d).createOrReplaceTempView("q09_region")
+      s.sql(s"""
+        SELECT /*+ BROADCAST(q09_nation), BROADCAST(q09_region) */
+          coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+          count(*) AS n_customers,
+          ${Det.dsumSql("c_acctbal")} AS sum_acctbal
+        FROM q09_customer
+        JOIN q09_nation ON c_nationkey = n_nationkey
+        JOIN q09_region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation""")
+    },
+    Some(s"""
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        count(*) AS n_customers, ${Det.dsumSql("c_acctbal")} AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation"""))
+
+  /** Cube over two independent order dimensions. */
+  val q10 = Q(
+    "q10_cube",
+    (s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("status", "priority")
+    },
+    Some(s"""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n_orders, ${Det.dsumSql("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+
+  /** Explicit GROUPING SETS via SQL (Dataset API exposes only rollup/cube). */
+  val q11 = Q(
+    "q11_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(s"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    },
+    Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        coalesce(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority"""))
+
+  /** Window ranking: top-3 orders per customer (row_number with a full
+    * deterministic sort key; rank/dense_rank over the value alone). */
+  val q12 = Q(
+    "q12_window_rank",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byPriceOnly = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      o.select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(byPrice).as("rn"),
+          rank().over(byPriceOnly).as("rnk"),
+          dense_rank().over(byPriceOnly).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+          CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS rnk,
+          CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS drnk
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Window analytics with frames: lag/lead + running decimal sum + 3-row
+    * moving average, per customer in order-date order. */
+  val q13 = Q(
+    "q13_window_frames",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val dec = col("o_totalprice").cast("decimal(30,6)")
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          sum(dec).over(running).cast("double").as("run_sum"),
+          (sum(dec).over(last3).cast("double") / count(lit(1)).over(last3)).as("mv3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        (CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mv3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Set operations: customers active in 1996 vs 1998, tagged by segment
+    * membership (intersect / except both ways, then union all). */
+  val q14 = Q(
+    "q14_set_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def keysIn(year: Int): DataFrame =
+        o.filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01"))
+          .select(col("o_custkey")).distinct()
+      val a = keysIn(1996)
+      val b = keysIn(1998)
+      a.intersect(b).select(lit("both").as("tag"), col("o_custkey"))
+        .unionAll(a.except(b).select(lit("only_1996").as("tag"), col("o_custkey")))
+        .unionAll(b.except(a).select(lit("only_1998").as("tag"), col("o_custkey")))
+        .orderBy("tag", "o_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+           b AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+      SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'only_1996' AS tag, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT 'only_1998' AS tag, o_custkey FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+      ORDER BY tag, o_custkey"""))
+
+  /** Top-K: global `TakeOrderedAndProject` (no full sort at scale). */
+  val q15 = Q(
+    "q15_topk_orders",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  /** Selective scan: filter + project only — the plan must show parquet
+    * `PushedFilters` on l_shipdate/l_quantity and a 5-column ReadSchema. */
+  val q16 = Q(
+    "q16_filter_scan",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01") && col("l_quantity") >= 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        AND l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber"""),
+    headline = true)
+
+  /** Exact dedup, deterministic window form (D1/D2; reference
+    * `src/movie.py:275,295`): one survivor per l_partkey — single
+    * hash-partitioned exchange on the dedup key, no driver collect. */
+  val q17 = Q(
+    "q17_dedup_window",
+    (s, d) => {
+      val w = Window.partitionBy("l_partkey").orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select("l_partkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_partkey")
+    },
+    Some("""
+      SELECT l_partkey, l_orderkey, l_linenumber FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber,
+          row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem) t
+      WHERE rn = 1 ORDER BY l_partkey"""),
+    headline = true)
+
+  /** Plain count by group (D5). */
+  val q18 = Q(
+    "q18_count_status",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Approx distinct (HLL sketch) — no exact SQL oracle; driver records a
+    * rows-only check. The point is the sketch aggregates partially. */
+  val q19 = Q(
+    "q19_approx_distinct",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+}
