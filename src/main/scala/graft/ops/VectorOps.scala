@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over an embedding column (`array<float>`).
+  *
+  * Inner products are per-row scalar expressions — a strict sequential
+  * left fold over the array (`aggregate` + `zip_with`). No partial
+  * aggregation is involved, so the IEEE double sum is bit-deterministic
+  * for a given array order, and any engine folding the same list the same
+  * way (DuckDB's `list_sum`, verified) produces the identical double.
+  * (A decimal-cast variant was rejected: Spark's double→decimal cast goes
+  * through `BigDecimal.valueOf`'s shortest-string rounding, which differs
+  * from DuckDB's exact-binary rounding in ~1e-12 edge cases.)
+  *
+  * Scale posture: brute force is a broadcast of the (small) query set
+  * against a linear scan — no shuffle, no cross join of the corpus with
+  * itself. IVF buckets the corpus by nearest centroid once (linear), then
+  * probes only nProbe cells per query.
+  */
+object VectorOps {
+
+  /** Sequential-fold double dot product of two float arrays. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Sequential-fold squared norm. */
+  def sqNormD(a: Column): Column = dotD(a, a)
+
+  /** Cosine similarity (deterministic: fold + single IEEE sqrt/divide). */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(sqNormD(a)) * sqrt(sqNormD(b)))
+
+  /** Brute-force exact top-k: broadcast the query set, scan the corpus
+    * once, rank per query. `TakeOrdered`-style window keeps only k.
+    *
+    * @param corpus  (id: long, vec: array<float>)
+    * @param queries (qid: long, qvec: array<float>) — must be small
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .join(broadcast(queries), col("id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rn").cast("int").as("rn"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (IVF cell).
+    * Centroids must be small (broadcast). Deterministic: ties break on the
+    * lowest centroid id.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid"))
+    corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("cvec"), col("vec")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+  }
+}

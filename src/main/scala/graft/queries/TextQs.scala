@@ -1,5 +1,165 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.ops.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis family over `documents` (SURVEY.md §2.5 + the
+  * training-data-pipeline mandate): term frequency, quality scoring,
+  * language-ID, fingerprinting, token counting. All pure column
+  * expressions from [[graft.ops.TextOps]] — codegen'd, shuffle only where
+  * the aggregation itself demands it.
+  */
 object TextQs {
-  val defs: Seq[Q] = Seq()
+
+  /** Top-10 terms per language: tokenize → explode → count → rank.
+    * The groupBy is the only exchange; explode stays pipelined.
+    */
+  val q30 = Q(
+    "q30_term_frequency",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 10)
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      SELECT lang, token, cnt, rn FROM (
+        SELECT lang, token, count(*) AS cnt,
+          CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS INT) AS rn
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token) t
+      WHERE rn <= 10 ORDER BY lang, rn"""))
+
+  /** Per-document quality metrics: token count, type-token ratio, mean
+    * token length, stopword ratio, plus a boolean keep-gate — the shape of
+    * a pretraining quality filter. Zero shuffles (pure projection).
+    */
+  val q31 = Q(
+    "q31_text_quality",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val nTypes = size(array_distinct(toks))
+      val nStop = size(filter(toks, t => t === "the" || t === "a"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.cast("int").as("n_tokens"),
+          (nTypes.cast("double") / nTok.cast("double")).as("ttr"),
+          ((length(col("text")) - (nTok - lit(1))).cast("double") / nTok.cast("double")).as("avg_tok_len"),
+          (nStop.cast("double") / nTok.cast("double")).as("stop_ratio"),
+          (nTok >= 40 && nTok <= 110 && nTypes >= 25).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS ttr,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_tok_len,
+        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        (len(string_split(text, ' ')) BETWEEN 40 AND 110
+          AND len(list_distinct(string_split(text, ' '))) >= 25) AS keep
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language ID by marker-trigram occurrence scoring (argmax over the
+    * built-in profiles, ties to the alphabetically first language).
+    * Occurrences via length/replace, so the oracle reproduces it exactly.
+    */
+  val q32 = Q(
+    "q32_lang_id",
+    (s, d) => {
+      val scoreCols = TextOps.langMarkers.map { case (l, ms) =>
+        l -> TextOps.langScore(col("text"), ms)
+      }
+      val best = scoreCols.map(_._2).reduce(greatest(_, _))
+      // ties go to the alphabetically-first language, so earlier langs must
+      // sit outermost in the when-chain (hence reverse + foldLeft)
+      val predFirst = scoreCols.reverse.foldLeft(lit("und")) { case (acc, (l, sc)) =>
+        when(sc === best && best > 0, lit(l)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .select(
+          (Seq(col("doc_id"), col("lang"), predFirst.as("pred_lang")) ++
+            scoreCols.map { case (l, sc) => sc.as(s"score_$l") }): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val occ = (p: String) =>
+        s"CAST((length(text) - length(replace(text, '$p', ''))) / ${p.length} AS INT)"
+      val scores = TextQsOracle.markers.map { case (l, ms) =>
+        l -> ms.map(occ).mkString("(", " + ", ")")
+      }
+      val best = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+      val pred = scores
+        .map { case (l, sc) => s"WHEN $sc = __best AND __best > 0 THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      SELECT doc_id, lang, $pred AS pred_lang,
+        ${scores.map { case (l, sc) => s"CAST($sc AS INT) AS score_$l" }.mkString(", ")}
+      FROM (SELECT *, $best AS __best FROM documents)
+      ORDER BY doc_id"""
+    })
+
+  /** Exact-dup fingerprint + shingle stats per document (the cheap first
+    * pass of the dedup cascade; near-dup is DedupQs). */
+  val q33 = Q(
+    "q33_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          substring(TextOps.fingerprint(col("text")), 1, 8).as("fp_bucket"),
+          size(TextOps.shingles(col("text"))).cast("int").as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_bucket,
+        CAST(len(list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               || ' ' || string_split(text, ' ')[i+2]
+             for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)])) AS INT)
+          AS n_shingles
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting three ways: whitespace, regex word-ish tokens, and a
+    * BPE-style size estimate (chars/4 is the common public rule-of-thumb).
+    */
+  val q34 = Q(
+    "q34_token_count",
+    (s, d) => {
+      val ws = size(split(col("text"), " "))
+      val re = size(filter(split(col("text"), "[^a-z0-9]+"), t => t =!= ""))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          ws.cast("int").as("n_ws_tokens"),
+          re.cast("int").as("n_re_tokens"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("int").as("n_bpe_est"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), t -> t <> '')) AS INT)
+          AS n_re_tokens,
+        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_bpe_est
+      FROM documents ORDER BY doc_id"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+}
+
+/** Marker profiles mirrored into the oracle SQL (kept in lock-step with
+  * [[graft.ops.TextOps.langMarkers]] by construction — same value).
+  */
+private object TextQsOracle {
+  val markers: Seq[(String, Seq[String])] = TextOps.langMarkers
 }

@@ -1,5 +1,153 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import graft.ops.VectorOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  *
+  * q41 is the exact baseline: broadcast the (small) query set against one
+  * linear corpus scan — no shuffle, no corpus x corpus cross join. q42 is
+  * the scale path: IVF cell assignment (linear) + probe-3 search, fully
+  * deterministic, so even the approximate index hash-matches its oracle.
+  * q43 is random-hyperplane LSH near-dup (sign-bucket join + exact cosine
+  * verify) — recall is probabilistic, hence rows-only (no SQL oracle).
+  *
+  * All ranking cosines use [[VectorOps]]' exact-decimal inner products —
+  * order-independent, bit-identical across engines.
+  */
 object VectorQs {
-  val defs: Seq[Q] = Seq()
+
+  /** DuckDB mirror of [[VectorOps.dotD]] for 64-dim vectors (list_sum is
+    * a sequential left fold — verified bit-identical to Spark's). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Brute-force exact cosine top-10 for 5 query vectors. */
+  val q41 = Q(
+    "q41_cosine_topk",
+    (s, d) => {
+      VectorOps.bruteForceTopK(corpus(s, d), queries(s, d), k = 10)
+        .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+      SELECT qid, vec_id, cos, rn FROM (
+        SELECT q.qid, e.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos,
+          CAST(row_number() OVER (PARTITION BY q.qid
+            ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id) AS INT) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+      WHERE rn <= 10 ORDER BY qid, rn"""),
+    headline = true)
+
+  /** IVF approximate search: 10 deterministic centroids (every 50th
+    * vector), nearest-cell assignment, probe the 3 closest cells per
+    * query, exact re-rank of the candidates, top-5.
+    */
+  val q42 = Q(
+    "q42_ann_ivf",
+    (s, d) => {
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = VectorOps.ivfAssign(corpus(s, d), cents)
+      val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+      val probes = queries(s, d)
+        .crossJoin(broadcast(cents))
+        .withColumn("pcos", VectorOps.cosine(col("qvec"), col("cvec")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select("qid", "qvec", "cid")
+      val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+      probes
+        .join(assigned, probes("cid") === assigned("cell"))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos", VectorOps.cosine(col("qvec"), col("vec")))
+        .withColumn("rn", row_number().over(wRank).cast("int"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "cent.cvec")} DESC, cent.cid) AS crn
+          FROM embeddings e CROSS JOIN cent) t WHERE crn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT q.qid, cent.cid AS cell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${cosSql("q.qe", "cent.cvec")} DESC, cent.cid) AS prn
+          FROM q CROSS JOIN cent) t WHERE prn <= 3),
+      cand AS (
+        SELECT DISTINCT p.qid, a.vec_id FROM probes p
+        JOIN assign a ON p.cell = a.cell WHERE a.vec_id <> p.qid)
+      SELECT qid, vec_id, cos, rn FROM (
+        SELECT c.qid, c.vec_id, ${cosSql("q.qe", "e.embedding")} AS cos,
+          CAST(row_number() OVER (PARTITION BY c.qid
+            ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, c.vec_id) AS INT) AS rn
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN q ON q.qid = c.qid) t
+      WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  /** Random-hyperplane (SRP) LSH near-dup: 8 tables x 8 sign bits,
+    * same-bucket candidates, exact-cosine verify >= 0.45. Deterministic
+    * (fixed seeded planes) but probabilistic recall — rows-only check;
+    * the ScalaTest suite measures recall against brute force.
+    */
+  val q43 = Q(
+    "q43_embedding_near_dup",
+    (s, d) => {
+      val planes: Seq[Seq[Double]] = {
+        val r = new java.util.Random(7)
+        Seq.fill(64)(Seq.fill(64)(r.nextGaussian()))
+      }
+      val planesCol = typedlit(planes)
+      def dotPlane(vec: Column, plane: Column): Column =
+        aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p), lit(0.0), _ + _)
+      def buckets(side: String): DataFrame =
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            explode(transform(sequence(lit(0), lit(7)), t =>
+              struct(
+                t.as("table_idx"),
+                aggregate(sequence(lit(0), lit(7)), lit(0), (acc, p) =>
+                  acc + when(
+                    dotPlane(col("embedding"),
+                      element_at(planesCol, t * lit(8) + p + lit(1))) > 0,
+                    call_function("shiftleft", lit(1), p)).otherwise(lit(0)))
+                  .as("bits")))).as("b"))
+          .select(col("vec_id").as(s"vec_$side"),
+            col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
+      val cands = buckets("a").join(buckets("b"), Seq("table_idx", "bits"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = Tables.embeddings(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      val eb = Tables.embeddings(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+      cands.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
+        .filter(col("cos") >= 0.45)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(q41, q42, q43)
 }
