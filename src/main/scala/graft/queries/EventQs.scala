@@ -1,5 +1,112 @@
 package graft.queries
-import graft.Q
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over `events` (batch form — each query is the
+  * batch twin of a Structured Streaming aggregation; the streaming
+  * variants with watermarks live in `graft.streaming` and are verified
+  * against these in the ScalaTest suite, since DuckDB cannot oracle a
+  * stream).
+  *
+  * `event_ts` is the µs-truncated timestamp derived in [[Tables.events]]
+  * from the parquet TIMESTAMP(NANOS) column — DuckDB's µs TIMESTAMP sees
+  * the identical values.
+  */
 object EventQs {
-  val defs: Seq[Q] = Seq()
+
+  /** Tumbling 1-hour windows per event type. */
+  val q50 = Q(
+    "q50_tumbling_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("value_sum"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n_events"), col("value_sum"))
+        .orderBy("win_start", "event_type")
+    },
+    Some(s"""
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+        event_type, count(*) AS n_events, ${Det.dsumSql("value")} AS value_sum
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  val q51 = Q(
+    "q51_sliding_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("event_ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("value_sum"))
+        .select(col("w.start").as("win_start"), col("n_events"), col("value_sum"))
+        .orderBy("win_start")
+    },
+    Some(s"""
+      SELECT win_start, count(*) AS n_events, ${Det.dsumSql("value")} AS value_sum
+      FROM (
+        SELECT unnest([time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE])
+          AS win_start, value
+        FROM events) t
+      GROUP BY win_start ORDER BY win_start"""))
+
+  /** Session windows: per-user sessions closed by a 10-minute gap.
+    * Oracle is the classic gaps-and-islands rewrite (lag + running sum of
+    * session-start flags) — Spark's `session_window` must agree exactly.
+    */
+  val q52 = Q(
+    "q52_session_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("event_ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("event_ts")).as("last_ts"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("last_ts"), col("n_events"))
+        .orderBy("user_id", "sess_start")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      flagged AS (
+        SELECT user_id, t,
+          CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      numbered AS (
+        SELECT user_id, t,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(t) AS sess_start, max(t) AS last_ts, count(*) AS n_events
+      FROM numbered GROUP BY user_id, sid
+      ORDER BY user_id, sess_start"""))
+
+  /** Event-time ordering with late-data bounds: per type, the running max
+    * of event time vs each event (the batch shape of watermark lag). */
+  val q53 = Q(
+    "q53_event_lag",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("event_ts"),
+          max(col("event_ts")).over(w).as("max_ts_so_far"))
+        .withColumn("is_late",
+          col("event_ts") < col("max_ts_so_far") - expr("INTERVAL 5 MINUTES"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS event_ts,
+        max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_ts_so_far,
+        CAST(ts AS TIMESTAMP) <
+          max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - INTERVAL 5 MINUTE AS is_late
+      FROM events ORDER BY event_id"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53)
 }

@@ -1,5 +1,99 @@
 package graft.queries
-import graft.Q
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** User-defined function machinery (SURVEY.md §2.5): scalar UDF, typed
+  * `Aggregator` UDAF, and a typed `flatMap` playing the UDTF role.
+  *
+  * UDFs are deliberately the LAST resort in this library (they break
+  * whole-stage codegen); these queries exist to prove the extension
+  * points work and stay oracle-exact, not as the recommended style — each
+  * oracle mirrors the UDF's semantics in plain SQL.
+  */
 object UdfQs {
-  val defs: Seq[Q] = Seq()
+
+  /** Scalar UDF: slugify a part name. Null-safe; mirrors
+    * `regexp_replace(lower(x), ...)` exactly so DuckDB can check it.
+    */
+  val q60 = Q(
+    "q60_scalar_udf",
+    (s, d) => {
+      val slug = udf((name: String) =>
+        if (name == null) null
+        else name.toLowerCase.replaceAll("[^a-z0-9]+", "-").stripPrefix("-").stripSuffix("-"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), slug(col("p_name")).as("slug"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+      FROM part ORDER BY p_partkey"""))
+
+  /** Typed Aggregator UDAF: order-independent decimal sum-product
+    * (quantity x price), accumulated as scale-6 BigDecimal — the same
+    * rounding Spark's own double->decimal cast applies, so the oracle is
+    * `sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6)))`.
+    */
+  val q61 = Q(
+    "q61_udaf_sumproduct",
+    (s, d) => {
+      val sumProduct = new Aggregator[(Double, Double), java.math.BigDecimal, Double] {
+        private def d6(x: Double) =
+          java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO.setScale(6)
+        def reduce(b: java.math.BigDecimal, a: (Double, Double)): java.math.BigDecimal =
+          b.add(d6(a._1 * a._2))
+        def merge(b1: java.math.BigDecimal, b2: java.math.BigDecimal): java.math.BigDecimal =
+          b1.add(b2)
+        def finish(r: java.math.BigDecimal): Double = r.doubleValue()
+        def bufferEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
+        def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+      }
+      val sp = udaf(sumProduct)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sp(col("l_quantity"), col("l_extendedprice")).as("sum_product"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_product
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Typed flatMap as a UDTF: each order emits one row per month in a
+    * 3-month horizon from its order month (the reference's month-range
+    * generator P9, `src/movie.py:228-238`, as a generator function).
+    * Month arithmetic runs on (year, month) ints — timezone-free.
+    */
+  val q62 = Q(
+    "q62_udtf_months",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .as[(Long, Int, Int)]
+        .flatMap { case (key, y, m) =>
+          (0 until 3).map { k =>
+            val total = y * 12 + (m - 1) + k
+            (key, java.sql.Date.valueOf(java.time.LocalDate.of(total / 12, total % 12 + 1, 1)))
+          }
+        }
+        .toDF("o_orderkey", "horizon_month")
+        .orderBy("o_orderkey", "horizon_month")
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(date_trunc('month', o_orderdate) + k * INTERVAL 1 MONTH AS DATE) AS horizon_month
+      FROM orders, range(0, 3) t(k)
+      WHERE o_orderkey < 1000
+      ORDER BY o_orderkey, horizon_month"""))
+
+  val defs: Seq[Q] = Seq(q60, q61, q62)
 }
