@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+
+import graft.ops.{DedupOps, MovieOps}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's checkpointed monthly backfill (movie.py:247-299),
+  * re-expressed for Spark's execution model:
+  *
+  *  - the month work-list minus completed months is the reference's
+  *    done-set skip (movie.py:257-263) — at scale the same thing is the
+  *    anti-join `pending LEFT ANTI JOIN checkpoint` (query q06 shape);
+  *  - each month writes a parquet part under `part_month=<start>/` —
+  *    directory partitioning replaces hand-rolled filenames, and an
+  *    idempotent overwrite makes re-runs of a crashed month safe
+  *    (write-then-mark ⇒ at-least-once, dedup ⇒ effectively-once);
+  *  - consolidation is a glob read + window dedup + master write —
+  *    never a driver-side collect/concat (the reference's `pd.concat`
+  *    at movie.py:294 is the scaling cliff this replaces).
+  */
+object Backfill {
+
+  final case class Result(processedMonths: Seq[String], masterRows: Long)
+
+  /** Run the backfill over [start, end].
+    *
+    * @param fetchMonth raw-payload source for one (monthStart, monthEnd)
+    *                   range — a JSON-fixture read in tests; a DataSource
+    *                   wrapping the paged REST API in production
+    */
+  def run(
+      spark: SparkSession,
+      outDir: String,
+      checkpointFile: String,
+      start: String,
+      end: String,
+      imageBase: String,
+      posterSize: String,
+      genres: Map[Int, String],
+      fetchMonth: (String, String) => DataFrame): Result = {
+
+    val cpPath = Paths.get(checkpointFile)
+    val ranges = MovieOps.monthRanges(start, end)
+    var done = MovieOps.loadCheckpoint(cpPath)
+    val processed = Seq.newBuilder[String]
+
+    for ((ms, me) <- ranges) {
+      val key = s"${ms}_$me"
+      if (!done.contains(key)) {
+        val raw = fetchMonth(ms, me)
+        val part =
+          if (raw.isEmpty) MovieOps.emptyMovies(spark)
+          else DedupOps.exactDedup(
+            MovieOps.normalize(raw, imageBase, posterSize, genres),
+            Seq("tmdb_id"), Seq(col("tmdb_id")))
+        // idempotent per-month overwrite (movie.py:277-278)
+        part.write.mode(SaveMode.Overwrite).parquet(s"$outDir/part_month=$ms")
+        // mark AFTER the data write (movie.py:281-282): crash in between
+        // re-extracts the month; global dedup restores exactly-once
+        done = done :+ key
+        MovieOps.saveCheckpoint(cpPath, done)
+        processed += key
+      }
+    }
+
+    // consolidate (movie.py:288-299): glob scan -> global dedup -> masters
+    val hasParts = Option(new java.io.File(outDir).listFiles())
+      .exists(_.exists(_.getName.startsWith("part_month=")))
+    val masterRows = if (hasParts) {
+      val all = spark.read
+        .schema(MovieOps.MovieSchema.add("part_month", "string"))
+        .option("basePath", outDir)
+        .parquet(s"$outDir/part_month=*")
+      val master = DedupOps.exactDedup(
+          all, Seq("tmdb_id"), Seq(col("part_month"), col("tmdb_id")))
+        .drop("part_month")
+      val (csvName, parquetName) = MovieOps.masterPaths(start, end)
+      master.write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$outDir/$csvName")
+      master.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$parquetName")
+      master.count()
+    } else 0L
+
+    Result(processed.result(), masterRows)
+  }
+}

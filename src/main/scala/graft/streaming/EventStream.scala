@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (SURVEY.md §2.5
+  * streaming row): file source → watermark → windowed aggregation. The
+  * batch twins live in `graft.queries.EventQs` (q50-q52); the ScalaTest
+  * suite proves stream-vs-batch equivalence, since no SQL oracle can
+  * grade a stream.
+  *
+  * The micro-batch + checkpoint pattern here is the engine-managed form
+  * of the reference's month loop (movie.py:260-286): `Trigger
+  * .AvailableNow` + `checkpointLocation` give the same resume-where-you-
+  * left-off semantics with exactly-once sinks.
+  */
+object EventStream {
+
+  /** Raw parquet schema of `events` (ts read as epoch-nanos BIGINT under
+    * the `nanosAsLong` session flag — see `Tables.configure`). */
+  val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def withEventTs(df: DataFrame): DataFrame =
+    df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Streaming tumbling 1-hour counts per event type with a 1-hour
+    * watermark — the streaming twin of q50.
+    */
+  def tumblingCounts(spark: SparkSession, sourceDir: String): DataFrame =
+    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
+  /** Streaming per-user session windows (10-minute gap) — q52's twin. */
+  def sessionCounts(spark: SparkSession, sourceDir: String): DataFrame =
+    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+      .withWatermark("event_ts", "30 minutes")
+      .groupBy(session_window(col("event_ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
+}

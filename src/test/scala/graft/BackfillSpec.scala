@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.MovieOps
+import graft.pipeline.Backfill
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Resume semantics of the checkpointed backfill (movie.py:247-299):
+  * skip-if-done, crash-then-rerun convergence, cross-month global dedup.
+  */
+class BackfillSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+
+  private def raw(ids: Seq[Long]): DataFrame = {
+    val rows = ids.map(i => Row(
+      i, s"Movie $i", s"Movie $i OT", "2023-01-15", Seq(28),
+      7.0, 100L, 50.0, "en", "o", s"/p$i.jpg"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), MovieOps.RawSchema)
+  }
+
+  test("skip-if-done: second run fetches nothing new") {
+    val dir = Files.createTempDirectory("bf").toString
+    val cp = s"$dir/cp.json"
+    var fetches = 0
+    def fetch(ms: String, me: String): DataFrame = { fetches += 1; raw(Seq(1L, 2L)) }
+    val r1 = Backfill.run(spark, dir, cp, "2023-01-01", "2023-02-28",
+      "https://cdn/", "w500", Map(28 -> "Action"), fetch)
+    assert(r1.processedMonths == Seq("2023-01-01_2023-01-31", "2023-02-01_2023-02-28"))
+    assert(fetches == 2)
+    val r2 = Backfill.run(spark, dir, cp, "2023-01-01", "2023-02-28",
+      "https://cdn/", "w500", Map(28 -> "Action"), fetch)
+    assert(r2.processedMonths.isEmpty)
+    assert(fetches == 2) // no re-fetch of completed months
+  }
+
+  test("crash mid-run, rerun converges with each month processed once") {
+    val dir = Files.createTempDirectory("bf").toString
+    val cp = s"$dir/cp.json"
+    val fetched = scala.collection.mutable.ArrayBuffer[String]()
+    var crashOnSecond = true
+    def fetch(ms: String, me: String): DataFrame = {
+      if (crashOnSecond && ms == "2023-02-01") throw new RuntimeException("boom")
+      fetched += ms
+      raw(Seq(10L, 20L))
+    }
+    intercept[RuntimeException] {
+      Backfill.run(spark, dir, cp, "2023-01-01", "2023-03-31",
+        "https://cdn/", "w500", Map.empty, fetch)
+    }
+    assert(fetched.toSeq == Seq("2023-01-01")) // month 1 done, crash on 2
+    crashOnSecond = false
+    val r = Backfill.run(spark, dir, cp, "2023-01-01", "2023-03-31",
+      "https://cdn/", "w500", Map.empty, fetch)
+    // resumed run re-does ONLY the unfinished months
+    assert(r.processedMonths == Seq("2023-02-01_2023-02-28", "2023-03-01_2023-03-31"))
+    assert(fetched.toSeq == Seq("2023-01-01", "2023-02-01", "2023-03-01"))
+  }
+
+  test("cross-month duplicates collapse in the master") {
+    val dir = Files.createTempDirectory("bf").toString
+    val cp = s"$dir/cp.json"
+    // id 5 appears in both months; master must keep exactly one
+    def fetch(ms: String, me: String): DataFrame =
+      if (ms == "2023-01-01") raw(Seq(1L, 5L)) else raw(Seq(5L, 9L))
+    val r = Backfill.run(spark, dir, cp, "2023-01-01", "2023-02-28",
+      "https://cdn/", "w500", Map.empty, fetch)
+    assert(r.masterRows == 3)
+    val (_, parquetName) = MovieOps.masterPaths("2023-01-01", "2023-02-28")
+    val master = spark.read.parquet(s"$dir/$parquetName")
+    assert(master.select("tmdb_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+    assert(master.columns.toSeq == MovieOps.Cols)
+  }
+
+  test("empty month writes empty part with full schema") {
+    val dir = Files.createTempDirectory("bf").toString
+    val cp = s"$dir/cp.json"
+    def fetch(ms: String, me: String): DataFrame =
+      if (ms == "2023-01-01") raw(Seq(1L))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], MovieOps.RawSchema)
+    val r = Backfill.run(spark, dir, cp, "2023-01-01", "2023-02-28",
+      "https://cdn/", "w500", Map.empty, fetch)
+    assert(r.masterRows == 1)
+    val part = spark.read.parquet(s"$dir/part_month=2023-02-01")
+    assert(part.count() == 0)
+    assert(part.columns.toSeq == MovieOps.Cols)
+  }
+}

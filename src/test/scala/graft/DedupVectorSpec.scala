@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.{DedupQs, VectorQs}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Honest-measurement tests for the approximate operators at sf0.001:
+  * the LSH candidate generators must agree with exact brute force where
+  * the math guarantees it, and measured recall is asserted where it
+  * doesn't.
+  */
+class DedupVectorSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH output equals exact all-pairs Jaccard >= 0.8") {
+    // exact all-pairs via the inverted-index query at threshold 0.8 would
+    // be q38@0.5 filtered; compute it directly from q38's exact output
+    val exact = DedupQs.q38.fn(spark, sf).filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQs.q36.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // 16x4 banding: miss prob ~1e-15 at J>=0.97
+  }
+
+  test("simhash output equals minhash output (independent generators)") {
+    val a = DedupQs.q36.fn(spark, sf).select("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    val b = DedupQs.q37.fn(spark, sf).select("doc_a", "doc_b").collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
+
+  test("SRP-LSH near-dup candidates are a subset of brute-force pairs, recall measured") {
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.ops.VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorQs.q43.fn(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // precision 1.0 by construction (exact verify)
+    if (brute.nonEmpty) {
+      val recall = lsh.size.toDouble / brute.size
+      info(f"SRP-LSH recall at cos>=0.45: $recall%.2f (${lsh.size}/${brute.size})")
+      assert(recall >= 0.2) // SRP at moderate cosine is recall-limited by design
+    }
+  }
+
+  test("IVF top-5 overlaps brute-force top-5 (recall@5 measured)") {
+    val brute = VectorQs.q41.fn(spark, sf).filter(col("rn") <= 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorQs.q42.fn(spark, sf)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF probe-3 recall@5: $recall%.2f")
+    assert(recall >= 0.4) // probe-3 of 10 cells on unclustered data
+  }
+}
