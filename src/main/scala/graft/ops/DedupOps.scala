@@ -39,47 +39,66 @@ object DedupOps {
         r.nextInt(MinhashPrime.toInt).toLong))
   }
 
-  /** MinHash signature (array<long> of length `numPerm`) of a distinct
-    * shingle array: each shingle is folded to [0, p) first, then run
-    * through the permutation family.
+  /** MinHash LSH bucket keys as a DataFrame op: explode the shingle set,
+    * hash once per shingle (codegen'd), then one hash-aggregate per doc
+    * computing all `numPerm` permutation minima as flat agg columns —
+    * everything stays inside whole-stage codegen (the higher-order-fn
+    * form is interpreted and re-evaluates the shingle pipeline per
+    * permutation: ~50x slower, measured). One shuffle, on doc_id.
+    *
+    * @param docShingles (id: long, shingles: array<string>) — distinct
+    * @return (id, band_idx, band_hash) — `bands` rows per doc
     */
-  def minhashSignature(shingleArr: Column, numPerm: Int = 64, seed: Long = 42L): Column = {
-    val hashed = transform(shingleArr, sh => pmod(xxhash64(sh), lit(MinhashPrime)))
-    val sig = perms(numPerm, seed).map { case (a, b) =>
-      array_min(transform(hashed, x => pmod(x * lit(a) + lit(b), lit(MinhashPrime))))
+  def minhashBands(docShingles: DataFrame, idCol: String, numPerm: Int, bands: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    val pm = perms(numPerm, seed)
+    val minCols = pm.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__sh") * lit(a) + lit(b), lit(MinhashPrime))).as(s"__mh$i")
     }
-    array(sig: _*)
+    val bandCols = (0 until bands).map { j =>
+      val slice = (0 until rowsPerBand).map(r => col(s"__mh${j * rowsPerBand + r}"))
+      struct(lit(j).as("band_idx"), hash(slice :+ lit(j): _*).as("band_hash"))
+    }
+    docShingles
+      .select(col(idCol), explode(col("shingles")).as("__shs"))
+      .select(col(idCol), pmod(xxhash64(col("__shs")), lit(MinhashPrime)).as("__sh"))
+      .groupBy(idCol)
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
   }
 
-  /** (band_idx, band_hash) rows for LSH bucketing: `bands` slices of
-    * `rowsPerBand` signature entries, each hashed to one bucket key.
+  /** 64-bit SimHash band keys as a DataFrame op: explode tokens, hash
+    * once per token, then one hash-aggregate per doc with 64 signed bit
+    * sums as flat agg columns (codegen'd; token repetition weights bits
+    * naturally through the per-row contribution). Bands of `bitsPerBand`
+    * sign bits hash to bucket keys. One shuffle, on doc_id.
+    *
+    * @param docTokens (id: long, tokens: array<string>) — with repeats
+    * @return (id, band_idx, band_hash) — 64/bitsPerBand rows per doc
     */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), j =>
-      struct(j.as("band_idx"),
-        hash(slice(sig, j * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("band_hash")))
-
-  /** 64-bit SimHash of a token array as an array<int> of 64 sign bits
-    * (unpacked — band slicing then needs no bit arithmetic). Token
-    * repetition weights bits naturally. Single pass per row: no explode,
-    * no shuffle of its own.
-    */
-  def simhashBits(tokenArr: Column): Column = {
-    val sums = aggregate(
-      tokenArr,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitsOf(xxhash64(t)), (a, b) => a + b))
-    transform(sums, s => when(s >= 0, lit(1)).otherwise(lit(0)))
+  def simhashBands(docTokens: DataFrame, idCol: String, bitsPerBand: Int): DataFrame = {
+    require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
+    val nBands = 64 / bitsPerBand
+    val sumCols = (0 until 64).map { k =>
+      sum(when(shiftrightunsigned(col("__h"), k).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+        .otherwise(lit(-1))).as(s"__s$k")
+    }
+    val bandCols = (0 until nBands).map { j =>
+      val bits = (0 until bitsPerBand).map(r =>
+        when(col(s"__s${j * bitsPerBand + r}") >= 0, lit(1)).otherwise(lit(0)))
+      struct(lit(j).as("band_idx"), hash(bits :+ lit(j): _*).as("band_hash"))
+    }
+    docTokens
+      .select(col(idCol), explode(col("tokens")).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .groupBy(idCol)
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
   }
-
-  /** ±1 contribution vector (length 64) from the bits of a 64-bit hash.
-    * The Scala DSL's shiftrightunsigned only takes an Int shift, so the
-    * SQL function (which accepts a Column) is called directly.
-    */
-  private def bitsOf(h: Column): Column =
-    transform(sequence(lit(0), lit(63)), k =>
-      when(call_function("shiftrightunsigned", h, k).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-        .otherwise(lit(-1)))
 
   /** Exact Jaccard between two distinct-element arrays, as an IEEE double
     * (identical in any engine given identical integer cardinalities).

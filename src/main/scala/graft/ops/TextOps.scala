@@ -18,17 +18,34 @@ object TextOps {
   /** Distinct token n-gram shingles (order-preserving join with spaces).
     * For n=3: "a b c d" -> ["a b c", "b c d"]. Documents shorter than n
     * shingle to an empty array.
+    *
+    * Implemented as a Scala UDF rather than `transform`/`sequence`
+    * higher-order functions: HOFs are CodegenFallback (interpreted
+    * per-element), and the declarative form measured ~20 s per scan of
+    * 5 000 docs at sf0.1 vs well under a second for the JVM loop. Both
+    * are narrow maps (zero shuffle), so the UDF is also the better
+    * 100-TB shape here.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    // guard: Spark's sequence(1, 0) DESCENDS ([1,0]) rather than returning
-    // empty, so short documents need the explicit empty-array branch
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column = shingleUdf(text, lit(n))
+
+  private val shingleUdf = udf((text: String, n: Int) =>
+    if (text == null) Array.empty[String]
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(Array.empty[String])
+      }
+    })
 
   /** Number of non-overlapping occurrences of literal `pat` in `text`,
     * expressed with length/replace so any SQL engine reproduces it exactly.

@@ -86,14 +86,10 @@ object DedupQs {
     "q36_minhash_lsh",
     (s, d) => {
       def bands(side: String): DataFrame =
-        shingled(s, d)
-          .filter(size(col("shingles")) > 0)
-          .select(
-            col("doc_id"),
-            explode(DedupOps.lshBands(
-              DedupOps.minhashSignature(col("shingles")), bands = 16, rowsPerBand = 4)).as("b"))
-          .select(col("doc_id").as(s"doc_$side"),
-            col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+        DedupOps.minhashBands(
+            shingled(s, d).filter(size(col("shingles")) > 0),
+            "doc_id", numPerm = 64, bands = 16)
+          .select(col("doc_id").as(s"doc_$side"), col("band_idx"), col("band_hash"))
       val cands = bands("a").join(bands("b"), Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
@@ -111,12 +107,11 @@ object DedupQs {
     "q37_simhash",
     (s, d) => {
       def bands(side: String): DataFrame =
-        Tables.documents(s, d)
-          .select(col("doc_id"), DedupOps.simhashBits(TextOps.tokens(col("text"))).as("sig"))
-          .select(col("doc_id"),
-            explode(DedupOps.lshBands(col("sig"), bands = 8, rowsPerBand = 8)).as("b"))
-          .select(col("doc_id").as(s"doc_$side"),
-            col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+        DedupOps.simhashBands(
+            Tables.documents(s, d)
+              .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
+            "doc_id", bitsPerBand = 8)
+          .select(col("doc_id").as(s"doc_$side"), col("band_idx"), col("band_hash"))
       val cands = bands("a").join(bands("b"), Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
