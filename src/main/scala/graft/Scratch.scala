@@ -2,20 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only stage timer (not part of the library surface). */
+/** Dev-only plan/stage inspector (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args(1).split(",").toSeq
+      else Seq("q16_filter_scan", "q03_region_acctbal", "q36_minhash_lsh", "q41_cosine_topk")
     val spark = Tables.configure(SparkSession.builder(), "16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    for (q <- Seq("q01_pricing_summary", "q04_priority_revenue", "q36_minhash_lsh")) {
-      val fn = Queries.byName(q).fn
-      t(s"$q run1")(fn(spark, d).write.format("noop").mode("overwrite").save())
-      t(s"$q run2")(fn(spark, d).write.format("noop").mode("overwrite").save())
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      println(Queries.byName(n).fn(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
