@@ -32,6 +32,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")

@@ -21,12 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential-fold double dot product of two float arrays. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Sequential-fold double dot product of two float arrays. Resolves to
+    * the native codegen'd [[graft.expressions.VecDot]] (registered by
+    * `GraftExtensions`); bit-identical to the higher-order-function fold
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces, but fused
+    * into whole-stage codegen instead of interpreted per element.
+    */
+  def dotD(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Sequential-fold squared norm. */
   def sqNormD(a: Column): Column = dotD(a, a)

@@ -85,12 +85,18 @@ object DedupQs {
   val q36 = Q(
     "q36_minhash_lsh",
     (s, d) => {
-      def bands(side: String): DataFrame =
-        DedupOps.minhashBands(
-            shingled(s, d).filter(size(col("shingles")) > 0),
-            "doc_id", numPerm = 64, bands = 16)
-          .select(col("doc_id").as(s"doc_$side"), col("band_idx"), col("band_hash"))
-      val cands = bands("a").join(bands("b"), Seq("band_idx", "band_hash"))
+      // persist the band relation: the self-join consumes it twice, and
+      // one side feeds a BroadcastExchange, so ReusedExchange cannot fire
+      // — without the cache the whole minhash subplan runs twice
+      // (measured ~2x). MEMORY_AND_DISK: at scale this relation is
+      // O(docs x bands), spillable.
+      val bands = DedupOps.minhashBands(
+          shingled(s, d).filter(size(col("shingles")) > 0),
+          "doc_id", numPerm = 64, bands = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def side(n: String): DataFrame =
+        bands.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
+      val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       verified(s, d, cands, 0.8)
@@ -106,13 +112,14 @@ object DedupQs {
   val q37 = Q(
     "q37_simhash",
     (s, d) => {
-      def bands(side: String): DataFrame =
-        DedupOps.simhashBands(
-            Tables.documents(s, d)
-              .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
-            "doc_id", bitsPerBand = 8)
-          .select(col("doc_id").as(s"doc_$side"), col("band_idx"), col("band_hash"))
-      val cands = bands("a").join(bands("b"), Seq("band_idx", "band_hash"))
+      val bands = DedupOps.simhashBands(
+          Tables.documents(s, d)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
+          "doc_id", bitsPerBand = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def side(n: String): DataFrame =
+        bands.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
+      val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       verified(s, d, cands, 0.8)

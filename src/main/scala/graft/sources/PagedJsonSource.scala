@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.ops.MovieOps
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the reference's paged discover feed
+  * (movie.py:145-182, S1): one `InputPartition` per page file, so pages
+  * read in parallel across executors instead of the reference's serial
+  * loop. The reliability operators ride along as source options:
+  *
+  *  - `pageDelayMs`  — polite per-page rate limit (C2, movie.py:147,180)
+  *  - `maxRetries` / `backoffBaseMs` — exponential-backoff retry around
+  *    each page read (C1, movie.py:98-129)
+  *  - `flakyEveryN`  — deterministic fault injection for tests: every
+  *    Nth page read fails once before succeeding
+  *
+  * Pages are JSON-lines files of raw movie payloads (`page-*.json`) —
+  * the live-HTTP transport is an I/O concern outside query semantics;
+  * swapping the file read for an HTTP GET changes only [[readPageLines]].
+  *
+  * Usage: `spark.read.format("graft.sources.PagedJsonSource")
+  *   .option("dir", …).load()` — schema is the fixed raw discover schema.
+  */
+class PagedJsonSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MovieOps.RawSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PagedTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class PagedTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"paged_json(${options.getOrElse("dir", "?")})"
+  override def schema(): StructType = MovieOps.RawSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = MovieOps.RawSchema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val dir = options.getOrElse("dir",
+          throw new IllegalArgumentException("option 'dir' is required"))
+        val pages = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
+          .sortBy(_.getName)
+        pages.zipWithIndex.map { case (f, i) =>
+          PagePartition(f.getAbsolutePath, i): InputPartition
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val delay = options.getOrElse("pageDelayMs", "0").toLong
+        val retries = options.getOrElse("maxRetries", "3").toInt
+        val backoff = options.getOrElse("backoffBaseMs", "1").toLong
+        val flaky = options.getOrElse("flakyEveryN", "0").toInt
+        PagedReaderFactory(delay, retries, backoff, flaky)
+      }
+    }
+}
+
+final case class PagePartition(path: String, index: Int) extends InputPartition
+
+final case class PagedReaderFactory(
+    pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[PagePartition]
+    new PagedReader(part, pageDelayMs, maxRetries, backoffBaseMs, flakyEveryN)
+  }
+}
+
+object PagedReader {
+  /** Fault-injection bookkeeping for `flakyEveryN` (local/test use). */
+  val failedOnce: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] =
+    new java.util.concurrent.ConcurrentHashMap()
+}
+
+final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
+    backoffBaseMs: Long, flakyEveryN: Int) extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private var rows: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  /** C1: retry with exponential backoff around the page fetch. */
+  private def safeReadPage(): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      try return readPageLines()
+      catch {
+        case e: Exception if attempt < maxRetries =>
+          Thread.sleep(backoffBaseMs * (1L << attempt))
+          attempt += 1
+        case e: Exception =>
+          throw new RuntimeException(s"page ${part.path} failed after $maxRetries retries", e)
+      }
+    }
+    Nil // unreachable
+  }
+
+  /** The transport: a file read here; an HTTP GET in production. */
+  private def readPageLines(): Seq[String] = {
+    if (flakyEveryN > 0 && part.index % flakyEveryN == 0 &&
+        PagedReader.failedOnce.putIfAbsent(part.path, true) == null) {
+      throw new java.io.IOException(s"injected transient failure on ${part.path}")
+    }
+    val src = scala.io.Source.fromFile(part.path, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  }
+
+  private def toRow(node: JsonNode): InternalRow = {
+    def str(f: String): UTF8String =
+      if (node.hasNonNull(f)) UTF8String.fromString(node.get(f).asText) else null
+    def dbl(f: String): Any = if (node.hasNonNull(f)) node.get(f).asDouble else null
+    def lng(f: String): Any = if (node.hasNonNull(f)) node.get(f).asLong else null
+    val genreIds: ArrayData =
+      if (node.hasNonNull("genre_ids"))
+        ArrayData.toArrayData(node.get("genre_ids").elements().asScala.map(_.asInt).toArray)
+      else null
+    InternalRow(
+      lng("id"), str("title"), str("original_title"), str("release_date"),
+      genreIds, dbl("vote_average"), lng("vote_count"), dbl("popularity"),
+      str("original_language"), str("overview"), str("poster_path"))
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) {
+      if (pageDelayMs > 0) Thread.sleep(pageDelayMs) // C2: rate limit
+      rows = safeReadPage().iterator.map(l => toRow(mapper.readTree(l)))
+    }
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.ops.MovieOps
+import graft.sources.PagedReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSourceV2 paged source (S1) with its reliability options:
+  * parallel page partitions, retry-with-backoff (C1), fault injection.
+  */
+class PagedJsonSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+
+  private def writePages(nPages: Int, rowsPerPage: Int): Path = {
+    val dir = Files.createTempDirectory("paged")
+    (1 to nPages).foreach { p =>
+      val lines = (1 to rowsPerPage).map { r =>
+        val id = (p - 1) * rowsPerPage + r
+        s"""{"id": $id, "title": "Movie $id", "original_title": "M$id",
+           |"release_date": "2023-01-0$r", "genre_ids": [28, 35],
+           |"vote_average": 7.5, "vote_count": ${id * 10}, "popularity": $id.5,
+           |"original_language": "en", "overview": "o", "poster_path": "/p$id.jpg"}"""
+          .stripMargin.replaceAll("\n", " ")
+      }
+      Files.write(dir.resolve(f"page-$p%05d.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  test("reads all pages in parallel partitions with the raw schema") {
+    val dir = writePages(nPages = 5, rowsPerPage = 4)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString).load()
+    assert(df.schema == MovieOps.RawSchema)
+    assert(df.count() == 20)
+    assert(df.rdd.getNumPartitions == 5) // one partition per page
+    val first = df.orderBy("id").head()
+    assert(first.getLong(0) == 1L)
+    assert(first.getString(1) == "Movie 1")
+    assert(first.getSeq[Int](4) == Seq(28, 35))
+  }
+
+  test("retry with backoff recovers from injected transient failures") {
+    PagedReader.failedOnce.clear()
+    val dir = writePages(nPages = 4, rowsPerPage = 2)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("flakyEveryN", "2") // pages 0 and 2 fail once each
+      .option("maxRetries", "3")
+      .load()
+    assert(df.count() == 8) // all rows despite the injected failures
+    assert(PagedReader.failedOnce.size() == 2) // both flaky pages did fail
+  }
+
+  test("zero retries surfaces the failure") {
+    PagedReader.failedOnce.clear()
+    val dir = writePages(nPages = 2, rowsPerPage = 1)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("flakyEveryN", "1")
+      .option("maxRetries", "0")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    assert(e.getMessage.contains("failed after 0 retries")
+      || Option(e.getCause).exists(_.getMessage.contains("failed after 0 retries")))
+  }
+
+  test("feeds the normalize pipeline end-to-end") {
+    PagedReader.failedOnce.clear()
+    val dir = writePages(nPages = 3, rowsPerPage = 2)
+    val raw = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString).load()
+    val movies = MovieOps.normalize(raw, "https://cdn/", "w500", Map(28 -> "Action"))
+    val row = movies.orderBy("tmdb_id").head()
+    assert(row.getAs[String]("genres") == "Action|35")
+    assert(row.getAs[String]("poster_url") == "https://cdn/w500/p1.jpg")
+  }
+}
