@@ -15,7 +15,8 @@ object Queries {
       DedupQs.defs ++
       VectorQs.defs ++
       EventQs.defs ++
-      UdfQs.defs
+      UdfQs.defs ++
+      StatQs.defs
 
   lazy val headline: Seq[Q] = all.filter(_.headline)
 

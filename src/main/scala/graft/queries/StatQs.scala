@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregates, pivot, and map functions.
+  *
+  * Moments are derived from order-independent decimal sums (mean, var,
+  * std as closed-form arithmetic over `Det.dsum` outputs — `stddev_samp`
+  * et al. are order-dependent double streams and cannot hash-match an
+  * oracle); the median uses the explicit window form (exact, no
+  * interpolation ambiguity between engines).
+  */
+object StatQs {
+
+  /** Moments + exact median per return flag. */
+  val q26 = Q(
+    "q26_stats",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val n = count(lit(1))
+      val sx = Det.dsum(col("l_quantity"))
+      val sxx = Det.dsum(col("l_quantity") * col("l_quantity"))
+      val mean = sx / n
+      val varPop = sxx / n - (sx / n) * (sx / n)
+      val moments = li.groupBy("l_returnflag").agg(
+        n.as("n"), mean.as("mean_qty"), varPop.as("var_qty"),
+        sqrt(varPop).as("std_qty"))
+      // exact median: the middle row(s) by the window form
+      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      val med = li
+        .select(col("l_returnflag"), col("l_quantity"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_returnflag")).as("cnt"))
+        // floor-div like DuckDB's `//`: Column./ on ints is DOUBLE division
+        .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+          col("rn") === floor((col("cnt") + 2) / 2))
+        .groupBy("l_returnflag")
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("median_qty"))
+      moments.join(med, "l_returnflag").orderBy("l_returnflag")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          ${Det.dsumSql("l_quantity")} / count(*) AS mean_qty,
+          ${Det.dsumSql("l_quantity * l_quantity")} / count(*)
+            - (${Det.dsumSql("l_quantity")} / count(*)) * (${Det.dsumSql("l_quantity")} / count(*)) AS var_qty
+        FROM lineitem GROUP BY l_returnflag),
+      r AS (
+        SELECT l_returnflag, l_quantity,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        FROM lineitem),
+      med AS (
+        SELECT l_returnflag, sum(l_quantity) / count(*) AS median_qty
+        FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY l_returnflag)
+      SELECT m.l_returnflag, m.n, m.mean_qty, m.var_qty, sqrt(m.var_qty) AS std_qty, med.median_qty
+      FROM m JOIN med USING (l_returnflag)
+      ORDER BY l_returnflag"""))
+
+  /** Pivot: order counts + decimal price sums per status x priority. */
+  val q27 = Q(
+    "q27_pivot",
+    (s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val named = Seq("urgent", "high", "medium", "unspec", "low")
+      val pivoted = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      prios.zip(named).foldLeft(pivoted) { case (df, (p, n)) =>
+        df.withColumnRenamed(p, s"n_$n")
+      }.orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus,
+        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_unspec,
+        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Map-typed column functions: parse props to map<string,int>, expose
+    * keys/values/lookup. */
+  val q28 = Q(
+    "q28_map_fns",
+    (s, d) => {
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          array_join(map_keys(m), ",").as("keys"),
+          element_at(m, "k").as("k_val"),
+          size(m).cast("int").as("n_entries"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, 'k' AS keys,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        1 AS n_entries
+      FROM events WHERE event_id < 500 ORDER BY event_id"""))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28)
+}

@@ -47,4 +47,28 @@ object EventStream {
       .groupBy(session_window(col("event_ts"), "10 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
+    * event count that survives micro-batch boundaries (pair with
+    * `maxFilesPerTrigger` to force multiple batches). Emits the updated
+    * count for each user touched in a batch — update output mode.
+    */
+  def statefulUserCounts(spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val updated = state.getOption.getOrElse(0L) + rows.size
+          state.update(updated)
+          Iterator((uid, updated))
+      }
+      .toDF("user_id", "running_count")
+  }
 }

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState running counts accumulate across micro-batches") {
+    // two copies of the events file + maxFilesPerTrigger=1 => 2 batches;
+    // the keyed state must carry counts across the batch boundary
+    val dir = java.nio.file.Files.createTempDirectory("events-stateful")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val q = EventStream.statefulUserCounts(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("stream_stateful")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // last update per user == 2x the single-file batch count
+    val finalCounts = spark.table("stream_stateful")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("running_count").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts.nonEmpty)
+    assert(finalCounts == batch.map { case (u, c) => u -> c * 2 })
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
