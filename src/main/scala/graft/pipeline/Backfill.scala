@@ -29,6 +29,8 @@ object Backfill {
     * @param fetchMonth raw-payload source for one (monthStart, monthEnd)
     *                   range — a JSON-fixture read in tests; a DataSource
     *                   wrapping the paged REST API in production
+    * @param onProgress per-month progress callback (C5): (monthKey,
+    *                   completed, total) after each month commits
     */
   def run(
       spark: SparkSession,
@@ -39,7 +41,8 @@ object Backfill {
       imageBase: String,
       posterSize: String,
       genres: Map[Int, String],
-      fetchMonth: (String, String) => DataFrame): Result = {
+      fetchMonth: (String, String) => DataFrame,
+      onProgress: (String, Int, Int) => Unit = (_, _, _) => ()): Result = {
 
     val cpPath = Paths.get(checkpointFile)
     val ranges = MovieOps.monthRanges(start, end)
@@ -63,6 +66,7 @@ object Backfill {
         MovieOps.saveCheckpoint(cpPath, done)
         processed += key
       }
+      onProgress(key, done.size, ranges.size)
     }
 
     // consolidate (movie.py:288-299): glob scan -> global dedup -> masters

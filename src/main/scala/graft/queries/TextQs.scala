@@ -34,7 +34,8 @@ object TextQs {
           CAST(row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS INT) AS rn
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY lang, token) t
-      WHERE rn <= 10 ORDER BY lang, rn"""))
+      WHERE rn <= 10 ORDER BY lang, rn"""),
+    headline = true)
 
   /** Per-document quality metrics: token count, type-token ratio, mean
     * token length, stopword ratio, plus a boolean keep-gate — the shape of

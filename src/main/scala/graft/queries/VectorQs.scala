@@ -105,7 +105,8 @@ object VectorQs {
         FROM cand c
         JOIN embeddings e ON e.vec_id = c.vec_id
         JOIN q ON q.qid = c.qid) t
-      WHERE rn <= 5 ORDER BY qid, rn"""))
+      WHERE rn <= 5 ORDER BY qid, rn"""),
+    headline = true)
 
   /** Random-hyperplane (SRP) LSH near-dup: 8 tables x 8 sign bits,
     * same-bucket candidates, exact-cosine verify >= 0.45. Deterministic
