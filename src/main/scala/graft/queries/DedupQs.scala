@@ -37,13 +37,16 @@ object DedupQs {
           / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= $thr
       ORDER BY doc_a, doc_b"""
 
-  /** doc_id + distinct 3-gram shingle set. Built fresh per call site so
-    * self-joins have independent lineage (avoids Spark's ambiguous
-    * self-join detection; at real scale you'd cache/checkpoint this).
+  /** doc_id + distinct 3-gram shingle set, persisted: the near-dup
+    * queries consume it 3-4 times (banding + both sides of the exact
+    * verify), and Spark's CacheManager dedups identical plans, so every
+    * call site shares one materialization. MEMORY_AND_DISK — spillable
+    * at scale (O(docs x shingles)).
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextOps.shingles(col("text")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact verification of candidate pairs: join shingle sets back, keep
     * pairs with true Jaccard >= thr. Candidates are tiny post-LSH, so both
@@ -127,9 +130,16 @@ object DedupQs {
     Some(jaccardOracleSql(0.8)))
 
   /** Exact n-gram Jaccard pairs (J >= 0.5) via inverted-index join:
-    * explode shingles, shuffle on the SHINGLE (the scalable exact path —
+    * explode shingles, shuffle on the SHINGLE (the standard exact path —
     * common-shingle counting, no cross join), then closed-form Jaccard
     * from the two set sizes.
+    *
+    * Scale note: cost is sum over shingles of df(sh)^2. On natural text
+    * the shingle space is sparse and this is near-linear; THIS corpus
+    * has a 31-word vocabulary, so every shingle is hyper-frequent and
+    * the pair blow-up is quadratic — which is exactly why q36/q37 (LSH
+    * candidates + exact verify) are the headline dedup path, and any
+    * production run would cap shingle document-frequency first.
     */
   val q38 = Q(
     "q38_ngram_jaccard",
