@@ -36,17 +36,27 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(sqNormD(a)) * sqrt(sqNormD(b)))
 
+  /** Cosine from a precomputed-squared-norm pair: factoring the norms
+    * out means each side's norm is computed once per ROW instead of once
+    * per PAIR — same doubles (identical subexpressions, just hoisted),
+    * so oracle parity is untouched.
+    */
+  private def cosineWithNorms(dot: Column, sqA: Column, sqB: Column): Column =
+    dot / (sqrt(sqA) * sqrt(sqB))
+
   /** Brute-force exact top-k: broadcast the query set, scan the corpus
-    * once, rank per query. `TakeOrdered`-style window keeps only k.
+    * once (norms precomputed per row), rank per query.
     *
     * @param corpus  (id: long, vec: array<float>)
     * @param queries (qid: long, qvec: array<float>) — must be small
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus
-      .join(broadcast(queries), col("id") =!= col("qid"))
-      .withColumn("cos", cosine(col("qvec"), col("vec")))
+    val scored = corpus.withColumn("__nc", sqNormD(col("vec")))
+      .join(broadcast(queries.withColumn("__nq", sqNormD(col("qvec")))),
+        col("id") =!= col("qid"))
+      .withColumn("cos",
+        cosineWithNorms(dotD(col("qvec"), col("vec")), col("__nq"), col("__nc")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored
       .withColumn("rn", row_number().over(w))
@@ -56,16 +66,18 @@ object VectorOps {
 
   /** Assign every corpus vector to its nearest centroid (IVF cell).
     * Centroids must be small (broadcast). Deterministic: ties break on the
-    * lowest centroid id.
+    * lowest centroid id. Output carries the corpus vector's squared norm
+    * (`sq_norm`) so downstream ranking never recomputes it.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid"))
-    corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("cvec"), col("vec")))
+    corpus.withColumn("sq_norm", sqNormD(col("vec")))
+      .crossJoin(broadcast(centroids.withColumn("__ncv", sqNormD(col("cvec")))))
+      .withColumn("ccos",
+        cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ncv"), col("sq_norm")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
+      .select(col("id"), col("vec"), col("sq_norm"), col("cid").as("cell"))
   }
 }

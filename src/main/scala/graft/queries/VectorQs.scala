@@ -65,16 +65,21 @@ object VectorQs {
       val assigned = VectorOps.ivfAssign(corpus(s, d), cents)
       val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
       val probes = queries(s, d)
+        .withColumn("q_norm", VectorOps.sqNormD(col("qvec")))
         .crossJoin(broadcast(cents))
         .withColumn("pcos", VectorOps.cosine(col("qvec"), col("cvec")))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= 3)
-        .select("qid", "qvec", "cid")
+        .select("qid", "qvec", "q_norm", "cid")
       val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
       probes
         .join(assigned, probes("cid") === assigned("cell"))
         .filter(col("id") =!= col("qid"))
-        .withColumn("cos", VectorOps.cosine(col("qvec"), col("vec")))
+        // norms precomputed per row (q_norm / sq_norm) — same doubles as
+        // the inline cosine, hoisted out of the per-pair expression
+        .withColumn("cos",
+          VectorOps.dotD(col("qvec"), col("vec")) /
+            (sqrt(col("q_norm")) * sqrt(col("sq_norm"))))
         .withColumn("rn", row_number().over(wRank).cast("int"))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
