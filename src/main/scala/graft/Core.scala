@@ -67,6 +67,11 @@ object Tables {
   * The per-row double->decimal rounding is itself deterministic because the
   * source expressions carry <= `scale` true decimal digits, so the nearest
   * grid point is unambiguous. Final cast back to DOUBLE is exact-to-nearest.
+  *
+  * Precondition: inputs must be FINITE. NaN/Infinity casts to DECIMAL
+  * diverge between engines (Spark ANSI errors, DuckDB errors differently,
+  * legacy Spark silently NULLs); wrap sources in `nanvl`/filters first if
+  * a column can produce non-finite values. The driver corpus is finite.
   */
 object Det {
   /** Order-independent sum of a double expression, exact to `scale` digits. */
