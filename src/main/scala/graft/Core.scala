@@ -45,8 +45,11 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
   /** `ts` arrives as epoch-nanos BIGINT (see [[configure]]); expose a
     * µs-truncated proper timestamp as `event_ts` alongside it. DuckDB
-    * mirror: `epoch_ns(ts)` for the long, `CAST(ts AS TIMESTAMP)` loses
-    * parity on rounding, so oracles use the BIGINT form or explicit µs. */
+    * mirror: its parquet reader itself TRUNCATES TIMESTAMP(NANOS) to µs
+    * TIMESTAMP at scan (verified: `CAST(ts AS TIMESTAMP)` equals
+    * `make_timestamp(epoch_ns(ts) // 1000)` on the corpus and the read
+    * type is already µs) — identical to the `ts div 1000` truncation
+    * here, so oracles may use `ts` / `CAST(ts AS TIMESTAMP)` directly. */
   def events(s: SparkSession, d: String): DataFrame =
     read(s, d, "events").withColumn(
       "event_ts",
@@ -55,6 +58,31 @@ object Tables {
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
+
+/** Memoized cached relations, keyed by (session, data dir, tag).
+  *
+  * Calling `.persist()` on a freshly built (but plan-identical) DataFrame
+  * on every query invocation works — CacheManager dedups by plan — but
+  * logs "Asked to cache already cached data" churn and leaves no single
+  * owner able to re-persist after an external cache clear. Memoizing the
+  * DataFrame object itself gives each cached relation exactly one identity:
+  * the accessor re-persists on demand if something (e.g. Bench's per-query
+  * `clearCache` isolation) dropped it. MEMORY_AND_DISK — spillable, never
+  * recompute-on-eviction storms at scale.
+  *
+  * The map is tiny (a handful of relations x sessions per JVM) and lives
+  * for the process — fine for library use where sessions are long-lived.
+  */
+object Memo {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  def cached(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    val df = m.computeIfAbsent((s, d, tag), _ => build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 }
 
 /** Determinism helpers for oracle-exact numeric aggregation.

@@ -11,7 +11,8 @@ object Scratch {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args(1).split(",").toSeq else Seq("q01_pricing_summary")
     val mode = args.lift(2).getOrElse("both")
-    val spark = Tables.configure(SparkSession.builder(), "16").getOrCreate()
+    val spark = Tables.configure(SparkSession.builder(),
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -24,7 +25,7 @@ object Scratch {
         println(fn(spark, d).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
-      if (mode != "plan") (1 to 3).foreach { i =>
+      if (mode != "plan") (1 to args.lift(3).map(_.toInt).getOrElse(3)).foreach { i =>
         t(s"$n run$i")(fn(spark, d).write.format("noop").mode("overwrite").save())
       }
     }

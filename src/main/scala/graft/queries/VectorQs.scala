@@ -72,8 +72,11 @@ object VectorQs {
         .filter(col("prn") <= 3)
         .select("qid", "qvec", "q_norm", "cid")
       val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-      probes
-        .join(assigned, probes("cid") === assigned("cell"))
+      // probes is 3 rows per query — broadcast it against the corpus-sized
+      // cell assignment (without the hint this planned as a sort-merge
+      // join, shuffling both sides)
+      assigned
+        .join(broadcast(probes), col("cid") === col("cell"))
         .filter(col("id") =!= col("qid"))
         // norms precomputed per row (q_norm / sq_norm) — same doubles as
         // the inline cosine, hoisted out of the per-pair expression
@@ -142,7 +145,12 @@ object VectorQs {
                   .as("bits")))).as("b"))
           .select(col("vec_id").as(s"vec_$side"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
-      val cands = buckets("a").join(buckets("b"), Seq("table_idx", "bits"))
+      // same oversized-bucket guard as the text LSH paths (inert at test
+      // scales, bounds per-task pair generation at 100 TB); buckets() is
+      // cheap enough to rebuild that caching isn't warranted here
+      def capped(side: String): DataFrame =
+        graft.ops.DedupOps.capBuckets(buckets(side), Seq("table_idx", "bits"), 1000)
+      val cands = capped("a").join(capped("b"), Seq("table_idx", "bits"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
       val ea = Tables.embeddings(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
