@@ -84,7 +84,9 @@ object MovieOps {
       c("popularity", DoubleType).as("popularity"),
       c("original_language", StringType).as("original_language"),
       c("overview", StringType).as("overview"),
-      when(c("poster_path", StringType).isNotNull,
+      // the reference gates on Python falsiness (movie.py:190-191), so an
+      // EMPTY path yields None too — not just a missing one
+      when(c("poster_path", StringType).isNotNull && c("poster_path", StringType) =!= "",
         concat(lit(imageBase), lit(posterSize), c("poster_path", StringType)))
         .as("poster_url"))
   }

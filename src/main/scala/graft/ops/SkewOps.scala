@@ -18,10 +18,24 @@ object SkewOps {
     * then usually broadcast anyway); the point is the SHUFFLE of the
     * large side, which now spreads each hot key over saltFactor
     * partitions.
+    *
+    * Join types preserving the small side's unmatched rows (right/full
+    * outer) are rejected: the small side is replicated saltFactor times,
+    * so each of its unmatched rows would be emitted saltFactor times
+    * instead of once. Large-side-preserving types are exact: unmatched
+    * LARGE rows exist once (only small is replicated), and each large row
+    * meets exactly one replica per small key (the one sharing its salt).
     */
+  private val SafeJoinTypes =
+    Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+
   def saltedJoin(large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String, saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows " +
+        s"(small is replicated x$saltFactor); use the plain join for right/full outer")
     // deterministic salt from the whole row identity is unnecessary —
     // any spread works and never affects the join result; a cheap hash
     // of a monotonic id keeps it stable within a task

@@ -47,22 +47,32 @@ object Backfill {
     val cpPath = Paths.get(checkpointFile)
     val ranges = MovieOps.monthRanges(start, end)
     var done = MovieOps.loadCheckpoint(cpPath)
+    // membership checks against the checkpoint are per-month; a Seq scan
+    // would be O(months²) — keep a Set view alongside the ordered list
+    var doneSet = done.toSet
     val processed = Seq.newBuilder[String]
+
+    // dedup survivor must be DETERMINISTIC even when duplicate payloads
+    // differ (DedupOps contract) — ordering by the key alone is constant
+    // within its window, so order by the full payload instead
+    val payloadOrder = MovieOps.MovieSchema.fieldNames
+      .filterNot(_ == "tmdb_id").toSeq.map(col)
 
     for ((ms, me) <- ranges) {
       val key = s"${ms}_$me"
-      if (!done.contains(key)) {
+      if (!doneSet.contains(key)) {
         val raw = fetchMonth(ms, me)
         val part =
           if (raw.isEmpty) MovieOps.emptyMovies(spark)
           else DedupOps.exactDedup(
             MovieOps.normalize(raw, imageBase, posterSize, genres),
-            Seq("tmdb_id"), Seq(col("tmdb_id")))
+            Seq("tmdb_id"), payloadOrder)
         // idempotent per-month overwrite (movie.py:277-278)
         part.write.mode(SaveMode.Overwrite).parquet(s"$outDir/part_month=$ms")
         // mark AFTER the data write (movie.py:281-282): crash in between
         // re-extracts the month; global dedup restores exactly-once
         done = done :+ key
+        doneSet = doneSet + key
         MovieOps.saveCheckpoint(cpPath, done)
         processed += key
       }
@@ -77,8 +87,11 @@ object Backfill {
         .schema(MovieOps.MovieSchema.add("part_month", "string"))
         .option("basePath", outDir)
         .parquet(s"$outDir/part_month=*")
+      // earliest month wins; per-month dedup already guarantees one row
+      // per tmdb_id within a month, and the payload tail keeps the
+      // survivor deterministic even if that invariant is ever violated
       val master = DedupOps.exactDedup(
-          all, Seq("tmdb_id"), Seq(col("part_month"), col("tmdb_id")))
+          all, Seq("tmdb_id"), col("part_month") +: payloadOrder)
         .drop("part_month")
       val (csvName, parquetName) = MovieOps.masterPaths(start, end)
       master.write.mode(SaveMode.Overwrite)

@@ -59,7 +59,16 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
           .getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
           .sortBy(_.getName)
-        pages.zipWithIndex.map { case (f, i) =>
+        // the reference's 500-page window cap LOGS its data loss
+        // (movie.py:161-171) — a silently truncated window is
+        // indistinguishable from a complete one downstream
+        val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
+        val kept =
+          if (pages.length > maxPages) {
+            PagedTable.logOverflow(dir, pages.length, maxPages)
+            pages.take(maxPages)
+          } else pages
+        kept.zipWithIndex.map { case (f, i) =>
           PagePartition(f.getAbsolutePath, i): InputPartition
         }
       }
@@ -71,6 +80,21 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
         PagedReaderFactory(delay, retries, backoff, flaky)
       }
     }
+}
+
+object PagedTable {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[PagedTable])
+
+  /** Overflow events, keyed by dir — test-visible mirror of the log line
+    * (same spirit as [[PagedReader.failedOnce]]). */
+  val overflows: java.util.concurrent.ConcurrentHashMap[String, Int] =
+    new java.util.concurrent.ConcurrentHashMap()
+
+  private[sources] def logOverflow(dir: String, found: Int, cap: Int): Unit = {
+    overflows.put(dir, found - cap)
+    log.warn(s"window '$dir' hit the $cap-page cap: ${found - cap} of $found " +
+      s"pages DROPPED — results beyond the cap are lost (reference movie.py:161-171)")
+  }
 }
 
 final case class PagePartition(path: String, index: Int) extends InputPartition
@@ -97,12 +121,21 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
 
-  /** C1: retry with exponential backoff around the page fetch. */
+  /** C1: retry with exponential backoff around the page fetch — but only
+    * for RETRYABLE failures. The reference distinguishes the two classes
+    * (movie.py:124-127): 429/5xx/network errors retry with backoff, any
+    * other 4xx client error fails fast. The file-transport analog of a
+    * 404 is a missing page file: retrying can never succeed, so it
+    * surfaces immediately instead of burning the full backoff schedule.
+    */
   private def safeReadPage(): Seq[String] = {
     var attempt = 0
     while (true) {
       try return readPageLines()
       catch {
+        case e: java.io.FileNotFoundException =>
+          throw new RuntimeException(
+            s"page ${part.path} is gone (fatal, not retried — the 404 analog)", e)
         case e: Exception if attempt < maxRetries =>
           Thread.sleep(backoffBaseMs * (1L << attempt))
           attempt += 1

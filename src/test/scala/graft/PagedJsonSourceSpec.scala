@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path}
 
 import graft.ops.MovieOps
-import graft.sources.PagedReader
+import graft.sources.{PagedReader, PagedTable}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The DataSourceV2 paged source (S1) with its reliability options:
@@ -65,6 +65,40 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     val e = intercept[org.apache.spark.SparkException] { df.count() }
     assert(e.getMessage.contains("failed after 0 retries")
       || Option(e.getCause).exists(_.getMessage.contains("failed after 0 retries")))
+  }
+
+  test("page cap truncates the window and records the overflow") {
+    PagedTable.overflows.clear()
+    val dir = writePages(nPages = 5, rowsPerPage = 2)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("maxPages", "3")
+      .load()
+    assert(df.count() == 6) // 3 pages x 2 rows; pages 4-5 dropped
+    assert(PagedTable.overflows.get(dir.toString) == 2) // loss is recorded/logged
+
+    PagedTable.overflows.clear()
+    val all = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("maxPages", "5")
+      .load()
+    assert(all.count() == 10)
+    assert(PagedTable.overflows.isEmpty) // at-cap is not overflow
+  }
+
+  test("missing page file fails fast without burning retries") {
+    // a page that vanishes between planning and read is the 404 analog;
+    // drive the partition reader directly (a full query would re-plan and
+    // simply not list the file). backoffBaseMs is set so that even ONE
+    // retry sleep would trip the elapsed-time assertion.
+    val reader = new graft.sources.PagedReader(
+      graft.sources.PagePartition("/tmp/graft-definitely-missing-page.json", 0),
+      pageDelayMs = 0, maxRetries = 3, backoffBaseMs = 60000, flakyEveryN = 0)
+    val t0 = System.nanoTime()
+    val e = intercept[RuntimeException] { reader.next() }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("fatal, not retried"))
+    assert(elapsedMs < 30000, s"fail-fast took ${elapsedMs}ms — it retried")
   }
 
   test("feeds the normalize pipeline end-to-end") {
