@@ -14,9 +14,14 @@ import org.apache.spark.sql.SparkSession
   * the 2x gate compares like with like):
   *   - per query: caches cleared + heap settled, then one untimed warm-up
   *     (codegen compile + JIT + per-query cache build are session bring-up,
-  *     not plan throughput), then THREE timed runs; the MEDIAN is reported.
+  *     not plan throughput), then FIVE timed runs; the MEDIAN is reported.
   *     Single timed runs at local[32] showed up to 6x run-to-run variance
-  *     (GC pause landing inside a 1-second query); the median is stable.
+  *     (a GC pause or host CPU-throttle burst landing inside a 1-second
+  *     query multiplies it); a 5-run median stays correct even when two
+  *     runs spike.
+  *   - System.gc() immediately before each timed run drains collection
+  *     debt outside the timed window, so the measurement sees the plan,
+  *     not the allocator's history.
   *   - clearing the cache between queries keeps one query's storage
   *     footprint from distorting the next (memoized relations re-persist
   *     on demand during the warm-up, so each query is measured hot).
@@ -37,15 +42,15 @@ object Bench {
     selected.foreach { q =>
       try {
         spark.sharedState.cacheManager.clearCache()
-        System.gc()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val runs = (1 to 3).map { _ =>
+        val runs = (1 to 5).map { _ =>
+          System.gc()
           val t0 = System.nanoTime()
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         System.err.println(f"[bench] ${q.name} runs: ${runs.map(r => f"$r%.2f").mkString(", ")}")
-        timings(q.name) = runs.sorted.apply(1)
+        timings(q.name) = runs.sorted.apply(2)
       } catch {
         case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

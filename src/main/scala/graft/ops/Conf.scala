@@ -69,8 +69,9 @@ object Conf {
     while (rest.nonEmpty) rest match {
       case flag :: value :: tail if flag.startsWith("--") && !value.startsWith("--") =>
         out += (flag.drop(2) -> value); rest = tail
-      case bad :: _ =>
-        throw new IllegalArgumentException(s"malformed CLI args at '$bad' — expected --key value pairs")
+      case bad =>
+        throw new IllegalArgumentException(
+          s"malformed CLI args at '${bad.head}' — expected --key value pairs")
     }
     out.result()
   }

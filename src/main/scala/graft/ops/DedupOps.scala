@@ -46,7 +46,8 @@ object DedupOps {
     * form is interpreted and re-evaluates the shingle pipeline per
     * permutation: ~50x slower, measured). One shuffle, on doc_id.
     *
-    * @param docShingles (id: long, shingles: array<string>) — distinct
+    * @param docShingles (id: long, shingles: array of distinct string-or-long
+    *                    shingle values; `xxhash64` re-mixes either form)
     * @return (id, band_idx, band_hash) — `bands` rows per doc
     */
   def minhashBands(docShingles: DataFrame, idCol: String, numPerm: Int, bands: Int,

@@ -47,6 +47,46 @@ object TextOps {
       }
     })
 
+  /** Distinct token n-gram shingles as 64-bit fingerprints (FNV-1a over
+    * the shingle's UTF-8 bytes) — the standard MinHash-pipeline form: all
+    * downstream set ops (banding, intersection, df counts) only need
+    * distinctness, and an 8-byte long is several times smaller in caches,
+    * shuffles, and join payloads than the text it fingerprints. At 27 k
+    * distinct shingles (sf0.1) the 64-bit collision probability is
+    * ~2e-11; a collision could only merge two shingles, never split one.
+    * Same UDF-over-HOF rationale as [[shingles]].
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = shingleHashUdf(text, lit(n))
+
+  private val shingleHashUdf = udf((text: String, n: Int) =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) Array.empty[Long]
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i + n <= toks.length) {
+          var h = 0xcbf29ce484222325L // FNV-1a 64 offset basis
+          var j = 0
+          while (j < n) {
+            if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+            val bytes = toks(i + j).getBytes("UTF-8")
+            var b = 0
+            while (b < bytes.length) { h ^= bytes(b) & 0xffL; h *= 0x100000001b3L; b += 1 }
+            j += 1
+          }
+          seen.add(h)
+          i += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    })
+
   /** Number of non-overlapping occurrences of literal `pat` in `text`,
     * expressed with length/replace so any SQL engine reproduces it exactly.
     */

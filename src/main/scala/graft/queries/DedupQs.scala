@@ -47,10 +47,18 @@ object DedupQs {
     * the cache, the accessor re-persists on next use. MEMORY_AND_DISK —
     * spillable at scale (O(docs x shingles)).
     */
+  /** Shingles are carried as 64-bit fingerprints ([[TextOps.shingleHashes]]),
+    * not strings: banding, df counts, and the exact-verify intersection
+    * only need distinctness, and the long form is several times smaller
+    * in the cache and every join payload — the dominant memory cost of
+    * this whole family. The DuckDB oracles intersect the actual string
+    * shingle sets; the counts agree because the fingerprint is injective
+    * on the corpus (64-bit, ~27 k distinct shingles at sf0.1).
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "doc_shingles") {
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.shingles(col("text")).as("shingles"))
+        .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
     }
 
   /** Largest allowed LSH bucket (see [[DedupOps.capBuckets]]) — inert at
