@@ -47,6 +47,37 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle fingerprints are injective on the corpus (counts match string shingles)") {
+    // the dedup family's Jaccard arithmetic is exact iff the 64-bit
+    // fingerprint never merges two distinct string shingles
+    val docs = Tables.documents(spark, sf)
+    val mismatch = docs.select(
+        size(graft.ops.TextOps.shingles(col("text"))).as("ns"),
+        size(graft.ops.TextOps.shingleHashes(col("text"))).as("nh"))
+      .filter(col("ns") =!= col("nh")).count()
+    assert(mismatch == 0)
+    // and globally: distinct fingerprints == distinct string shingles
+    val nStr = docs.select(explode(graft.ops.TextOps.shingles(col("text")))).distinct().count()
+    val nHash = docs.select(explode(graft.ops.TextOps.shingleHashes(col("text")))).distinct().count()
+    assert(nStr == nHash)
+  }
+
+  test("capBuckets: inert below the cap, drops only oversized buckets") {
+    import spark.implicits._
+    val bands = Seq(
+      (1L, 0, 100), (2L, 0, 100), (3L, 0, 100), // bucket of 3
+      (4L, 0, 200), (5L, 0, 200),               // bucket of 2
+      (6L, 1, 100)                              // bucket of 1
+    ).toDF("doc_id", "band_idx", "band_hash")
+    val keys = Seq("band_idx", "band_hash")
+    // cap >= max bucket: identity
+    assert(graft.ops.DedupOps.capBuckets(bands, keys, 3).count() == 6)
+    // cap 2: the 3-bucket is dropped whole, everything else survives
+    val capped = graft.ops.DedupOps.capBuckets(bands, keys, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(4L, 5L, 6L))
+  }
+
   test("IVF top-5 overlaps brute-force top-5 (recall@5 measured)") {
     val brute = VectorQs.q41.fn(spark, sf).filter(col("rn") <= 5)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

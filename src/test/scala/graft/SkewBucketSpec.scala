@@ -26,6 +26,18 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join rejects small-side-preserving join types") {
+    val li = Tables.lineitem(spark, sf)
+    val dim = Tables.orders(spark, sf).select(col("o_orderkey"))
+    // right/full outer would emit each unmatched small-side row saltFactor times
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(li, dim, "l_orderkey", "o_orderkey", 8, joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(li, dim, "l_orderkey", "o_orderkey", 8, joinType = "full")
+    }
+  }
+
   test("heavy hitters finds the hot keys") {
     val hh = SkewOps.heavyHitters(
       Tables.lineitem(spark, sf), col("l_returnflag"), topN = 3).collect()
