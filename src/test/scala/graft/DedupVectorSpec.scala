@@ -47,6 +47,22 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q19 approx_count_distinct is within HLL error bounds of the exact count") {
+    // q19 is declared rows-only at the oracle gate (DuckDB's HLL differs);
+    // its accuracy story lives here: rsd=0.02 ⇒ assert within 3σ = 6%
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Relational.q19.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.06,
+        s"flag $k: approx $a vs exact $n exceeds 6% (3x rsd)")
+    }
+  }
+
   test("shingle fingerprints are injective on the corpus (counts match string shingles)") {
     // the dedup family's Jaccard arithmetic is exact iff the 64-bit
     // fingerprint never merges two distinct string shingles
