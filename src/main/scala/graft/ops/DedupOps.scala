@@ -118,6 +118,54 @@ object DedupOps {
   def jaccardFromSizes(nInter: Column, nA: Column, nB: Column): Column =
     nInter.cast("double") / (nA + nB - nInter).cast("double")
 
+  /** Connected components over an undirected edge list — the clustering
+    * step after near-dup pair detection: pairs → components → one
+    * canonical survivor per component.
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labeled with its own id; each round every node takes the minimum of
+    * its own label and its neighbors' labels; converged when no label
+    * changes. Rounds = graph diameter — near-dup clusters are dense
+    * (every member shares most shingles, so LSH emits most pairs), so
+    * diameter is small and convergence takes 2-3 rounds; an adversarial
+    * long-chain graph would want the star-contraction variant instead,
+    * which trades simplicity for O(log n) rounds. Each round is one
+    * keyed shuffle (neighbor-min aggregate) + one join — no collect; the
+    * driver only sees the converged/changed COUNT per round.
+    *
+    * @param edges (a: long, b: long) undirected pairs
+    * @return (id: long, comp: long) — every endpoint labeled with the
+    *         smallest id reachable from it
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next_comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("next_comp") < col("comp")).count()
+      val old = labels
+      labels = next.select(col("id"), col("next_comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // force the new labels before releasing what they were built from
+      labels.count()
+      old.unpersist()
+      next.unpersist()
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.
     *
     * 100-TB guard: a degenerate bucket with B members yields B²/2 candidate

@@ -109,31 +109,35 @@ object DedupQs {
         FROM documents) t
       WHERE rn = 1 ORDER BY lang, n_chars"""))
 
-  /** MinHash-LSH near-dup detection: shingle → 64-perm minhash signature →
-    * 16x4 banding → bucket self-join → exact-Jaccard verify >= 0.8.
+  /** q36/q39's shared near-dup pair detection: shingle → 64-perm minhash
+    * signature → 16x4 banding → capped bucket self-join → exact-Jaccard
+    * verify >= 0.8. Returns (doc_a, doc_b, jaccard).
     */
+  private def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // cache the band relation: the bucket-cap semi-join and both sides
+    // of the self-join consume it, and one side feeds a
+    // BroadcastExchange, so ReusedExchange cannot fire — without the
+    // cache the whole minhash subplan runs 3x (measured ~2x for the
+    // uncapped 2-consumer form). At scale this relation is
+    // O(docs x bands), spillable.
+    val bands = graft.Memo.cached(s, d, "minhash_bands") {
+      DedupOps.minhashBands(
+        shingled(s, d).filter(size(col("shingles")) > 0),
+        "doc_id", numPerm = 64, bands = 16)
+    }
+    val capped = DedupOps.capBuckets(bands, Seq("band_idx", "band_hash"), MaxBucket)
+    def side(n: String): DataFrame =
+      capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
+    val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verified(s, d, cands, 0.8)
+  }
+
+  /** MinHash-LSH near-dup detection (the headline dedup path). */
   val q36 = Q(
     "q36_minhash_lsh",
-    (s, d) => {
-      // cache the band relation: the bucket-cap semi-join and both sides
-      // of the self-join consume it, and one side feeds a
-      // BroadcastExchange, so ReusedExchange cannot fire — without the
-      // cache the whole minhash subplan runs 3x (measured ~2x for the
-      // uncapped 2-consumer form). At scale this relation is
-      // O(docs x bands), spillable.
-      val bands = graft.Memo.cached(s, d, "minhash_bands") {
-        DedupOps.minhashBands(
-          shingled(s, d).filter(size(col("shingles")) > 0),
-          "doc_id", numPerm = 64, bands = 16)
-      }
-      val capped = DedupOps.capBuckets(bands, Seq("band_idx", "band_hash"), MaxBucket)
-      def side(n: String): DataFrame =
-        capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
-      val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      verified(s, d, cands, 0.8)
-    },
+    (s, d) => minhashNearDupPairs(s, d),
     Some(jaccardOracleSql(0.8)),
     headline = true)
 
@@ -205,5 +209,44 @@ object DedupQs {
     },
     Some(jaccardOracleSql(0.5)))
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38)
+  /** Near-dup CLUSTERING — the pipeline stage after pair detection:
+    * pairs → connected components ([[DedupOps.connectedComponents]],
+    * iterative min-label propagation, one keyed shuffle per round) → one
+    * canonical survivor per cluster (the smallest doc_id). Output is one
+    * row per clustered doc: (doc_id, comp, keep). The DuckDB oracle
+    * computes the same components with a recursive reachability CTE —
+    * feasible only at oracle scale; the Spark side never materializes
+    * reachability closures.
+    */
+  val q39 = Q(
+    "q39_dup_clusters",
+    (s, d) => {
+      val pairs = minhashNearDupPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      DedupOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp"),
+          (col("id") === col("comp")).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(id, reach) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach)
+      SELECT id AS doc_id, min(reach) AS comp, (id = min(reach)) AS keep
+      FROM walk GROUP BY id ORDER BY doc_id"""))
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39)
 }
