@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * Training-data pipelines need splits and samples that are STABLE: the
+  * same row lands in the same split on every run, on every engine, at
+  * any scale, regardless of partitioning — which rules out `rand()` and
+  * Spark's `sample`/`sampleBy` (seeded per-partition, so repartitioning
+  * reshuffles membership). The portable form is hash-mod bucketing on a
+  * business key: `md5` is bit-identical everywhere, so a DuckDB oracle
+  * (or any other engine) reproduces membership exactly. Per-row
+  * projection, codegen'd, no shuffle of its own.
+  */
+object SampleOps {
+
+  /** Stable bucket in [0, buckets) from the md5 of the key's string form.
+    * Mirror SQL: `CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),1,4))
+    * AS INTEGER) % buckets` (16 hex bits, so `buckets` must divide the
+    * space finely enough — fine for percent-style splits).
+    */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+  }
+
+  /** Named split assignment from cumulative percent bounds, e.g.
+    * `Seq("train" -> 80, "val" -> 90, "test" -> 100)`: bucket < 80 →
+    * train, < 90 → val, else test. Bounds must be increasing and end at
+    * exactly 100 so every row gets a split.
+    */
+  def splitAssign(key: Column, bounds: Seq[(String, Int)]): Column = {
+    require(bounds.nonEmpty && bounds.last._2 == 100 &&
+      bounds.map(_._2) == bounds.map(_._2).sorted && bounds.map(_._2).distinct == bounds.map(_._2),
+      "bounds must be increasing cumulative percents ending at 100")
+    val b = hashBucket(key, 100)
+    bounds.init.foldRight(lit(bounds.last._1): Column) { case ((name, hi), rest) =>
+      when(b < hi, name).otherwise(rest)
+    }
+  }
+
+  /** Keep a stable `percent`% of rows by key hash — deterministic
+    * downsampling (same subset every run/engine). */
+  def sampleByHash(df: DataFrame, key: Column, percent: Int): DataFrame =
+    df.filter(hashBucket(key, 100) < percent)
+}

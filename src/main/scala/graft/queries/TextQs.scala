@@ -155,7 +155,35 @@ object TextQs {
         CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_bpe_est
       FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  /** Deterministic train/val/test split ([[graft.ops.SampleOps]]): md5
+    * hash-mod bucketing on the doc key — stable across runs, engines,
+    * and repartitioning (which `rand()`/`sample()` are not), so the
+    * DuckDB oracle reproduces membership bit-for-bit. 80/10/10 with
+    * per-split counts, char volume, and language diversity.
+    */
+  val q44 = Q(
+    "q44_hash_split",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy(graft.ops.SampleOps.splitAssign(col("doc_id"),
+            Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some("""
+      SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM (SELECT n_chars, lang,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+            FROM documents) t
+      GROUP BY 1 ORDER BY split"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -47,6 +47,27 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("hash splits are exhaustive, disjoint, stable, and roughly proportional") {
+    import graft.ops.SampleOps
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val split = SampleOps.splitAssign(col("doc_id"), Seq("train" -> 80, "val" -> 90, "test" -> 100))
+    val byName = docs.groupBy(split.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == n) // exhaustive + disjoint (one split per row)
+    assert(byName("train") > byName.getOrElse("val", 0L)) // ~80 vs ~10
+    // stability: the same assignment twice is identical row-for-row
+    val a = docs.select(col("doc_id"), split.as("s"))
+    assert(a.except(docs.select(col("doc_id"), split.as("s"))).count() == 0)
+    // sampleByHash(p) is a subset of sampleByHash(q) for p < q (nested buckets)
+    val s10 = SampleOps.sampleByHash(docs, col("doc_id"), 10).select("doc_id")
+    val s50 = SampleOps.sampleByHash(docs, col("doc_id"), 50).select("doc_id")
+    assert(s10.except(s50).count() == 0)
+    intercept[IllegalArgumentException] {
+      SampleOps.splitAssign(col("doc_id"), Seq("a" -> 50, "b" -> 40)) // not increasing
+    }
+  }
+
   test("q19 approx_count_distinct is within HLL error bounds of the exact count") {
     // q19 is declared rows-only at the oracle gate (DuckDB's HLL differs);
     // its accuracy story lives here: rsd=0.02 ⇒ assert within 3σ = 6%
