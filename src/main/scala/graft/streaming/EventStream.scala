@@ -48,6 +48,29 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"), col("n_events"))
 
+  /** Streaming exact dedup on the event key, bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the first sighting — the unbounded-state-safe form
+    * of streaming dedup (plain `dropDuplicates` on a stream grows state
+    * forever). Batch twin: `DedupOps.exactDedup` on `event_id`.
+    */
+  def dedupedEvents(spark: SparkSession, sourceDir: String): DataFrame =
+    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+      .withWatermark("event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * STATIC dimension (re-read per batch, broadcast when small) — the
+    * streaming analog of the genre-dimension lookup (S3). No state, no
+    * watermark needed: the static side is not a stream.
+    */
+  def enrichedCounts(spark: SparkSession, sourceDir: String, dim: DataFrame): DataFrame =
+    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+      .join(broadcast(dim), "event_type")
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * event count that survives micro-batch boundaries (pair with
     * `maxFilesPerTrigger` to force multiple batches). Emits the updated

@@ -73,6 +73,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == batch.map { case (u, c) => u -> c * 2 })
   }
 
+  test("streaming dedup within watermark == batch exact dedup") {
+    // duplicate the whole file: every event_id arrives twice inside the
+    // watermark; the deduped stream must equal the single-copy batch
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val q = EventStream.dedupedEvents(spark, dir.toString)
+      .writeStream
+      .format("memory")
+      .queryName("stream_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_dedup")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("stream-static broadcast join enriches each micro-batch") {
+    import spark.implicits._
+    val dim = Seq(("click", "ui"), ("view", "ui"), ("purchase", "commerce"))
+      .toDF("event_type", "category")
+    val q = EventStream.enrichedCounts(spark, streamDir, dim)
+      .writeStream
+      .format("memory")
+      .queryName("stream_enriched")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_enriched")
+      .orderBy("category").collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, sf)
+      .join(dim, "event_type")
+      .groupBy(col("category")).agg(count(lit(1)).as("n_events"))
+      .orderBy("category").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
