@@ -183,7 +183,45 @@ object TextQs {
             FROM documents) t
       GROUP BY 1 ORDER BY split"""))
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44)
+  /** Vocabulary building + document encoding — the tokenize step of a
+    * training pipeline: token ids assigned deterministically by
+    * (frequency desc, token asc), every document re-emitted as its
+    * (position, token, id) sequence. Scale shape: the corpus is only
+    * touched by narrow ops + one broadcast join (the vocab, being
+    * POST-aggregation, is vocab-sized — small); the single-partition
+    * ranking window runs on that small relation, never the corpus.
+    * Output is exploded to scalar rows so the oracle compare is
+    * cell-exact (1-based positions, matching DuckDB's lambda index).
+    */
+  val q45 = Q(
+    "q45_vocab_encode",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val flat = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
+      val vocab = flat.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(col("tok"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long").as("tid"))
+      flat.join(broadcast(vocab), "tok")
+        .select("doc_id", "pos", "tok", "tid")
+        .orderBy("doc_id", "pos")
+    },
+    Some("""
+      WITH flat AS (
+        SELECT doc_id, u.tok AS tok, u.pos AS pos FROM (
+          SELECT doc_id,
+            unnest(list_transform(string_split(text, ' '), (t, i) -> {'tok': t, 'pos': i})) AS u
+          FROM documents) t),
+      vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS tid
+        FROM flat GROUP BY tok)
+      SELECT f.doc_id, CAST(f.pos AS INT) AS pos, f.tok, v.tid
+      FROM flat f JOIN vocab v USING (tok)
+      ORDER BY doc_id, pos"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
