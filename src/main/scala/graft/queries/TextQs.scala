@@ -221,7 +221,55 @@ object TextQs {
       FROM flat f JOIN vocab v USING (tok)
       ORDER BY doc_id, pos"""))
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45)
+  /** Sequence packing — the pre-training step that lays tokenized docs
+    * end-to-end into fixed-length (2048) training sequences: every doc
+    * gets its global token offset and the sequence id it starts in.
+    *
+    * The global offset is a prefix sum over doc order. The naive form is
+    * a window over ONE partition of the whole corpus — a driver-sized
+    * bottleneck at 100 TB — so this computes it as the classic two-level
+    * distributed prefix sum: (1) range-bucket docs by id, (2) aggregate
+    * per-bucket token totals (corpus-sized shuffle, tiny output),
+    * (3) cumsum the bucket totals on the bucket-sized relation,
+    * (4) broadcast the bucket offsets back and add the intra-bucket
+    * cumsum (window partitioned BY BUCKET — parallel). Identical output
+    * to the naive cumsum, which is what the DuckDB oracle runs.
+    */
+  val q46 = Q(
+    "q46_sequence_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val SeqLen = 2048L
+      val Bucket = 100L
+      val docTok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          (col("doc_id") / Bucket).cast("long").as("bucket"))
+      val bucketOffsets = docTok.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+        .withColumn("boff",
+          coalesce(sum("btot").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "boff")
+      val intra = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docTok.join(broadcast(bucketOffsets), "bucket")
+        .withColumn("global_offset", col("boff") + coalesce(sum("n_tokens").over(intra), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+          // integer `div`, not `/`: Spark's / on longs is double division
+          expr(s"global_offset div $SeqLen").as("seq_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_offset,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id
+      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents) t
+      ORDER BY doc_id"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
