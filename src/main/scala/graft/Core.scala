@@ -78,7 +78,21 @@ object Memo {
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   def cached(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
-    val df = m.computeIfAbsent((s, d, tag), _ => build)
+    // check-then-putIfAbsent, NOT computeIfAbsent: cached relations build
+    // on top of each other (bands calls the shingle memo inside its own
+    // build), and a nested computeIfAbsent on one ConcurrentHashMap
+    // throws "Recursive update" whenever the two keys land in the same
+    // bin — an intermittent, hash-placement-dependent failure. Building
+    // outside the map update makes nesting safe; a racing duplicate
+    // build is benign (putIfAbsent keeps one, plans are identical, and
+    // persist only ever runs on the winner).
+    val k = (s, d, tag)
+    var df = m.get(k)
+    if (df == null) {
+      df = build
+      val prev = m.putIfAbsent(k, df)
+      if (prev != null) df = prev
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
