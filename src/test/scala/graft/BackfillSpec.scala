@@ -2,9 +2,10 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.MovieOps
-import graft.pipeline.Backfill
+import graft.ops.{Conf, MovieOps}
+import graft.pipeline.{Backfill, BackfillCli}
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Resume semantics of the checkpointed backfill (movie.py:247-299):
@@ -33,6 +34,47 @@ class BackfillSpec extends AnyFunSuite {
       "https://cdn/", "w500", Map(28 -> "Action"), fetch)
     assert(r2.processedMonths.isEmpty)
     assert(fetches == 2) // no re-fetch of completed months
+  }
+
+  test("BackfillCli: layered config drives source -> backfill -> masters end-to-end") {
+    // the reference's __main__: config cascade + paged source + backfill
+    val pagesDir = Files.createTempDirectory("cli-pages")
+    def writeMonth(ms: String, me: String, ids: Seq[Int]): Unit = {
+      val d = pagesDir.resolve(s"${ms}_$me")
+      Files.createDirectories(d)
+      val lines = ids.map(i =>
+        s"""{"id": $i, "title": "Movie $i", "release_date": "$ms", "genre_ids": [28],
+           |"vote_average": 7.0, "vote_count": 10, "popularity": $i.0,
+           |"original_language": "en", "overview": "o", "poster_path": "/p$i.jpg"}"""
+          .stripMargin.replaceAll("\n", " "))
+      Files.write(d.resolve("page-00001.json"), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    writeMonth("2023-01-01", "2023-01-31", Seq(1, 2, 3))
+    writeMonth("2023-02-01", "2023-02-28", Seq(3, 4)) // id 3 repeats across months
+    val outDir = Files.createTempDirectory("cli-out").toString
+    val conf = Conf.Layered(
+      cli = Conf.parseArgs(Seq(
+        "--pages-dir", pagesDir.toString, "--out-dir", outDir,
+        "--from", "2023-01-01", "--to", "2023-02-28")),
+      env = Map("GENRES" -> "28:Action"), // env layer supplies the dim
+      dotEnv = Map("DATE_FROM" -> "1999-01-01")) // must lose to the CLI flag
+    val r1 = BackfillCli.run(spark, conf)
+    assert(r1.processedMonths.size == 2)
+    assert(r1.masterRows == 4) // ids 1-4, cross-month dup of 3 deduped
+    val (csvName, _) = MovieOps.masterPaths("2023-01-01", "2023-02-28")
+    assert(new java.io.File(s"$outDir/$csvName").exists())
+    val master = spark.read.parquet(s"$outDir/tmdb_movies_2023.parquet")
+    val row = master.filter(col("tmdb_id") === 1).head()
+    assert(row.getAs[String]("genres") == "Action")
+    assert(row.getAs[String]("poster_url") == "https://image.tmdb.org/t/p/w500/p1.jpg")
+    // rerun: checkpoint makes it a no-op
+    val r2 = BackfillCli.run(spark, conf)
+    assert(r2.processedMonths.isEmpty)
+    // missing required key fails fast with the instruction
+    val e = intercept[RuntimeException] {
+      BackfillCli.run(spark, Conf.Layered(Map.empty, Map.empty, Map.empty))
+    }
+    assert(e.getMessage.contains("PAGES_DIR"))
   }
 
   test("crash mid-run, rerun converges with each month processed once") {
