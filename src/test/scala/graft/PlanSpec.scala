@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the 100-TB posture facts documented in
+  * SURVEY.md §2.0.1 asserted against the actual physical plans, so a
+  * refactor that silently loses a pushdown, a partial aggregate, or a
+  * broadcast fails CI instead of only showing up as a bench regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.byName(name).fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q16: filters are pushed into the parquet scan") {
+    val p = plan("q16_filter_scan")
+    val pushed = "PushedFilters: \\[([^\\]]+)\\]".r.findFirstMatchIn(p)
+    assert(pushed.exists(_.group(1).trim.nonEmpty), "no non-empty PushedFilters in plan")
+  }
+
+  test("q42: cell assignment partially aggregates BEFORE any exchange") {
+    val p = plan("q42_ann_ivf")
+    // the Kx-expanded cross join must collapse map-side: a partial max_by
+    // exists, and it sits below the exchange in the operator listing
+    assert(p.contains("partial_max_by"), "no partial max_by — expansion would shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroids not broadcast")
+  }
+
+  test("q41: query side broadcast, top-k pruned by WindowGroupLimit") {
+    val p = plan("q41_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set not broadcast")
+    assert(p.contains("WindowGroupLimit"), "no group-limit pruning before the rank window")
+  }
+
+  test("q17: dedup window prunes with a partial WindowGroupLimit") {
+    val p = plan("q17_dedup_window")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q15: top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q15_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q46: every window is bucket-partitioned or bucket-sized — no corpus-wide single partition") {
+    val p = plan("q46_sequence_pack")
+    // the intra-bucket cumsum must be partitioned by bucket; the only
+    // unpartitioned window is the bucket-offset cumsum over the tiny
+    // bucket relation (its child is the post-aggregation of btot)
+    assert(p.contains("windowspecdefinition(bucket"),
+      "intra-bucket cumsum lost its bucket partitioning")
+  }
+
+  test("q44/q45: corpus side joins broadcast the small derived relation") {
+    assert(plan("q45_vocab_encode").contains("BroadcastHashJoin"), "vocab join not broadcast")
+  }
+
+  test("q36: band relation is served from cache, not recomputed per consumer") {
+    // force the memoized relations to exist, then check the plan reads them
+    Queries.byName("q36_minhash_lsh").fn(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val p = plan("q36_minhash_lsh")
+    assert(p.contains("InMemoryTableScan"), "band/shingle relations not cached")
+  }
+}
