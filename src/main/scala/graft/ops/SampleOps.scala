@@ -45,4 +45,19 @@ object SampleOps {
     * downsampling (same subset every run/engine). */
   def sampleByHash(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
+
+  /** Rebalancing cap: keep at most `cap` rows per stratum, chosen in
+    * md5-of-key order — a deterministic pseudo-random pick (downsampling
+    * a dominant language never selects "the first N in file order").
+    * One keyed shuffle (window per stratum); at production scale a
+    * pathologically hot stratum is one window partition, so pair with a
+    * coarse [[sampleByHash]] pre-filter when a stratum exceeds memory.
+    */
+  def stratifiedCap(df: DataFrame, strata: Column, key: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

@@ -269,7 +269,28 @@ object TextQs {
             FROM documents) t
       ORDER BY doc_id"""))
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46)
+  /** Language rebalancing ([[graft.ops.SampleOps.stratifiedCap]]): cap
+    * every language at 50 docs, picked in md5-of-key order so the
+    * downsample is deterministic but not "first N in file order". The
+    * oracle reproduces the exact membership from the same md5 ranking.
+    */
+  val q47 = Q(
+    "q47_balanced_sample",
+    (s, d) => {
+      graft.ops.SampleOps.stratifiedCap(
+          Tables.documents(s, d).select("doc_id", "lang"),
+          col("lang"), col("doc_id"), cap = 50)
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 50 ORDER BY lang, doc_id"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
