@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sums (the scan primitive behind sequence packing,
+  * global row numbering, offset assignment).
+  *
+  * The naive form — `sum(x) OVER (ORDER BY k)` — is a window over ONE
+  * partition of the whole relation: a single-task bottleneck at scale. The
+  * classic fix is the two-level scan: range-bucket rows, aggregate
+  * per-bucket totals, cumsum the (small) totals relation, broadcast the
+  * bucket offsets back and add an intra-bucket cumsum whose window is
+  * partitioned by bucket (parallel).
+  *
+  * The subtlety this object exists for: the bucket relation must be
+  * bounded by a fixed bucket COUNT, not built from a fixed bucket WIDTH.
+  * With constant width the totals relation (and the single-partition
+  * cumsum over it, and the broadcast) grows linearly with the corpus —
+  * exactly the bottleneck the two-level scan was meant to remove. Here the
+  * width is derived from the observed key range so the totals relation
+  * never exceeds `targetBuckets` rows regardless of corpus size; the cost
+  * is one cheap min/max aggregate over the key column (column-pruned
+  * scan).
+  */
+object PrefixOps {
+
+  /** Default bucket count: a small multiple of the shuffle parallelism, so
+    * the intra-bucket windows saturate the cluster while the totals
+    * relation stays a few-hundred-row driver triviality.
+    */
+  def defaultTargetBuckets(df: DataFrame): Int =
+    4 * df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** ceil((hi-lo+1)/buckets), floored at 1: a fixed bucket COUNT with
+    * adaptive width, so `ceil(range/width) <= buckets` always holds —
+    * the invariant `PrefixSumSpec` property-tests.
+    */
+  private[graft] def bucketWidth(lo: Long, hi: Long, buckets: Int): Long =
+    math.max(1L, (hi - lo + buckets.toLong) / buckets.toLong)
+
+  /** Append `out` = exclusive prefix sum of `valueCol` in ascending
+    * `orderCol` order (the sum of all strictly-preceding rows; 0 for the
+    * first). `orderCol` must be a unique long key (ties would make the
+    * prefix sum order-ambiguous).
+    *
+    * Output is identical to
+    * `sum(valueCol) OVER (ORDER BY orderCol ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)` but no relation, window partition, or broadcast in the
+    * plan grows with the input: the bucket-totals relation is at most
+    * `targetBuckets` rows by construction.
+    */
+  def withExclusivePrefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      out: String,
+      targetBuckets: Int = 0): DataFrame = {
+    val buckets =
+      if (targetBuckets > 0) targetBuckets else defaultTargetBuckets(df)
+    // One cheap job to size the buckets: min/max of the key only, so
+    // column pruning drops every other expression before the scan.
+    val bounds = df.agg(
+      min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) {
+      // empty input: the prefix sum of nothing is nothing
+      return df.withColumn(out, lit(0L))
+    }
+    val lo = bounds.getLong(0)
+    val hi = bounds.getLong(1)
+    val width = bucketWidth(lo, hi, buckets)
+
+    val bucketed = df.withColumn(
+      "__bucket", expr(s"($orderCol - ${lo}L) div ${width}L"))
+    // totals: <= targetBuckets rows; its cumsum window is single-partition
+    // by necessity but bounded by construction, as is the broadcast below
+    val offsets = bucketed.groupBy("__bucket")
+      .agg(sum(col(valueCol)).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum("__btot").over(
+          Window.orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__boff")
+    val intra = Window.partitionBy("__bucket").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn(out,
+        col("__boff") + coalesce(sum(col(valueCol)).over(intra), lit(0L)))
+      .drop("__bucket", "__boff")
+  }
+}

@@ -100,9 +100,9 @@ object StatQs {
         .orderBy("event_id")
     },
     Some("""
-      SELECT event_id, 'k' AS keys,
+      SELECT event_id, array_to_string(json_keys(props), ',') AS keys,
         CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-        1 AS n_entries
+        CAST(len(json_keys(props)) AS INT) AS n_entries
       FROM events WHERE event_id < 500 ORDER BY event_id"""))
 
   val defs: Seq[Q] = Seq(q26, q27, q28)

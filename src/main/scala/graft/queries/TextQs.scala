@@ -227,33 +227,23 @@ object TextQs {
     *
     * The global offset is a prefix sum over doc order. The naive form is
     * a window over ONE partition of the whole corpus — a driver-sized
-    * bottleneck at 100 TB — so this computes it as the classic two-level
-    * distributed prefix sum: (1) range-bucket docs by id, (2) aggregate
-    * per-bucket token totals (corpus-sized shuffle, tiny output),
-    * (3) cumsum the bucket totals on the bucket-sized relation,
-    * (4) broadcast the bucket offsets back and add the intra-bucket
-    * cumsum (window partitioned BY BUCKET — parallel). Identical output
-    * to the naive cumsum, which is what the DuckDB oracle runs.
+    * bottleneck at 100 TB — so this uses the two-level distributed prefix
+    * sum in [[graft.ops.PrefixOps]], whose bucket COUNT is fixed (a small
+    * multiple of the shuffle parallelism) and whose width adapts to the
+    * observed id range: no relation, window partition, or broadcast in the
+    * plan grows with the corpus (`PrefixSumSpec` pins the bound).
+    * Identical output to the naive cumsum, which is what the DuckDB
+    * oracle runs.
     */
   val q46 = Q(
     "q46_sequence_pack",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val SeqLen = 2048L
-      val Bucket = 100L
       val docTok = Tables.documents(s, d)
         .select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-          (col("doc_id") / Bucket).cast("long").as("bucket"))
-      val bucketOffsets = docTok.groupBy("bucket").agg(sum("n_tokens").as("btot"))
-        .withColumn("boff",
-          coalesce(sum("btot").over(
-            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bucket", "boff")
-      val intra = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docTok.join(broadcast(bucketOffsets), "bucket")
-        .withColumn("global_offset", col("boff") + coalesce(sum("n_tokens").over(intra), lit(0L)))
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.PrefixOps
+        .withExclusivePrefixSum(docTok, "doc_id", "n_tokens", "global_offset")
         .select(col("doc_id"), col("n_tokens"), col("global_offset"),
           // integer `div`, not `/`: Spark's / on longs is double division
           expr(s"global_offset div $SeqLen").as("seq_id"))

@@ -49,8 +49,8 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q46_sequence_pack")
     // the intra-bucket cumsum must be partitioned by bucket; the only
     // unpartitioned window is the bucket-offset cumsum over the tiny
-    // bucket relation (its child is the post-aggregation of btot)
-    assert(p.contains("windowspecdefinition(bucket"),
+    // bucket relation (its child is the post-aggregation of __btot)
+    assert(p.contains("windowspecdefinition(__bucket"),
       "intra-bucket cumsum lost its bucket partitioning")
   }
 

