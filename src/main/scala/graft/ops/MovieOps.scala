@@ -1,9 +1,9 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDate
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -111,32 +111,36 @@ object MovieOps {
       .toSeq
   }
 
-  /** Atomic checkpoint write (movie.py:208-212): tmp file + rename. */
-  def saveCheckpoint(path: Path, doneMonths: Seq[String]): Unit = {
+  /** Atomic checkpoint write (movie.py:208-212): tmp file + rename,
+    * through the Hadoop `FileSystem` API so the checkpoint lives on any
+    * scheme (`file:`, `hdfs:`, `s3a:`) the deployment writes data to.
+    */
+  def saveCheckpoint(path: String, doneMonths: Seq[String],
+      conf: Configuration = Fs.defaultConf): Unit = {
     val json = doneMonths
       .map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("{\"done_months\": [", ", ", "]}")
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    Fs.writeAtomic(path, json.getBytes(StandardCharsets.UTF_8), conf)
   }
 
   /** Checkpoint read (movie.py:214-222): missing or corrupt → empty. */
-  def loadCheckpoint(path: Path): Seq[String] = {
-    if (!Files.exists(path)) return Seq.empty
+  def loadCheckpoint(path: String,
+      conf: Configuration = Fs.defaultConf): Seq[String] = {
     try {
-      val text = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-      // minimal parser for {"done_months": ["...", ...]} — quoted strings
-      // inside the array; reject anything that doesn't look like the doc
-      val arr = """(?s)\{\s*"done_months"\s*:\s*\[(.*?)]\s*}""".r
-      arr.findFirstMatchIn(text) match {
-        case Some(m) =>
-          """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
-            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-            .toSeq
-        case None if text.trim.isEmpty => Seq.empty
-        case None => Seq.empty // corrupt → start fresh (movie.py:218-221)
+      Fs.readBytes(path, conf) match {
+        case None => Seq.empty
+        case Some(bytes) =>
+          val text = new String(bytes, StandardCharsets.UTF_8)
+          // minimal parser for {"done_months": ["...", ...]} — quoted
+          // strings inside the array; reject anything else
+          val arr = """(?s)\{\s*"done_months"\s*:\s*\[(.*?)]\s*}""".r
+          arr.findFirstMatchIn(text) match {
+            case Some(m) =>
+              """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+                .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+                .toSeq
+            case None => Seq.empty // corrupt → start fresh (movie.py:218-221)
+          }
       }
     } catch { case _: java.io.IOException => Seq.empty }
   }

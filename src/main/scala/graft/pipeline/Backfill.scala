@@ -1,8 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.Paths
-
-import graft.ops.{DedupOps, MovieOps}
+import graft.ops.{DedupOps, Fs, MovieOps}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,9 +42,12 @@ object Backfill {
       fetchMonth: (String, String) => DataFrame,
       onProgress: (String, Int, Int) => Unit = (_, _, _) => ()): Result = {
 
-    val cpPath = Paths.get(checkpointFile)
+    // all driver-side I/O rides the Hadoop FileSystem API with the
+    // session's conf, so outDir/checkpointFile may be any scheme Spark
+    // itself can write (file:, hdfs:, s3a:, ...)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val ranges = MovieOps.monthRanges(start, end)
-    var done = MovieOps.loadCheckpoint(cpPath)
+    var done = MovieOps.loadCheckpoint(checkpointFile, hadoopConf)
     // membership checks against the checkpoint are per-month; a Seq scan
     // would be O(months²) — keep a Set view alongside the ordered list
     var doneSet = done.toSet
@@ -73,15 +74,15 @@ object Backfill {
         // re-extracts the month; global dedup restores exactly-once
         done = done :+ key
         doneSet = doneSet + key
-        MovieOps.saveCheckpoint(cpPath, done)
+        MovieOps.saveCheckpoint(checkpointFile, done, hadoopConf)
         processed += key
       }
       onProgress(key, done.size, ranges.size)
     }
 
     // consolidate (movie.py:288-299): glob scan -> global dedup -> masters
-    val hasParts = Option(new java.io.File(outDir).listFiles())
-      .exists(_.exists(_.getName.startsWith("part_month=")))
+    val hasParts = Fs.list(outDir, hadoopConf)
+      .exists(_.getPath.getName.startsWith("part_month="))
     val masterRows = if (hasParts) {
       val all = spark.read
         .schema(MovieOps.MovieSchema.add("part_month", "string"))

@@ -55,10 +55,13 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
       override def planInputPartitions(): Array[InputPartition] = {
         val dir = options.getOrElse("dir",
           throw new IllegalArgumentException("option 'dir' is required"))
-        val pages = Option(new java.io.File(dir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".json"))
-          .sortBy(_.getName)
+        // Hadoop FileSystem listing (driver-side), so the page window can
+        // live on any scheme — file:, hdfs:, s3a: — like Spark's own scans
+        val pages = graft.ops.Fs.list(dir, graft.ops.Fs.defaultConf)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("page-") &&
+            s.getPath.getName.endsWith(".json"))
+          .sortBy(_.getPath.getName)
+          .toArray
         // the reference's 500-page window cap LOGS its data loss
         // (movie.py:161-171) — a silently truncated window is
         // indistinguishable from a complete one downstream
@@ -69,7 +72,7 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
             pages.take(maxPages)
           } else pages
         kept.zipWithIndex.map { case (f, i) =>
-          PagePartition(f.getAbsolutePath, i): InputPartition
+          PagePartition(f.getPath.toString, i): InputPartition
         }
       }
       override def createReaderFactory(): PartitionReaderFactory = {
@@ -146,14 +149,22 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
     Nil // unreachable
   }
 
-  /** The transport: a file read here; an HTTP GET in production. */
+  /** The transport: a Hadoop-FileSystem read here (any scheme); an HTTP
+    * GET in production. `open` on a vanished page throws
+    * FileNotFoundException — the 404 analog [[safeReadPage]] fails fast on.
+    */
   private def readPageLines(): Seq[String] = {
     if (flakyEveryN > 0 && part.index % flakyEveryN == 0 &&
         PagedReader.failedOnce.putIfAbsent(part.path, true) == null) {
       throw new java.io.IOException(s"injected transient failure on ${part.path}")
     }
-    val src = scala.io.Source.fromFile(part.path, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    val p = new org.apache.hadoop.fs.Path(part.path)
+    val in = p.getFileSystem(graft.ops.Fs.defaultConf).open(p)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toList
+    finally reader.close()
   }
 
   private def toRow(node: JsonNode): InternalRow = {

@@ -114,11 +114,11 @@ class MovieOpsSpec extends AnyFunSuite {
       Seq(("2023-06-01", "2023-06-10")))
   }
 
-  // ---- TestCheckpoint (5) ----
+  // ---- TestCheckpoint (5, + file:// URI routing) ----
 
-  private def tmpCp(): Path = {
+  private def tmpCp(): String = {
     val dir = Files.createTempDirectory("graft-cp")
-    dir.resolve("cp.json")
+    dir.resolve("cp.json").toString
   }
 
   test("load returns empty when file missing") {
@@ -127,7 +127,7 @@ class MovieOpsSpec extends AnyFunSuite {
 
   test("load returns empty when file corrupted") {
     val cp = tmpCp()
-    Files.write(cp, "not valid json {{ }".getBytes("UTF-8"))
+    Files.write(Path.of(cp), "not valid json {{ }".getBytes("UTF-8"))
     assert(MovieOps.loadCheckpoint(cp) == Seq.empty)
   }
 
@@ -138,10 +138,17 @@ class MovieOpsSpec extends AnyFunSuite {
     assert(MovieOps.loadCheckpoint(cp) == months)
   }
 
+  test("save and load roundtrip through an explicit file:// URI") {
+    val cp = "file://" + tmpCp()
+    val months = Seq("2023-01-01_2023-01-31")
+    MovieOps.saveCheckpoint(cp, months)
+    assert(MovieOps.loadCheckpoint(cp) == months)
+  }
+
   test("save leaves no tmp file") {
     val cp = tmpCp()
     MovieOps.saveCheckpoint(cp, Seq.empty)
-    assert(!Files.exists(cp.resolveSibling(cp.getFileName.toString + ".tmp")))
+    assert(!Files.exists(Path.of(cp + ".tmp")))
   }
 
   test("save overwrites previous") {

@@ -45,7 +45,7 @@ class PropertySpec extends AnyFunSuite {
   test("checkpoint save/load roundtrips arbitrary month keys (100 samples)") {
     (1 to 100).foreach { _ =>
       val keys = Seq.fill(rnd.nextInt(10))(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
-      val cp = java.nio.file.Files.createTempDirectory("pcp").resolve("cp.json")
+      val cp = java.nio.file.Files.createTempDirectory("pcp").resolve("cp.json").toString
       MovieOps.saveCheckpoint(cp, keys)
       assert(MovieOps.loadCheckpoint(cp) == keys)
     }
