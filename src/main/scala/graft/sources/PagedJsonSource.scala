@@ -80,7 +80,8 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
         val retries = options.getOrElse("maxRetries", "3").toInt
         val backoff = options.getOrElse("backoffBaseMs", "1").toLong
         val flaky = options.getOrElse("flakyEveryN", "0").toInt
-        PagedReaderFactory(delay, retries, backoff, flaky)
+        val maxHint = options.getOrElse("maxRetryAfterMs", "60000").toLong
+        PagedReaderFactory(delay, retries, backoff, flaky, maxHint)
       }
     }
 }
@@ -102,12 +103,20 @@ object PagedTable {
 
 final case class PagePartition(path: String, index: Int) extends InputPartition
 
+/** The transport's 429 analog (movie.py:113-121): the page is
+  * rate-limited and the server may have said how long to wait.
+  */
+final class RateLimitedException(msg: String, val retryAfterMs: Option[Long])
+  extends java.io.IOException(msg)
+
 final case class PagedReaderFactory(
-    pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int)
+    pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int,
+    maxRetryAfterMs: Long = 60000L)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PagePartition]
-    new PagedReader(part, pageDelayMs, maxRetries, backoffBaseMs, flakyEveryN)
+    new PagedReader(part, pageDelayMs, maxRetries, backoffBaseMs, flakyEveryN,
+      maxRetryAfterMs)
   }
 }
 
@@ -115,10 +124,18 @@ object PagedReader {
   /** Fault-injection bookkeeping for `flakyEveryN` (local/test use). */
   val failedOnce: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] =
     new java.util.concurrent.ConcurrentHashMap()
+
+  /** Waits actually taken for rate-limited pages (page path → ms), the
+    * test-visible mirror of the reference's "Rate limited. Waiting %.1fs"
+    * log line — specs assert hint use and capping without timing sleeps.
+    */
+  val rateLimitWaits: java.util.concurrent.ConcurrentHashMap[String, Long] =
+    new java.util.concurrent.ConcurrentHashMap()
 }
 
 final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
-    backoffBaseMs: Long, flakyEveryN: Int) extends PartitionReader[InternalRow] {
+    backoffBaseMs: Long, flakyEveryN: Int, maxRetryAfterMs: Long = 60000L)
+  extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private var rows: Iterator[InternalRow] = _
@@ -130,6 +147,13 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
     * other 4xx client error fails fast. The file-transport analog of a
     * 404 is a missing page file: retrying can never succeed, so it
     * surfaces immediately instead of burning the full backoff schedule.
+    *
+    * A rate-limited page may carry the server's wait hint
+    * (`Retry-After`, movie.py:113-121): the hint replaces the
+    * exponential wait for that attempt — capped at `maxRetryAfterMs`
+    * so a hostile/buggy hint can't park the task for an hour — and an
+    * unparseable/absent hint falls back to the backoff schedule,
+    * exactly like the reference's int() try/except.
     */
   private def safeReadPage(): Seq[String] = {
     var attempt = 0
@@ -139,6 +163,14 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
         case e: java.io.FileNotFoundException =>
           throw new RuntimeException(
             s"page ${part.path} is gone (fatal, not retried — the 404 analog)", e)
+        case e: RateLimitedException if attempt < maxRetries =>
+          val wait = e.retryAfterMs match {
+            case Some(hint) => math.min(hint, maxRetryAfterMs)
+            case None => backoffBaseMs * (1L << attempt)
+          }
+          PagedReader.rateLimitWaits.put(part.path, wait)
+          Thread.sleep(wait)
+          attempt += 1
         case e: Exception if attempt < maxRetries =>
           Thread.sleep(backoffBaseMs * (1L << attempt))
           attempt += 1
@@ -157,6 +189,19 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
     if (flakyEveryN > 0 && part.index % flakyEveryN == 0 &&
         PagedReader.failedOnce.putIfAbsent(part.path, true) == null) {
       throw new java.io.IOException(s"injected transient failure on ${part.path}")
+    }
+    // 429 analog: a `<page>.retry-after` sidecar marks the page
+    // rate-limited ONCE, its content the server's wait hint in ms. The
+    // read consumes the marker (so the retry succeeds, like a 429 that
+    // clears) and surfaces the hint to the backoff loop.
+    val limiter = new org.apache.hadoop.fs.Path(part.path + ".retry-after")
+    val lfs = limiter.getFileSystem(graft.ops.Fs.defaultConf)
+    if (lfs.exists(limiter)) {
+      val hint = graft.ops.Fs.readBytes(part.path + ".retry-after", graft.ops.Fs.defaultConf)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8).trim)
+        .flatMap(_.toLongOption)
+      lfs.delete(limiter, false)
+      throw new RateLimitedException(s"page ${part.path} rate-limited", hint)
     }
     val p = new org.apache.hadoop.fs.Path(part.path)
     val in = p.getFileSystem(graft.ops.Fs.defaultConf).open(p)

@@ -101,6 +101,58 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     assert(elapsedMs < 30000, s"fail-fast took ${elapsedMs}ms — it retried")
   }
 
+  // ---- Retry-After analog (C1 extension, movie.py:113-121) ----
+
+  /** Wait recorded for `page`, keyed by suffix (partition paths are
+    * FileSystem-qualified, e.g. `file:/...`). */
+  private def recordedWait(page: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    PagedReader.rateLimitWaits.asScala.collectFirst {
+      case (k, v) if k.endsWith(page) => v
+    }
+  }
+
+  test("rate-limit hint is honored instead of the exponential schedule") {
+    PagedReader.rateLimitWaits.clear()
+    val dir = writePages(nPages = 2, rowsPerPage = 1)
+    Files.write(dir.resolve("page-00001.json.retry-after"), "25".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("backoffBaseMs", "1")
+      .option("maxRetries", "2")
+      .load()
+    assert(df.count() == 2) // marker consumed, retry succeeded
+    assert(recordedWait("page-00001.json").contains(25L),
+      s"waited ${recordedWait("page-00001.json")} — hint not used")
+    assert(!Files.exists(dir.resolve("page-00001.json.retry-after"))) // consumed
+  }
+
+  test("rate-limit hint is capped at maxRetryAfterMs") {
+    PagedReader.rateLimitWaits.clear()
+    val dir = writePages(nPages = 1, rowsPerPage = 1)
+    Files.write(dir.resolve("page-00001.json.retry-after"), "999999".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("maxRetryAfterMs", "40")
+      .load()
+    assert(df.count() == 1)
+    assert(recordedWait("page-00001.json").contains(40L),
+      s"waited ${recordedWait("page-00001.json")} — hostile hint not capped")
+  }
+
+  test("unparseable rate-limit hint falls back to exponential backoff") {
+    PagedReader.rateLimitWaits.clear()
+    val dir = writePages(nPages = 1, rowsPerPage = 1)
+    Files.write(dir.resolve("page-00001.json.retry-after"), "soon".getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("backoffBaseMs", "7")
+      .load()
+    assert(df.count() == 1)
+    // attempt 0 of the schedule: backoffBase * 2^0 (movie.py's int() except-path)
+    assert(recordedWait("page-00001.json").contains(7L))
+  }
+
   test("feeds the normalize pipeline end-to-end") {
     PagedReader.failedOnce.clear()
     val dir = writePages(nPages = 3, rowsPerPage = 2)
