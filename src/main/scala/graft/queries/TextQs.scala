@@ -196,14 +196,12 @@ object TextQs {
   val q45 = Q(
     "q45_vocab_encode",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val flat = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).cast("int").as("pos"), col("tok"))
-      val vocab = flat.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .select(col("tok"),
-          row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long").as("tid"))
+      // minCount = 1: the exact unfiltered ranking the oracle reproduces
+      val vocab = TextOps.buildVocab(flat, "tok", minCount = 1L)
       flat.join(broadcast(vocab), "tok")
         .select("doc_id", "pos", "tok", "tid")
         .orderBy("doc_id", "pos")

@@ -99,6 +99,51 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(nStr == nHash)
   }
 
+  test("connected components: 10k-node chain converges in <= ceil(log2 n) rounds") {
+    // the adversarial diameter case pointer jumping exists for: a single
+    // path 1-2-...-n. Plain min-propagation needs n-1 rounds; with path
+    // doubling the covered label-distance grows geometrically.
+    val n = 10000L
+    val edges = spark.range(1, n).toDF("a")
+      .select(col("a"), (col("a") + 1).as("b"))
+    val (labels, rounds) = graft.ops.DedupOps.connectedComponentsWithRounds(edges)
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt // 14
+    assert(rounds <= bound, s"took $rounds rounds > log2 bound $bound")
+    // and it is still CORRECT: one component, rooted at the min id
+    assert(labels.filter(col("comp") =!= 1L).count() === 0)
+    assert(labels.count() === n)
+  }
+
+  test("connected components: disjoint clusters keep distinct min labels") {
+    // two triangles + an isolated edge — labels must not leak across
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L))).toDF("a", "b")
+    val got = graft.ops.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("vocab floor: minCount filters then re-ranks densely; minCount=1 is the identity") {
+    import spark.implicits._
+    // counts: the=4, a=3, b=3, hapax1=1, hapax2=1
+    val flat = Seq("the", "the", "the", "the", "a", "a", "a", "b", "b", "b",
+      "hapax1", "hapax2").toDF("tok")
+    val full = graft.ops.TextOps.buildVocab(flat, "tok", minCount = 1L)
+      .orderBy("tid").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // ties break token-asc; ids dense from 1
+    assert(full == Seq("the" -> 1L, "a" -> 2L, "b" -> 3L,
+      "hapax1" -> 4L, "hapax2" -> 5L))
+    val floored = graft.ops.TextOps.buildVocab(flat, "tok", minCount = 2L)
+      .orderBy("tid").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(floored == Seq("the" -> 1L, "a" -> 2L, "b" -> 3L)) // hapaxes gone, ranks dense
+    // survivors keep their relative order from the unfiltered ranking
+    val keptOrder = full.filter { case (t, _) => floored.exists(_._1 == t) }.map(_._1)
+    assert(keptOrder == floored.map(_._1))
+  }
+
   test("capBuckets: inert below the cap, drops only oversized buckets") {
     import spark.implicits._
     val bands = Seq(
