@@ -28,6 +28,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // C5 residue: LOG_LEVEL / LOG_FILE (env or .env) reconfigure logging;
+    // untouched by default so recorded bench output stays clean
+    ops.Logging.setupFromConf(ops.Conf.load(Seq.empty,
+      ops.Conf.defaultCandidates(java.nio.file.Paths.get("."), java.nio.file.Paths.get("."))))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()

@@ -9,6 +9,10 @@ object Verify {
     val outDir = args(1)
     // optional 3rd arg (local dev only): comma-separated query-name filter
     val only = args.lift(2).map(_.split(",").toSet)
+    // C5 residue: LOG_LEVEL / LOG_FILE (env or .env) reconfigure logging;
+    // untouched by default so driver logs stay log4j2.properties-quiet
+    ops.Logging.setupFromConf(ops.Conf.load(Seq.empty,
+      ops.Conf.defaultCandidates(Paths.get("."), Paths.get("."))))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

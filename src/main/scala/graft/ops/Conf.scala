@@ -52,12 +52,20 @@ object Conf {
     candidates.distinct.find(Files.isRegularFile(_))
 
   /** The reference's default candidate order for a program rooted at
-    * `appDir` (movie.py:34-44): project root, the app dir itself, cwd. */
-  def defaultCandidates(appDir: Path, cwd: Path): Seq[Path] =
-    Seq(
-      Option(appDir.toAbsolutePath.getParent).map(_.resolve(".env")),
-      Some(appDir.toAbsolutePath.resolve(".env")),
-      Some(cwd.toAbsolutePath.resolve(".env"))).flatten
+    * `appDir` (movie.py:34-44): project root (appDir's parent), the app
+    * dir itself, cwd. The reference anchors `appDir` to the SCRIPT's
+    * location (movie.py:36-38), never cwd — so when the caller only
+    * knows cwd (appDir == cwd), the parent candidate is dropped: a stray
+    * `../.env` above the invocation directory must not beat `./.env`.
+    */
+  def defaultCandidates(appDir: Path, cwd: Path): Seq[Path] = {
+    val app = appDir.toAbsolutePath.normalize
+    val c = cwd.toAbsolutePath.normalize
+    val parent =
+      if (app == c) None
+      else Option(app.getParent).map(_.resolve(".env"))
+    (parent.toSeq :+ app.resolve(".env")) :+ c.resolve(".env")
+  }
 
   /** `--key value` CLI pairs → map (movie.py:300-311's argparse shape).
     * A trailing flag with no value and non-`--` tokens are rejected so a

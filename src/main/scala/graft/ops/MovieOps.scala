@@ -63,14 +63,17 @@ object MovieOps {
     *  - genres pipe-joined, empty array → "" (:197)
     *  - poster_url = base+size+path iff path present, else NULL (:190-191)
     *  - absent input columns conform to NULL (`reindex`, :205)
+    *
+    * `extra` names pass-through columns appended verbatim after the 11
+    * (e.g. the source's `_page`/`_row` ordinals for keep-first dedup).
     */
   def normalize(raw: DataFrame, imageBase: String, posterSize: String,
-      genres: Map[Int, String]): DataFrame = {
+      genres: Map[Int, String], extra: Seq[String] = Nil): DataFrame = {
     val genreMap = typedlit(genres)
     val in = raw.columns.toSet
     def c(name: String, t: DataType): org.apache.spark.sql.Column =
       if (in.contains(name)) col(name).cast(t) else lit(null).cast(t)
-    raw.select(
+    raw.select(Seq(
       c("id", LongType).as("tmdb_id"),
       c("title", StringType).as("title"),
       c("original_title", StringType).as("original_title"),
@@ -88,7 +91,7 @@ object MovieOps {
       // EMPTY path yields None too — not just a missing one
       when(c("poster_path", StringType).isNotNull && c("poster_path", StringType) =!= "",
         concat(lit(imageBase), lit(posterSize), c("poster_path", StringType)))
-        .as("poster_url"))
+        .as("poster_url")) ++ extra.map(col): _*)
   }
 
   /** Empty frame with the full movie schema (movie.py:271-272). */

@@ -29,6 +29,13 @@ object Backfill {
     *                   wrapping the paged REST API in production
     * @param onProgress per-month progress callback (C5): (monthKey,
     *                   completed, total) after each month commits
+    * @param keepFirst  reproduce the reference's `drop_duplicates
+    *                   (keep='first')` in fetch/page order (movie.py:276)
+    *                   — requires `fetchMonth` frames to carry the
+    *                   source's `_page`/`_row` ordinals (the paged
+    *                   source's `withOrdinals` option). Default keeps
+    *                   the payload-ordered survivor, which is
+    *                   deterministic without ingest-order columns.
     */
   def run(
       spark: SparkSession,
@@ -40,7 +47,8 @@ object Backfill {
       posterSize: String,
       genres: Map[Int, String],
       fetchMonth: (String, String) => DataFrame,
-      onProgress: (String, Int, Int) => Unit = (_, _, _) => ()): Result = {
+      onProgress: (String, Int, Int) => Unit = (_, _, _) => (),
+      keepFirst: Boolean = false): Result = {
 
     // all driver-side I/O rides the Hadoop FileSystem API with the
     // session's conf, so outDir/checkpointFile may be any scheme Spark
@@ -65,7 +73,15 @@ object Backfill {
         val raw = fetchMonth(ms, me)
         val part =
           if (raw.isEmpty) MovieOps.emptyMovies(spark)
-          else DedupOps.exactDedup(
+          else if (keepFirst) {
+            require(raw.columns.contains("_page") && raw.columns.contains("_row"),
+              "keepFirst needs _page/_row ingest ordinals — read the source with withOrdinals=true")
+            DedupOps.exactDedup(
+                MovieOps.normalize(raw, imageBase, posterSize, genres,
+                  extra = Seq("_page", "_row")),
+                Seq("tmdb_id"), Seq(col("_page"), col("_row")))
+              .drop("_page", "_row")
+          } else DedupOps.exactDedup(
             MovieOps.normalize(raw, imageBase, posterSize, genres),
             Seq("tmdb_id"), payloadOrder)
         // idempotent per-month overwrite (movie.py:277-278)

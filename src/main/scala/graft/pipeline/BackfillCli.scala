@@ -36,6 +36,9 @@ object BackfillCli {
         k.trim.toInt -> v.trim
       }.toMap)
       .getOrElse(Map.empty)
+    // keep='first' parity (movie.py:276): ingest ordinals from the source
+    // feed the dedup window so the first fetched duplicate survives
+    val keepFirst = conf.getOrElse("keep-first", "KEEP_FIRST", "false").toBoolean
     Backfill.run(
       spark, outDir, s"$outDir/checkpoint_months.json", from, to,
       imageBase, posterSize, genres,
@@ -43,13 +46,29 @@ object BackfillCli {
         spark.read.format("graft.sources.PagedJsonSource")
           .option("dir", s"$pagesDir/${ms}_$me")
           .option("maxPages", maxPages)
+          .option("withOrdinals", keepFirst.toString)
           .load(),
-      onProgress = onProgress)
+      onProgress = onProgress,
+      keepFirst = keepFirst)
   }
+
+  /** The program's install location — the reference anchors its first
+    * `.env` candidate to the SCRIPT's directory (movie.py:36-38), so the
+    * analog here is the jar/classes directory, falling back to cwd when
+    * the code source is unknowable (then [[Conf.defaultCandidates]]
+    * drops the parent candidate, so nothing above cwd is consulted).
+    */
+  private[pipeline] def installDir: java.nio.file.Path =
+    try {
+      val uri = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+      val p = java.nio.file.Paths.get(uri)
+      Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    } catch { case _: Exception => java.nio.file.Paths.get(".") }
 
   def main(args: Array[String]): Unit = {
     val conf = Conf.load(args.toSeq, Conf.defaultCandidates(
-      java.nio.file.Paths.get("."), java.nio.file.Paths.get(".")))
+      installDir, java.nio.file.Paths.get(".")))
+    graft.ops.Logging.setupFromConf(conf) // movie.py:314-315
     val spark = Tables.configure(SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     try {

@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MovieOps.RawSchema
+    PagedTable.schemaFor(options.getBoolean("withOrdinals", false))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new PagedTable(properties.asScala.toMap)
@@ -43,14 +43,15 @@ class PagedJsonSource extends TableProvider {
 }
 
 final class PagedTable(options: Map[String, String]) extends Table with SupportsRead {
+  private val withOrdinals = options.get("withOrdinals").exists(_.toBoolean)
   override def name(): String = s"paged_json(${options.getOrElse("dir", "?")})"
-  override def schema(): StructType = MovieOps.RawSchema
+  override def schema(): StructType = PagedTable.schemaFor(withOrdinals)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
-      override def readSchema(): StructType = MovieOps.RawSchema
+      override def readSchema(): StructType = PagedTable.schemaFor(withOrdinals)
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val dir = options.getOrElse("dir",
@@ -81,13 +82,24 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
         val backoff = options.getOrElse("backoffBaseMs", "1").toLong
         val flaky = options.getOrElse("flakyEveryN", "0").toInt
         val maxHint = options.getOrElse("maxRetryAfterMs", "60000").toLong
-        PagedReaderFactory(delay, retries, backoff, flaky, maxHint)
+        PagedReaderFactory(delay, retries, backoff, flaky, maxHint, withOrdinals)
       }
     }
 }
 
 object PagedTable {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[PagedTable])
+
+  /** With `withOrdinals=true` the schema gains `_page`/`_row` — the
+    * fetch/page ordinals a keep-first dedup needs to reproduce the
+    * reference's `drop_duplicates(keep='first')` (movie.py:276) when
+    * duplicate payloads differ across pages.
+    */
+  def schemaFor(withOrdinals: Boolean): StructType =
+    if (!withOrdinals) MovieOps.RawSchema
+    else MovieOps.RawSchema
+      .add("_page", org.apache.spark.sql.types.IntegerType)
+      .add("_row", org.apache.spark.sql.types.IntegerType)
 
   /** Overflow events, keyed by dir — test-visible mirror of the log line
     * (same spirit as [[PagedReader.failedOnce]]). */
@@ -111,12 +123,12 @@ final class RateLimitedException(msg: String, val retryAfterMs: Option[Long])
 
 final case class PagedReaderFactory(
     pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int,
-    maxRetryAfterMs: Long = 60000L)
+    maxRetryAfterMs: Long = 60000L, withOrdinals: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PagePartition]
     new PagedReader(part, pageDelayMs, maxRetries, backoffBaseMs, flakyEveryN,
-      maxRetryAfterMs)
+      maxRetryAfterMs, withOrdinals)
   }
 }
 
@@ -134,7 +146,8 @@ object PagedReader {
 }
 
 final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
-    backoffBaseMs: Long, flakyEveryN: Int, maxRetryAfterMs: Long = 60000L)
+    backoffBaseMs: Long, flakyEveryN: Int, maxRetryAfterMs: Long = 60000L,
+    withOrdinals: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -212,7 +225,7 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
     finally reader.close()
   }
 
-  private def toRow(node: JsonNode): InternalRow = {
+  private def toRow(node: JsonNode, rowIdx: Int): InternalRow = {
     def str(f: String): UTF8String =
       if (node.hasNonNull(f)) UTF8String.fromString(node.get(f).asText) else null
     def dbl(f: String): Any = if (node.hasNonNull(f)) node.get(f).asDouble else null
@@ -221,16 +234,19 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
       if (node.hasNonNull("genre_ids"))
         ArrayData.toArrayData(node.get("genre_ids").elements().asScala.map(_.asInt).toArray)
       else null
-    InternalRow(
+    val base = Seq[Any](
       lng("id"), str("title"), str("original_title"), str("release_date"),
       genreIds, dbl("vote_average"), lng("vote_count"), dbl("popularity"),
       str("original_language"), str("overview"), str("poster_path"))
+    InternalRow.fromSeq(
+      if (withOrdinals) base :+ part.index :+ rowIdx else base)
   }
 
   override def next(): Boolean = {
     if (rows == null) {
       if (pageDelayMs > 0) Thread.sleep(pageDelayMs) // C2: rate limit
-      rows = safeReadPage().iterator.map(l => toRow(mapper.readTree(l)))
+      rows = safeReadPage().iterator.zipWithIndex
+        .map { case (l, i) => toRow(mapper.readTree(l), i) }
     }
     if (rows.hasNext) { current = rows.next(); true } else false
   }

@@ -130,6 +130,55 @@ class BackfillSpec extends AnyFunSuite {
     assert(master.columns.toSeq == MovieOps.Cols)
   }
 
+  test("keep-first dedup keeps the first duplicate in page order (reference parity)") {
+    val dir = Files.createTempDirectory("bf").toString
+    val cp = s"$dir/cp.json"
+    val schema = graft.sources.PagedTable.schemaFor(withOrdinals = true)
+    // id 7 duplicated with DIFFERING payloads: page order says "First",
+    // payload order says "AAA" — keep='first' must win here
+    val rows = Seq(
+      Row(7L, "First", "OT", "2023-01-15", Seq(28), 7.0, 100L, 50.0, "en", "o", "/a.jpg", 0, 1),
+      Row(7L, "AAA", "OT", "2023-01-15", Seq(28), 7.0, 100L, 50.0, "en", "o", "/a.jpg", 1, 0))
+    val rawDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val r = Backfill.run(spark, dir, cp, "2023-01-01", "2023-01-31",
+      "https://cdn/", "w500", Map.empty, (_, _) => rawDf, keepFirst = true)
+    assert(r.masterRows == 1)
+    val (_, parquetName) = MovieOps.masterPaths("2023-01-01", "2023-01-31")
+    val master = spark.read.parquet(s"$dir/$parquetName")
+    assert(master.head().getAs[String]("title") == "First")
+    assert(master.columns.toSeq == MovieOps.Cols) // ordinals never leak out
+    // without ingest ordinals keep-first is unsatisfiable: fail loudly
+    intercept[IllegalArgumentException] {
+      Backfill.run(spark, Files.createTempDirectory("bf").toString,
+        s"$dir/cp2.json", "2023-01-01", "2023-01-31",
+        "https://cdn/", "w500", Map.empty, (_, _) => raw(Seq(1L)), keepFirst = true)
+    }
+  }
+
+  test("BackfillCli --keep-first flows ordinals from the paged source") {
+    val pagesDir = Files.createTempDirectory("kf-pages")
+    val d = pagesDir.resolve("2023-01-01_2023-01-31")
+    Files.createDirectories(d)
+    def line(id: Int, title: String) =
+      s"""{"id": $id, "title": "$title", "release_date": "2023-01-01", "genre_ids": [28],
+         |"vote_average": 7.0, "vote_count": 10, "popularity": 1.0,
+         |"original_language": "en", "overview": "o", "poster_path": "/p.jpg"}"""
+        .stripMargin.replaceAll("\n", " ")
+    // id 9 on both pages; page order keeps "Early", payload order would keep "A-Late"
+    Files.write(d.resolve("page-00001.json"), line(9, "Early").getBytes("UTF-8"))
+    Files.write(d.resolve("page-00002.json"), line(9, "A-Late").getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("kf-out").toString
+    val conf = Conf.Layered(
+      cli = Conf.parseArgs(Seq(
+        "--pages-dir", pagesDir.toString, "--out-dir", outDir,
+        "--from", "2023-01-01", "--to", "2023-01-31", "--keep-first", "true")),
+      env = Map.empty, dotEnv = Map.empty)
+    val r = BackfillCli.run(spark, conf)
+    assert(r.masterRows == 1)
+    val master = spark.read.parquet(s"$outDir/tmdb_movies_2023.parquet")
+    assert(master.head().getAs[String]("title") == "Early")
+  }
+
   test("empty month writes empty part with full schema") {
     val dir = Files.createTempDirectory("bf").toString
     val cp = s"$dir/cp.json"

@@ -73,4 +73,44 @@ class ConfSpec extends AnyFunSuite {
     assert(conf.getOrElse("lang", "LANGUAGE", "x") == "fr-FR")
     assert(conf.getOrElse("min-votes", "MIN_VOTES", "0") == "5")
   }
+
+  test("default candidates: parent .env dropped when appDir is just cwd") {
+    val cwd = Files.createTempDirectory("confCwd")
+    // appDir == cwd: a stray ../.env must NOT be consulted before ./.env
+    val anchored = Conf.defaultCandidates(cwd, cwd)
+    assert(anchored == Seq(cwd.resolve(".env"), cwd.resolve(".env")).map(_.toAbsolutePath.normalize))
+    // a real install dir keeps the reference's project-root-first order
+    val install = cwd.resolve("app").resolve("lib")
+    val spread = Conf.defaultCandidates(install, cwd)
+    assert(spread.head == cwd.resolve("app").resolve(".env").toAbsolutePath.normalize)
+    assert(spread.last == cwd.resolve(".env").toAbsolutePath.normalize)
+  }
+
+  test("logging setup: level + file appender mirror setup_logging") {
+    val f = Files.createTempDirectory("log").resolve("graft.log").toString
+    val before = org.apache.logging.log4j.LogManager.getRootLogger.getLevel
+    try {
+      graft.ops.Logging.setup("DEBUG", Some(f))
+      assert(org.apache.logging.log4j.LogManager.getRootLogger.getLevel
+        == org.apache.logging.log4j.Level.DEBUG)
+      val log = org.apache.logging.log4j.LogManager.getLogger("graft.conf-spec")
+      log.info("logging-spec-marker")
+      // FileAppender defaults to immediateFlush — readable right away
+      val content = new String(Files.readAllBytes(java.nio.file.Path.of(f)), "UTF-8")
+      assert(content.contains("logging-spec-marker"))
+      assert(content.contains("INFO")) // the reference's %(levelname)-8s field
+    } finally {
+      org.apache.logging.log4j.core.config.Configurator.setRootLevel(before)
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      ctx.getConfiguration.getRootLogger.removeAppender("graft-log-file")
+      ctx.updateLoggers()
+    }
+  }
+
+  test("logging setupFromConf: untouched unless the user set a key") {
+    val before = org.apache.logging.log4j.LogManager.getRootLogger.getLevel
+    graft.ops.Logging.setupFromConf(Conf.Layered(Map.empty, Map.empty, Map.empty))
+    assert(org.apache.logging.log4j.LogManager.getRootLogger.getLevel == before)
+  }
 }
