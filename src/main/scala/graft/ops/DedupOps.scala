@@ -159,6 +159,14 @@ object DedupOps {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // deterministic cleanup of superseded round checkpoints: relying on
+    // the GC-driven ContextCleaner leaves async unpersists landing in
+    // the middle of later jobs (measured as multi-second timing noise)
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    var prevCp = checkpointRdd(labels)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -168,17 +176,22 @@ object DedupOps {
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp1"))
-      // pointer jump: comp ← label(comp). Labels are node ids, so the
-      // lookup is a self-join against the stepped labels; the left join +
-      // coalesce is belt-and-braces (every label IS a known node id).
-      val lookup = stepped.select(col("id").as("lid"), col("comp1").as("lcomp"))
+      // pointer jump: comp ← prevLabel(comp). Composing two prior-round
+      // labels still doubles the covered label-distance per round, and
+      // the lookup side is the ALREADY-CHECKPOINTED labels relation —
+      // joining against `stepped` itself would recompute it a second
+      // time every round. The left join + coalesce is belt-and-braces
+      // (every label IS a known node id).
+      val lookup = labels.select(col("id").as("lid"), col("comp").as("lcomp"))
       val next = stepped.join(lookup, stepped("comp1") === lookup("lid"), "left")
         .select(stepped("id"), stepped("comp"),
-          coalesce(col("lcomp"), stepped("comp1")).as("next_comp"))
+          coalesce(least(col("lcomp"), stepped("comp1")), stepped("comp1")).as("next_comp"))
         .localCheckpoint(true)
       changed = next.filter(col("next_comp") < col("comp")).count()
       rounds += 1
       labels = next.select(col("id"), col("next_comp").as("comp"))
+      prevCp.foreach(_.unpersist(false))
+      prevCp = checkpointRdd(next)
     }
     sym.unpersist()
     (labels, rounds)

@@ -246,7 +246,8 @@ object DedupQs {
         UNION
         SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach)
       SELECT id AS doc_id, min(reach) AS comp, (id = min(reach)) AS keep
-      FROM walk GROUP BY id ORDER BY doc_id"""))
+      FROM walk GROUP BY id ORDER BY doc_id"""),
+    headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39)
 }

@@ -217,7 +217,8 @@ object TextQs {
         FROM flat GROUP BY tok)
       SELECT f.doc_id, CAST(f.pos AS INT) AS pos, f.tok, v.tid
       FROM flat f JOIN vocab v USING (tok)
-      ORDER BY doc_id, pos"""))
+      ORDER BY doc_id, pos"""),
+    headline = true)
 
   /** Sequence packing — the pre-training step that lays tokenized docs
     * end-to-end into fixed-length (2048) training sequences: every doc
@@ -255,7 +256,8 @@ object TextQs {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id
       FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents) t
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   /** Language rebalancing ([[graft.ops.SampleOps.stratifiedCap]]): cap
     * every language at 50 docs, picked in md5-of-key order so the
@@ -276,7 +278,8 @@ object TextQs {
           row_number() OVER (PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         FROM documents) t
-      WHERE rk <= 50 ORDER BY lang, doc_id"""))
+      WHERE rk <= 50 ORDER BY lang, doc_id"""),
+    headline = true)
 
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47)
 }
