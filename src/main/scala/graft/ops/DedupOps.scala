@@ -144,26 +144,44 @@ object DedupOps {
   /** [[connectedComponents]] plus the number of propagation rounds it
     * took — the hook the O(log n) convergence property-test needs.
     *
-    * Each round ends in an EAGER `localCheckpoint`: an iterative
-    * dataflow must cut its lineage every round or the logical plan
-    * (which references the previous labels three times: neighbor-min,
-    * carry-through, jump lookup) grows geometrically and Catalyst
-    * analysis becomes the bottleneck long before the data does. The
-    * checkpoint doubles as the per-round materialization; superseded
-    * round blocks are reclaimed by the ContextCleaner once unreferenced.
+    * Each round ends in an EAGER checkpoint: an iterative dataflow must
+    * cut its lineage every round or the logical plan (which references
+    * the previous labels three times: neighbor-min, carry-through, jump
+    * lookup) grows geometrically and Catalyst analysis becomes the
+    * bottleneck long before the data does. The checkpoint doubles as
+    * the per-round materialization.
+    *
+    * @param checkpointDir when set, rounds cut lineage with a RELIABLE
+    *   `checkpoint` into this directory (any Hadoop scheme) — the
+    *   cluster-durable choice: a localCheckpoint's blocks die with
+    *   their executor, which on a real cluster can kill a long CC job
+    *   mid-flight. Sets the context's checkpoint dir if unset
+    *   (checkpoint location is SparkContext-global). When None (the
+    *   default, and the single-node bench posture), rounds use eager
+    *   `localCheckpoint` and superseded round blocks are unpersisted
+    *   deterministically (GC-driven ContextCleaner unpersists landing
+    *   mid-job measured as multi-second timing noise).
     */
-  def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
+  def connectedComponentsWithRounds(
+      edges: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    checkpointDir.foreach { dir =>
+      val sc = edges.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    // deterministic cleanup of superseded round checkpoints: relying on
-    // the GC-driven ContextCleaner leaves async unpersists landing in
-    // the middle of later jobs (measured as multi-second timing noise)
+    var labels = cut(sym.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")))
+    // local mode only: deterministic cleanup of superseded round blocks
+    // (reliable checkpoints live as files; cleaned per spark.cleaner.*)
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
+      if (checkpointDir.isDefined) None
+      else df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
     var prevCp = checkpointRdd(labels)
@@ -183,10 +201,10 @@ object DedupOps {
       // time every round. The left join + coalesce is belt-and-braces
       // (every label IS a known node id).
       val lookup = labels.select(col("id").as("lid"), col("comp").as("lcomp"))
-      val next = stepped.join(lookup, stepped("comp1") === lookup("lid"), "left")
-        .select(stepped("id"), stepped("comp"),
-          coalesce(least(col("lcomp"), stepped("comp1")), stepped("comp1")).as("next_comp"))
-        .localCheckpoint(true)
+      val next = cut(
+        stepped.join(lookup, stepped("comp1") === lookup("lid"), "left")
+          .select(stepped("id"), stepped("comp"),
+            coalesce(least(col("lcomp"), stepped("comp1")), stepped("comp1")).as("next_comp")))
       changed = next.filter(col("next_comp") < col("comp")).count()
       rounds += 1
       labels = next.select(col("id"), col("next_comp").as("comp"))

@@ -128,6 +128,18 @@ class DedupVectorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: reliable checkpointDir variant writes rounds durably, same labels") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val edges = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L))).toDF("a", "b")
+    val (labels, _) = graft.ops.DedupOps.connectedComponentsWithRounds(
+      edges, checkpointDir = Some(dir))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the rounds really went through the reliable checkpoint path
+    assert(java.nio.file.Files.list(java.nio.file.Path.of(dir)).count() > 0)
+  }
+
   test("vocab floor: minCount filters then re-ranks densely; minCount=1 is the identity") {
     import spark.implicits._
     // counts: the=4, a=3, b=3, hapax1=1, hapax2=1
