@@ -35,10 +35,15 @@ object PrefixOps {
 
   /** ceil((hi-lo+1)/buckets), floored at 1: a fixed bucket COUNT with
     * adaptive width, so `ceil(range/width) <= buckets` always holds —
-    * the invariant `PrefixSumSpec` property-tests.
+    * the invariant `PrefixSumSpec` property-tests. Computed in BigInt:
+    * `hi - lo` itself can exceed Long.MaxValue (xxhash64-derived keys
+    * span the full signed range), and the previous all-Long form wrapped
+    * negative there, silently collapsing to width 1 — which regrows the
+    * totals relation linearly with the corpus, the exact bottleneck this
+    * object exists to remove.
     */
-  private[graft] def bucketWidth(lo: Long, hi: Long, buckets: Int): Long =
-    math.max(1L, (hi - lo + buckets.toLong) / buckets.toLong)
+  private[graft] def bucketWidth(lo: Long, hi: Long, buckets: Int): BigInt =
+    ((BigInt(hi) - BigInt(lo) + buckets) / buckets).max(1)
 
   /** Append `out` = exclusive prefix sum of `valueCol` in ascending
     * `orderCol` order (the sum of all strictly-preceding rows; 0 for the
@@ -70,10 +75,21 @@ object PrefixOps {
     }
     val lo = bounds.getLong(0)
     val hi = bounds.getLong(1)
+    val range = BigInt(hi) - BigInt(lo)
     val width = bucketWidth(lo, hi, buckets)
 
-    val bucketed = df.withColumn(
-      "__bucket", expr(s"($orderCol - ${lo}L) div ${width}L"))
+    // Fast path: when the key range fits in a signed long the bucket id is
+    // pure long arithmetic (codegen'd). Keys spanning more than
+    // Long.MaxValue (full-range hash ids) would overflow `$orderCol - lo`
+    // under ANSI mode, so that case runs the same formula in exact
+    // decimal(38,0) arithmetic — `-lo` is written as an added positive
+    // literal because Long.MinValue has no negatable long literal.
+    val bucketExpr =
+      if (range <= BigInt(Long.MaxValue))
+        expr(s"($orderCol - ${lo}L) div ${width.toLong}L")
+      else
+        expr(s"cast((cast($orderCol as decimal(38,0)) + (${-BigInt(lo)})) div $width as bigint)")
+    val bucketed = df.withColumn("__bucket", bucketExpr)
     // totals: <= targetBuckets rows; its cumsum window is single-partition
     // by necessity but bounded by construction, as is the broadcast below
     val offsets = bucketed.groupBy("__bucket")

@@ -124,25 +124,29 @@ object VectorQs {
   val q43 = Q(
     "q43_embedding_near_dup",
     (s, d) => {
-      val planes: Seq[Seq[Double]] = {
+      // Plane projections ride the codegen'd vec_dot: each of the 64
+      // hyperplanes is a plan-time float-array literal, so every sign bit
+      // is one fused whole-stage-codegen loop. The previous
+      // aggregate(zip_with(...)) form was a CodegenFallback HOF chain —
+      // the interpreted shape TextOps/VecDot document as ~20-50x slower —
+      // re-evaluated 64x per row. Planes are float (not double) so both
+      // vec_dot arguments are array<float>; seeded, so buckets stay
+      // deterministic across runs.
+      val planes: IndexedSeq[Seq[Float]] = {
         val r = new java.util.Random(7)
-        Seq.fill(64)(Seq.fill(64)(r.nextGaussian()))
+        IndexedSeq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
       }
-      val planesCol = typedlit(planes)
-      def dotPlane(vec: Column, plane: Column): Column =
-        aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p), lit(0.0), _ + _)
+      // bits for table t: 8 sign bits, bit p set when dot(vec, plane) > 0
+      def bitsFor(t: Int): Column =
+        (0 until 8).map { p =>
+          when(VectorOps.dotD(col("embedding"), typedlit(planes(t * 8 + p))) > 0,
+            lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
       def buckets(side: String): DataFrame =
         Tables.embeddings(s, d)
           .select(col("vec_id"),
-            explode(transform(sequence(lit(0), lit(7)), t =>
-              struct(
-                t.as("table_idx"),
-                aggregate(sequence(lit(0), lit(7)), lit(0), (acc, p) =>
-                  acc + when(
-                    dotPlane(col("embedding"),
-                      element_at(planesCol, t * lit(8) + p + lit(1))) > 0,
-                    call_function("shiftleft", lit(1), p)).otherwise(lit(0)))
-                  .as("bits")))).as("b"))
+            explode(array((0 until 8).map(t =>
+              struct(lit(t).as("table_idx"), bitsFor(t).as("bits"))): _*)).as("b"))
           .select(col("vec_id").as(s"vec_$side"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
       // same oversized-bucket guard as the text LSH paths (inert at test

@@ -54,6 +54,14 @@ class PlanSpec extends AnyFunSuite {
       "intra-bucket cumsum lost its bucket partitioning")
   }
 
+  test("q47: per-stratum cap prunes with a partial WindowGroupLimit before the exchange") {
+    val p = plan("q47_balanced_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "no group-limit pruning for the stratum-cap window")
+    assert(p.contains("Partial"),
+      "stratum cap has no PARTIAL group limit — the full stratum would cross the exchange")
+  }
+
   test("q44/q45: corpus side joins broadcast the small derived relation") {
     assert(plan("q45_vocab_encode").contains("BroadcastHashJoin"), "vocab join not broadcast")
   }

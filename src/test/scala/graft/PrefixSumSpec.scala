@@ -29,10 +29,42 @@ class PrefixSumSpec extends AnyFunSuite {
       val hi = math.max(a, b)
       val buckets = 1 + rnd.nextInt(512)
       val w = PrefixOps.bucketWidth(lo, hi, buckets)
-      val used = (hi - lo) / w + 1 // buckets actually reachable
-      assert(used <= buckets.toLong,
+      val used = (BigInt(hi) - BigInt(lo)) / w + 1 // buckets actually reachable
+      assert(used <= BigInt(buckets),
         s"lo=$lo hi=$hi buckets=$buckets width=$w used=$used")
     }
+  }
+
+  test("bucketWidth survives ranges wider than Long.MaxValue (full-range hash keys)") {
+    for (_ <- 1 to 1000) {
+      val a = rnd.nextLong()
+      val b = rnd.nextLong()
+      val lo = math.min(a, b)
+      val hi = math.max(a, b)
+      val buckets = 1 + rnd.nextInt(512)
+      val w = PrefixOps.bucketWidth(lo, hi, buckets)
+      assert(w >= 1, s"lo=$lo hi=$hi buckets=$buckets width=$w wrapped")
+      val used = (BigInt(hi) - BigInt(lo)) / w + 1
+      assert(used <= BigInt(buckets),
+        s"lo=$lo hi=$hi buckets=$buckets width=$w used=$used")
+    }
+    // the exact wrap case the all-Long form got wrong: width must cover
+    // the whole 2^64-ish range, not collapse to 1
+    assert(PrefixOps.bucketWidth(Long.MinValue, Long.MaxValue, 128) >
+      BigInt(Long.MaxValue) / 128)
+  }
+
+  test("prefix sum is exact on keys spanning the full signed-long range") {
+    import spark.implicits._
+    val ids = Seq(Long.MinValue, Long.MinValue + 7, -1000000007L, -1L, 0L, 1L,
+      999999937L, Long.MaxValue - 5, Long.MaxValue)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toDF("id", "v")
+    val got = PrefixOps.withExclusivePrefixSum(df, "id", "v", "got", targetBuckets = 8)
+      .select("id", "got").as[(Long, Long)].collect().toMap
+    val vals = ids.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val sorted = ids.sorted
+    val expect = sorted.zip(sorted.map(vals).scanLeft(0L)(_ + _)).toMap
+    ids.foreach { id => assert(got(id) === expect(id), s"id=$id") }
   }
 
   test("prefix sum matches the naive window cumsum (sparse, non-zero-based ids)") {
