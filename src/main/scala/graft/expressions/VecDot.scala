@@ -82,5 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_srp_bits"),
+      new ExpressionInfo(classOf[VecSrpBits].getName, "vec_srp_bits"),
+      (children: Seq[Expression]) => VecSrpBits(children(0), children(1), children(2))))
   }
 }

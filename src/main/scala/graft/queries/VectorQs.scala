@@ -124,29 +124,29 @@ object VectorQs {
   val q43 = Q(
     "q43_embedding_near_dup",
     (s, d) => {
-      // Plane projections ride the codegen'd vec_dot: each of the 64
-      // hyperplanes is a plan-time float-array literal, so every sign bit
-      // is one fused whole-stage-codegen loop. The previous
-      // aggregate(zip_with(...)) form was a CodegenFallback HOF chain —
-      // the interpreted shape TextOps/VecDot document as ~20-50x slower —
-      // re-evaluated 64x per row. Planes are float (not double) so both
-      // vec_dot arguments are array<float>; seeded, so buckets stay
-      // deterministic across runs.
-      val planes: IndexedSeq[Seq[Float]] = {
+      // All 64 plane projections run in ONE codegen'd expression
+      // (`vec_srp_bits`): the plane matrix is a plan-time literal, the 64
+      // sign bits come back packed in a single long, and band t's bucket
+      // key is an 8-bit slice of it. Neither per-plane alternative
+      // survives at scale: the aggregate(zip_with(...)) HOF chain is
+      // interpreted per element, and 64 separate vec_dot calls inline 64
+      // loops into one whole-stage-codegen method — past the JVM's 8 KB
+      // JIT limit, measured ~6x slower than even the HOF form. Planes are
+      // float and seeded, so buckets stay deterministic across runs.
+      val planes: Seq[Seq[Float]] = {
         val r = new java.util.Random(7)
-        IndexedSeq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
+        Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
       }
-      // bits for table t: 8 sign bits, bit p set when dot(vec, plane) > 0
-      def bitsFor(t: Int): Column =
-        (0 until 8).map { p =>
-          when(VectorOps.dotD(col("embedding"), typedlit(planes(t * 8 + p))) > 0,
-            lit(1 << p)).otherwise(lit(0))
-        }.reduce(_ + _)
       def buckets(side: String): DataFrame =
         Tables.embeddings(s, d)
           .select(col("vec_id"),
+            call_function("vec_srp_bits",
+              col("embedding"), typedlit(planes), lit(8)).as("__packed"))
+          .select(col("vec_id"),
             explode(array((0 until 8).map(t =>
-              struct(lit(t).as("table_idx"), bitsFor(t).as("bits"))): _*)).as("b"))
+              struct(lit(t).as("table_idx"),
+                shiftrightunsigned(col("__packed"), t * 8)
+                  .bitwiseAND(lit(255L)).cast("int").as("bits"))): _*)).as("b"))
           .select(col("vec_id").as(s"vec_$side"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
       // same oversized-bucket guard as the text LSH paths (inert at test

@@ -39,4 +39,41 @@ class VecDotSpec extends AnyFunSuite {
     val r = df.select(call_function("vec_dot", col("a"), col("b"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("vec_srp_bits packs exactly the per-plane vec_dot sign bits") {
+    val planes: Seq[Seq[Float]] = {
+      val r = new java.util.Random(7)
+      Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
+    }
+    val e = Tables.embeddings(spark, sf)
+    val packed = call_function("vec_srp_bits",
+      col("embedding"), typedlit(planes), lit(8))
+    // band t's slice of the packed long vs the 8 independent vec_dot signs
+    val checks = (0 until 8).map { t =>
+      val slice = shiftrightunsigned(packed, t * 8).bitwiseAND(lit(255L)).cast("int")
+      val perPlane = (0 until 8).map { p =>
+        when(call_function("vec_dot",
+          col("embedding"), typedlit(planes(t * 8 + p))) > 0, lit(1 << p))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      (slice =!= perPlane).as(s"m$t")
+    }
+    val bad = e.select(checks: _*)
+      .filter((0 until 8).map(t => col(s"m$t")).reduce(_ || _)).count()
+    assert(bad == 0, "packed SRP bits diverge from per-plane vec_dot signs")
+  }
+
+  test("vec_srp_bits: null vec is null; non-literal planes are rejected") {
+    import spark.implicits._
+    val nul = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
+    val r = nul.select(call_function("vec_srp_bits",
+      col("v"), typedlit(Seq(Seq(1.0f))), lit(1))).head()
+    assert(r.isNullAt(0))
+    // planes built from a column: right type, not foldable
+    val live = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      live.select(call_function("vec_srp_bits", col("v"), array(col("v")), lit(1))).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
 }
