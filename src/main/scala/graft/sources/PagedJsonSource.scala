@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import graft.ops.MovieOps
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -14,21 +15,35 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 connector for the reference's paged discover feed
-  * (movie.py:145-182, S1): one `InputPartition` per page file, so pages
-  * read in parallel across executors instead of the reference's serial
-  * loop. The reliability operators ride along as source options:
+  * (movie.py:145-182, S1): one `InputPartition` per page, so pages read
+  * in parallel across executors instead of the reference's serial loop.
+  * The reliability operators ride along as source options:
   *
   *  - `pageDelayMs`  — polite per-page rate limit (C2, movie.py:147,180)
   *  - `maxRetries` / `backoffBaseMs` — exponential-backoff retry around
   *    each page read (C1, movie.py:98-129)
+  *  - `maxRetryAfterMs` — cap on a server's Retry-After hint
   *  - `flakyEveryN`  — deterministic fault injection for tests: every
   *    Nth page read fails once before succeeding
   *
-  * Pages are JSON-lines files of raw movie payloads (`page-*.json`) —
-  * the live-HTTP transport is an I/O concern outside query semantics;
-  * swapping the file read for an HTTP GET changes only [[readPageLines]].
+  * The transport behind the page reads is pluggable ([[PageTransport]]),
+  * chosen by the `dir` option's scheme:
+  *
+  *  - `http://` / `https://` — [[HttpPageTransport]]: real HTTP GETs via
+  *    `java.net.http`, speaking the reference's protocol (movie.py:98-129):
+  *    bearer-token header (`bearerToken` option, movie.py:75-83), 25 s
+  *    request timeout (`requestTimeoutMs`, movie.py:104), page discovery
+  *    from the first response's `total_pages` (movie.py:158-161), 429 →
+  *    Retry-After-hinted retry, other 4xx → fail fast, 5xx/timeouts →
+  *    backoff retry (movie.py:111-128).
+  *  - anything else — [[FilePageTransport]]: `page-*.json` JSON-lines
+  *    files through the Hadoop FileSystem (`file:`, `hdfs:`, `s3a:`…),
+  *    carrying the SESSION's Hadoop configuration (`spark.hadoop.*`
+  *    overrides) to both the driver listing and the executor reads, with
+  *    a `.retry-after` sidecar as the 429 analog for tests.
   *
   * Usage: `spark.read.format("graft.sources.PagedJsonSource")
   *   .option("dir", …).load()` — schema is the fixed raw discover schema.
@@ -42,9 +57,35 @@ class PagedJsonSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class PagedTable(options: Map[String, String]) extends Table with SupportsRead {
-  private val withOrdinals = options.get("withOrdinals").exists(_.toBoolean)
-  override def name(): String = s"paged_json(${options.getOrElse("dir", "?")})"
+final class PagedTable(rawOptions: Map[String, String]) extends Table with SupportsRead {
+  // options reach inferSchema through a CaseInsensitiveStringMap but this
+  // constructor through the raw properties map — normalize once so
+  // `.option("withordinals", …)` behaves identically on both paths
+  private val options: Map[String, String] =
+    rawOptions.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private def opt(name: String): Option[String] =
+    options.get(name.toLowerCase(java.util.Locale.ROOT))
+
+  private val withOrdinals = opt("withOrdinals").exists(_.toBoolean)
+  private def dir: String = opt("dir").getOrElse(
+    throw new IllegalArgumentException("option 'dir' is required"))
+
+  /** The transport serving this table's pages — driver side; serialized
+    * into the reader factory for executor-side fetches.
+    */
+  private[graft] def transport: PageTransport =
+    if (dir.startsWith("http://") || dir.startsWith("https://"))
+      new HttpPageTransport(
+        bearerToken = opt("bearerToken"),
+        requestTimeoutMs = opt("requestTimeoutMs").getOrElse("25000").toLong)
+    else
+      // the session's Hadoop conf (spark.hadoop.* overrides, fs.defaultFS)
+      // — NOT a bare `new Configuration()`, which would resolve scheme-less
+      // paths differently from every other read in the session
+      new FilePageTransport(new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+
+  override def name(): String = s"paged_json(${opt("dir").getOrElse("?")})"
   override def schema(): StructType = PagedTable.schemaFor(withOrdinals)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -53,36 +94,32 @@ final class PagedTable(options: Map[String, String]) extends Table with Supports
       override def build(): Scan = this
       override def readSchema(): StructType = PagedTable.schemaFor(withOrdinals)
       override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] = {
-        val dir = options.getOrElse("dir",
-          throw new IllegalArgumentException("option 'dir' is required"))
-        // Hadoop FileSystem listing (driver-side), so the page window can
-        // live on any scheme — file:, hdfs:, s3a: — like Spark's own scans
-        val pages = graft.ops.Fs.list(dir, graft.ops.Fs.defaultConf)
-          .filter(s => s.isFile && s.getPath.getName.startsWith("page-") &&
-            s.getPath.getName.endsWith(".json"))
-          .sortBy(_.getPath.getName)
-          .toArray
+      // memoized: Spark calls planInputPartitions several times while
+      // planning one query (supportsColumnar, exec) — list once per scan,
+      // like FileScan's partition cache (and one HTTP GET, not several)
+      private lazy val partitions: Array[InputPartition] = {
+        val pages = transport.listPages(dir)
         // the reference's 500-page window cap LOGS its data loss
         // (movie.py:161-171) — a silently truncated window is
         // indistinguishable from a complete one downstream
-        val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
+        val maxPages = opt("maxPages").getOrElse(Int.MaxValue.toString).toInt
         val kept =
           if (pages.length > maxPages) {
             PagedTable.logOverflow(dir, pages.length, maxPages)
             pages.take(maxPages)
           } else pages
-        kept.zipWithIndex.map { case (f, i) =>
-          PagePartition(f.getPath.toString, i): InputPartition
-        }
+        kept.zipWithIndex.map { case (ref, i) =>
+          PagePartition(ref, i): InputPartition
+        }.toArray
       }
+      override def planInputPartitions(): Array[InputPartition] = partitions
       override def createReaderFactory(): PartitionReaderFactory = {
-        val delay = options.getOrElse("pageDelayMs", "0").toLong
-        val retries = options.getOrElse("maxRetries", "3").toInt
-        val backoff = options.getOrElse("backoffBaseMs", "1").toLong
-        val flaky = options.getOrElse("flakyEveryN", "0").toInt
-        val maxHint = options.getOrElse("maxRetryAfterMs", "60000").toLong
-        PagedReaderFactory(delay, retries, backoff, flaky, maxHint, withOrdinals)
+        val delay = opt("pageDelayMs").getOrElse("0").toLong
+        val retries = opt("maxRetries").getOrElse("3").toInt
+        val backoff = opt("backoffBaseMs").getOrElse("1").toLong
+        val flaky = opt("flakyEveryN").getOrElse("0").toInt
+        val maxHint = opt("maxRetryAfterMs").getOrElse("60000").toLong
+        PagedReaderFactory(transport, delay, retries, backoff, flaky, maxHint, withOrdinals)
       }
     }
 }
@@ -121,14 +158,155 @@ final case class PagePartition(path: String, index: Int) extends InputPartition
 final class RateLimitedException(msg: String, val retryAfterMs: Option[Long])
   extends java.io.IOException(msg)
 
+/** The transport's 404 analog: the page cannot exist — retrying can
+  * never succeed, so the retry loop fails fast (movie.py:124-127's
+  * fatal-vs-retryable split).
+  */
+final class PageGoneException(msg: String, cause: Throwable = null)
+  extends java.io.IOException(msg, cause)
+
+/** How pages are listed (driver) and fetched (executors). Implementations
+  * classify fetch failures for [[PagedReader]]'s retry loop:
+  * [[PageGoneException]] = fatal, [[RateLimitedException]] = retry with
+  * the server's wait hint, any other exception = retry with backoff.
+  */
+trait PageTransport extends Serializable {
+  /** Ordered page refs for the window rooted at `dir` (driver-side). */
+  def listPages(dir: String): Seq[String]
+  /** One page's raw JSON-lines (executor-side). */
+  def fetchLines(ref: String): Seq[String]
+}
+
+/** Pages as `page-*.json` JSON-lines files through the Hadoop FileSystem —
+  * any scheme the session can reach (`file:`, `hdfs:`, `s3a:`…). The
+  * session's Hadoop configuration rides along so executor-side reads
+  * resolve paths exactly like the driver listing did. A `<page>.retry-after`
+  * sidecar marks the page rate-limited ONCE (content = wait hint in ms):
+  * the read consumes the marker — like a 429 that clears — and surfaces
+  * the hint to the backoff loop.
+  */
+final class FilePageTransport(val conf: SerializableConfiguration) extends PageTransport {
+  override def listPages(dir: String): Seq[String] =
+    graft.ops.Fs.list(dir, conf.value)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("page-") &&
+        s.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath.toString)
+
+  override def fetchLines(ref: String): Seq[String] = {
+    val limiter = new org.apache.hadoop.fs.Path(ref + ".retry-after")
+    val lfs = limiter.getFileSystem(conf.value)
+    if (lfs.exists(limiter)) {
+      val hint = graft.ops.Fs.readBytes(ref + ".retry-after", conf.value)
+        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8).trim)
+        .flatMap(_.toLongOption)
+      lfs.delete(limiter, false)
+      throw new RateLimitedException(s"page $ref rate-limited", hint)
+    }
+    val p = new org.apache.hadoop.fs.Path(ref)
+    val in =
+      try p.getFileSystem(conf.value).open(p)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new PageGoneException(s"page $ref does not exist", e)
+      }
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toList
+    finally reader.close()
+  }
+}
+
+/** Pages over live HTTP (`java.net.http`), speaking the reference's
+  * protocol (movie.py:98-129): `GET <base>?page=N` with an optional
+  * `Authorization: Bearer <token>` header (movie.py:75-83) and a bounded
+  * request timeout (movie.py:104's `timeout=25`). The window size comes
+  * from the first page's `total_pages` field (movie.py:158-161). Status
+  * taxonomy (movie.py:111-128): 200 parses, 429 raises the Retry-After
+  * hint (header is in SECONDS per the HTTP spec, surfaced in ms), any
+  * other 4xx is fatal, 5xx and timeouts are retryable.
+  *
+  * A 200 body may be the discover shape (`{"results": [...]}`), a bare
+  * JSON array, or JSON-lines text — each normalizes to one JSON document
+  * per line, same as the file transport.
+  */
+final class HttpPageTransport(
+    val bearerToken: Option[String],
+    val requestTimeoutMs: Long) extends PageTransport {
+
+  // HttpClient is not serializable — rebuilt lazily on each executor
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .build()
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private[sources] def pageUrl(base: String, page: Int): String =
+    s"$base${if (base.contains("?")) "&" else "?"}page=$page"
+
+  private def get(url: String): java.net.http.HttpResponse[String] = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .header("accept", "application/json")
+    bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** Raise the transport's failure taxonomy for a non-200 response. */
+  private def classify(url: String, r: java.net.http.HttpResponse[String]): Unit =
+    r.statusCode() match {
+      case 200 => ()
+      case 429 =>
+        // movie.py:113-121: int(Retry-After seconds), unparseable → backoff
+        val hint = Option(r.headers().firstValue("Retry-After").orElse(null))
+          .flatMap(_.trim.toLongOption).map(_ * 1000L)
+        throw new RateLimitedException(s"$url rate-limited (429)", hint)
+      case c if c >= 400 && c < 500 =>
+        throw new PageGoneException(s"$url failed with client error $c (fatal)")
+      case c =>
+        throw new java.io.IOException(s"$url failed with server error $c")
+    }
+
+  private def parseLines(body: String): Seq[String] = {
+    val trimmed = body.trim
+    if (!(trimmed.startsWith("{") || trimmed.startsWith("["))) {
+      return trimmed.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val node = mapper.readTree(trimmed)
+    if (node.isObject && node.has("results"))
+      node.get("results").elements().asScala.map(_.toString).toList
+    else if (node.isArray) node.elements().asScala.map(_.toString).toList
+    else Seq(node.toString)
+  }
+
+  override def listPages(dir: String): Seq[String] = {
+    val first = get(pageUrl(dir, 1))
+    classify(pageUrl(dir, 1), first)
+    val node = mapper.readTree(first.body())
+    val total =
+      if (node.isObject && node.hasNonNull("total_pages")) node.get("total_pages").asInt(1)
+      else 1
+    (1 to math.max(1, total)).map(pageUrl(dir, _))
+  }
+
+  override def fetchLines(ref: String): Seq[String] = {
+    val r = get(ref)
+    classify(ref, r)
+    parseLines(r.body())
+  }
+}
+
 final case class PagedReaderFactory(
+    transport: PageTransport,
     pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int,
     maxRetryAfterMs: Long = 60000L, withOrdinals: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PagePartition]
-    new PagedReader(part, pageDelayMs, maxRetries, backoffBaseMs, flakyEveryN,
-      maxRetryAfterMs, withOrdinals)
+    new PagedReader(part, transport, pageDelayMs, maxRetries, backoffBaseMs,
+      flakyEveryN, maxRetryAfterMs, withOrdinals)
   }
 }
 
@@ -137,7 +315,7 @@ object PagedReader {
   val failedOnce: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] =
     new java.util.concurrent.ConcurrentHashMap()
 
-  /** Waits actually taken for rate-limited pages (page path → ms), the
+  /** Waits actually taken for rate-limited pages (page ref → ms), the
     * test-visible mirror of the reference's "Rate limited. Waiting %.1fs"
     * log line — specs assert hint use and capping without timing sleeps.
     */
@@ -145,21 +323,31 @@ object PagedReader {
     new java.util.concurrent.ConcurrentHashMap()
 }
 
-final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
-    backoffBaseMs: Long, flakyEveryN: Int, maxRetryAfterMs: Long = 60000L,
-    withOrdinals: Boolean = false)
+final class PagedReader(part: PagePartition, transport: PageTransport,
+    pageDelayMs: Long, maxRetries: Int, backoffBaseMs: Long, flakyEveryN: Int,
+    maxRetryAfterMs: Long = 60000L, withOrdinals: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private var rows: Iterator[InternalRow] = _
   private var current: InternalRow = _
 
+  /** Injected transient failure for tests, in front of whatever transport
+    * is active — each flagged page fails exactly once. */
+  private def fetchWithInjection(): Seq[String] = {
+    if (flakyEveryN > 0 && part.index % flakyEveryN == 0 &&
+        PagedReader.failedOnce.putIfAbsent(part.path, true) == null) {
+      throw new java.io.IOException(s"injected transient failure on ${part.path}")
+    }
+    transport.fetchLines(part.path)
+  }
+
   /** C1: retry with exponential backoff around the page fetch — but only
     * for RETRYABLE failures. The reference distinguishes the two classes
     * (movie.py:124-127): 429/5xx/network errors retry with backoff, any
-    * other 4xx client error fails fast. The file-transport analog of a
-    * 404 is a missing page file: retrying can never succeed, so it
-    * surfaces immediately instead of burning the full backoff schedule.
+    * other 4xx client error fails fast ([[PageGoneException]] — a 404 or
+    * a vanished page file; retrying can never succeed, so it surfaces
+    * immediately instead of burning the full backoff schedule).
     *
     * A rate-limited page may carry the server's wait hint
     * (`Retry-After`, movie.py:113-121): the hint replaces the
@@ -171,9 +359,9 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
   private def safeReadPage(): Seq[String] = {
     var attempt = 0
     while (true) {
-      try return readPageLines()
+      try return fetchWithInjection()
       catch {
-        case e: java.io.FileNotFoundException =>
+        case e: PageGoneException =>
           throw new RuntimeException(
             s"page ${part.path} is gone (fatal, not retried — the 404 analog)", e)
         case e: RateLimitedException if attempt < maxRetries =>
@@ -192,37 +380,6 @@ final class PagedReader(part: PagePartition, pageDelayMs: Long, maxRetries: Int,
       }
     }
     Nil // unreachable
-  }
-
-  /** The transport: a Hadoop-FileSystem read here (any scheme); an HTTP
-    * GET in production. `open` on a vanished page throws
-    * FileNotFoundException — the 404 analog [[safeReadPage]] fails fast on.
-    */
-  private def readPageLines(): Seq[String] = {
-    if (flakyEveryN > 0 && part.index % flakyEveryN == 0 &&
-        PagedReader.failedOnce.putIfAbsent(part.path, true) == null) {
-      throw new java.io.IOException(s"injected transient failure on ${part.path}")
-    }
-    // 429 analog: a `<page>.retry-after` sidecar marks the page
-    // rate-limited ONCE, its content the server's wait hint in ms. The
-    // read consumes the marker (so the retry succeeds, like a 429 that
-    // clears) and surfaces the hint to the backoff loop.
-    val limiter = new org.apache.hadoop.fs.Path(part.path + ".retry-after")
-    val lfs = limiter.getFileSystem(graft.ops.Fs.defaultConf)
-    if (lfs.exists(limiter)) {
-      val hint = graft.ops.Fs.readBytes(part.path + ".retry-after", graft.ops.Fs.defaultConf)
-        .map(new String(_, java.nio.charset.StandardCharsets.UTF_8).trim)
-        .flatMap(_.toLongOption)
-      lfs.delete(limiter, false)
-      throw new RateLimitedException(s"page ${part.path} rate-limited", hint)
-    }
-    val p = new org.apache.hadoop.fs.Path(part.path)
-    val in = p.getFileSystem(graft.ops.Fs.defaultConf).open(p)
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).toList
-    finally reader.close()
   }
 
   private def toRow(node: JsonNode, rowIdx: Int): InternalRow = {

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import graft.ops.MovieOps
 import graft.sources.{PagedReader, PagedTable}
 import org.scalatest.funsuite.AnyFunSuite
@@ -93,12 +95,35 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     // retry sleep would trip the elapsed-time assertion.
     val reader = new graft.sources.PagedReader(
       graft.sources.PagePartition("/tmp/graft-definitely-missing-page.json", 0),
+      new graft.sources.FilePageTransport(
+        new org.apache.spark.util.SerializableConfiguration(
+          new org.apache.hadoop.conf.Configuration())),
       pageDelayMs = 0, maxRetries = 3, backoffBaseMs = 60000, flakyEveryN = 0)
     val t0 = System.nanoTime()
     val e = intercept[RuntimeException] { reader.next() }
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(e.getMessage.contains("fatal, not retried"))
     assert(elapsedMs < 30000, s"fail-fast took ${elapsedMs}ms — it retried")
+  }
+
+  test("options are case-insensitive on both the schema and table paths") {
+    val dir = writePages(nPages = 1, rowsPerPage = 1)
+    val df = spark.read.format("graft.sources.PagedJsonSource")
+      .option("dir", dir.toString)
+      .option("withordinals", "true") // lowercase on purpose
+      .load()
+    assert(df.columns.contains("_page") && df.columns.contains("_row"))
+    assert(df.count() == 1)
+  }
+
+  test("file transport carries the session's hadoop configuration") {
+    spark.sparkContext.hadoopConfiguration.set("graft.test.marker", "rode-along")
+    try {
+      val t = new graft.sources.PagedTable(Map("dir" -> "/tmp")).transport
+      val conf = t.asInstanceOf[graft.sources.FilePageTransport].conf.value
+      assert(conf.get("graft.test.marker") == "rode-along",
+        "paged source ignores the session hadoop conf (spark.hadoop.* overrides lost)")
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.marker")
   }
 
   // ---- Retry-After analog (C1 extension, movie.py:113-121) ----
@@ -162,5 +187,161 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     val row = movies.orderBy("tmdb_id").head()
     assert(row.getAs[String]("genres") == "Action|35")
     assert(row.getAs[String]("poster_url") == "https://cdn/w500/p1.jpg")
+  }
+
+  // ---- live HTTP transport (movie.py:98-129) against an in-process stub ----
+
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      headers: (String, String)*): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+    if (bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      os.write(bytes)
+      os.close()
+    } else ex.close()
+  }
+
+  private def pageOf(ex: HttpExchange): Int =
+    Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).collectFirst {
+        case q if q.startsWith("page=") => q.drop(5).toInt
+      }.getOrElse(1)
+
+  /** Discover-shaped body: page N carries `rowsPerPage` movies. */
+  private def discoverBody(page: Int, totalPages: Int, rowsPerPage: Int): String = {
+    val results = (1 to rowsPerPage).map { r =>
+      val id = (page - 1) * rowsPerPage + r
+      s"""{"id": $id, "title": "Movie $id", "vote_average": 7.5,
+         |"vote_count": ${id * 10}, "genre_ids": [28],
+         |"release_date": "2023-01-01"}""".stripMargin.replaceAll("\n", " ")
+    }
+    s"""{"page": $page, "total_pages": $totalPages, "results": [${results.mkString(",")}]}"""
+  }
+
+  private def withServer(handler: HttpExchange => Unit)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handler(ex))
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/discover")
+    finally server.stop(0)
+  }
+
+  test("HTTP: reads the whole window from total_pages, bearer header sent") {
+    val auths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer { ex =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")).foreach(auths.add)
+      respond(ex, 200, discoverBody(pageOf(ex), totalPages = 4, rowsPerPage = 3))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("bearerToken", "test-token-123")
+        .load()
+      assert(df.rdd.getNumPartitions == 4) // one partition per page
+      assert(df.count() == 12)
+      assert(df.orderBy("id").head().getLong(0) == 1L)
+      assert(auths.asScala == Set("Bearer test-token-123"))
+    }
+  }
+
+  test("HTTP: 404 is fatal — fails fast without burning the backoff schedule") {
+    withServer { ex =>
+      if (pageOf(ex) >= 3) respond(ex, 404, "")
+      else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 3, rowsPerPage = 1))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("maxRetries", "3")
+        .option("backoffBaseMs", "60000") // one retry sleep would trip the timer
+        .load()
+      val t0 = System.nanoTime()
+      val e = intercept[org.apache.spark.SparkException] { df.count() }
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("fatal"), s"404 not treated as fatal: $msgs")
+      assert(elapsedMs < 30000, s"fail-fast took ${elapsedMs}ms — it retried")
+    }
+  }
+
+  test("HTTP: 429 honors the Retry-After header (seconds), capped at maxRetryAfterMs") {
+    PagedReader.rateLimitWaits.clear()
+    val limited = new java.util.concurrent.atomic.AtomicBoolean(true)
+    withServer { ex =>
+      if (pageOf(ex) == 2 && limited.getAndSet(false))
+        respond(ex, 429, "", "Retry-After" -> "1")
+      else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 1))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("backoffBaseMs", "1")
+        .load()
+      assert(df.count() == 2)
+      val wait = PagedReader.rateLimitWaits.asScala.collectFirst {
+        case (k, v) if k.contains("page=2") => v
+      }
+      assert(wait.contains(1000L), s"waited $wait — Retry-After: 1 (s) not honored as 1000 ms")
+    }
+
+    PagedReader.rateLimitWaits.clear()
+    // only page 2+ is exclusively executor-fetched (the plan-time listing
+    // GETs page 1), so the hostile 429 targets page 2
+    val hostile = new java.util.concurrent.atomic.AtomicBoolean(true)
+    withServer { ex =>
+      if (pageOf(ex) == 2 && hostile.getAndSet(false))
+        respond(ex, 429, "", "Retry-After" -> "999")
+      else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 1))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("maxRetryAfterMs", "40")
+        .load()
+      assert(df.count() == 2)
+      val wait = PagedReader.rateLimitWaits.asScala.collectFirst {
+        case (k, v) if k.contains("page=2") => v
+      }
+      assert(wait.contains(40L), s"waited $wait — hostile hint not capped")
+    }
+  }
+
+  test("HTTP: 5xx retries with backoff and recovers") {
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val broke = new java.util.concurrent.atomic.AtomicBoolean(true)
+    withServer { ex =>
+      if (pageOf(ex) == 2 && broke.getAndSet(false)) {
+        failures.incrementAndGet()
+        respond(ex, 503, "")
+      } else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 2))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("backoffBaseMs", "1")
+        .load()
+      assert(df.count() == 4) // all rows despite the injected 503
+      assert(failures.get() == 1)
+    }
+  }
+
+  test("HTTP: request timeout is retryable, not fatal") {
+    // the slow response hits page 2 — exclusively executor-fetched — which
+    // times out once, retries with backoff, then succeeds
+    val slow = new java.util.concurrent.atomic.AtomicBoolean(true)
+    withServer { ex =>
+      if (pageOf(ex) == 2 && slow.getAndSet(false)) {
+        Thread.sleep(2000) // > requestTimeoutMs
+        respond(ex, 200, discoverBody(2, 2, 1))
+      } else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 1))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("requestTimeoutMs", "300")
+        .option("backoffBaseMs", "1")
+        .load()
+      assert(df.count() == 2)
+    }
   }
 }
