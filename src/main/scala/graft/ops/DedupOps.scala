@@ -156,11 +156,17 @@ object DedupOps {
     *   cluster-durable choice: a localCheckpoint's blocks die with
     *   their executor, which on a real cluster can kill a long CC job
     *   mid-flight. Sets the context's checkpoint dir if unset
-    *   (checkpoint location is SparkContext-global). When None (the
-    *   default, and the single-node bench posture), rounds use eager
-    *   `localCheckpoint` and superseded round blocks are unpersisted
-    *   deterministically (GC-driven ContextCleaner unpersists landing
-    *   mid-job measured as multi-second timing noise).
+    *   (checkpoint location is SparkContext-global). Each superseded
+    *   round's checkpoint files are DELETED once the next round has
+    *   materialized — Spark only ever cleans checkpoints itself under
+    *   the non-default `spark.cleaner.referenceTracking.cleanCheckpoints`,
+    *   so without this a long job accretes O(rounds x |labels|) on the
+    *   cluster FS; only the returned round's checkpoint survives. When
+    *   None (the default, and the single-node bench posture), rounds use
+    *   eager `localCheckpoint` and superseded round blocks are
+    *   unpersisted deterministically (GC-driven ContextCleaner
+    *   unpersists landing mid-job measured as multi-second timing
+    *   noise).
     */
   def connectedComponentsWithRounds(
       edges: DataFrame,
@@ -177,12 +183,17 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = cut(sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")))
-    // local mode only: deterministic cleanup of superseded round blocks
-    // (reliable checkpoints live as files; cleaned per spark.cleaner.*)
-    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      if (checkpointDir.isDefined) None
-      else df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    // Deterministic cleanup of SUPERSEDED rounds in both modes. Local:
+    // unpersist the blocks (GC-driven ContextCleaner unpersists land
+    // mid-job as multi-second bench noise). Reliable: delete the round's
+    // checkpoint files — Spark itself never does unless the non-default
+    // `spark.cleaner.referenceTracking.cleanCheckpoints` is on, so a long
+    // CC job would otherwise leave O(rounds x |labels|) on the cluster FS.
+    val hadoopConf = edges.sparkSession.sparkContext.hadoopConfiguration
+    def dropSuperseded(rdd: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdd.foreach { r =>
+        if (checkpointDir.isDefined) r.getCheckpointFile.foreach(Fs.delete(_, hadoopConf))
+        else r.unpersist(false)
       }
     var prevCp = checkpointRdd(labels)
     var changed = 1L
@@ -208,12 +219,25 @@ object DedupOps {
       changed = next.filter(col("next_comp") < col("comp")).count()
       rounds += 1
       labels = next.select(col("id"), col("next_comp").as("comp"))
-      prevCp.foreach(_.unpersist(false))
+      dropSuperseded(prevCp)
       prevCp = checkpointRdd(next)
     }
     sym.unpersist()
     (labels, rounds)
   }
+
+  /** The materialized RDD behind an eager `checkpoint`/`localCheckpoint` —
+    * resolved by matching the `LogicalRDD` the checkpointed Dataset
+    * analyzes to. This couples to a non-public plan shape on purpose:
+    * `DedupVectorSpec` pins that the match still hits, so a Spark upgrade
+    * that changes the shape fails CI loudly instead of silently reverting
+    * the CC loop's round cleanup to GC-async (correctness-safe but
+    * bench-noisy locally, checkpoint-leaking on a cluster).
+    */
+  private[graft] def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** Drop LSH buckets larger than `maxBucket` before a bucket self-join.
     *

@@ -70,4 +70,10 @@ object Fs {
     try fs.listStatus(p).toSeq
     catch { case _: FileNotFoundException => Seq.empty }
   }
+
+  /** Recursively delete `path`; false when it didn't exist. */
+  def delete(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
 }

@@ -140,6 +140,44 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(java.nio.file.Files.list(java.nio.file.Path.of(dir)).count() > 0)
   }
 
+  test("reliable checkpoint mode deletes superseded round checkpoints") {
+    import scala.jdk.CollectionConverters._
+    // checkpoint location is SparkContext-global and may have been set by
+    // an earlier test — diff the rdd-* dirs under the ACTUAL location
+    def rddDirs(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
+        val root = java.nio.file.Paths.get(new java.net.URI(d).getPath)
+        if (!java.nio.file.Files.exists(root)) Set.empty[String]
+        else java.nio.file.Files.walk(root).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("rdd-"))
+          .map(_.toString).toSet
+      }
+    val before = rddDirs()
+    // a 64-node chain forces several pointer-jump rounds
+    val edges = spark.range(1, 64).toDF("a").select(col("a"), (col("a") + 1).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-clean").toString
+    val (labels, rounds) = graft.ops.DedupOps.connectedComponentsWithRounds(
+      edges, checkpointDir = Some(dir))
+    assert(labels.filter(col("comp") =!= 1L).count() === 0)
+    assert(rounds >= 3, s"chain resolved in $rounds rounds — not exercising cleanup")
+    val added = rddDirs() -- before
+    // cut() ran rounds+1 times; every superseded round's files are gone
+    assert(added.size == 1,
+      s"expected only the final round's checkpoint to survive, found: $added")
+  }
+
+  test("checkpoint cleanup still resolves a LogicalRDD (Spark-upgrade tripwire)") {
+    // DedupOps.checkpointRdd pattern-matches execution.LogicalRDD out of
+    // the analyzed plan — a non-public shape. If a Spark upgrade stops
+    // this matching, round cleanup silently reverts to GC-async
+    // (bench-noisy locally, checkpoint-leaking on clusters): fail HERE.
+    val local = spark.range(5).toDF("id").localCheckpoint(true)
+    assert(graft.ops.DedupOps.checkpointRdd(local).isDefined,
+      "localCheckpoint no longer analyzes to a LogicalRDD — update checkpointRdd")
+    assert(graft.ops.DedupOps.checkpointRdd(spark.range(5).toDF("id")).isEmpty,
+      "checkpointRdd matched a plain scan — cleanup could unpersist live data")
+  }
+
   test("vocab floor: minCount filters then re-ranks densely; minCount=1 is the identity") {
     import spark.implicits._
     // counts: the=4, a=3, b=3, hapax1=1, hapax2=1
