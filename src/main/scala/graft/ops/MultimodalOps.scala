@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Multimodal columns for a training-data pipeline: media payloads are
@@ -8,18 +10,22 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * — the Scala analog of `mapInPandas`: one decoder instantiation per
   * partition, streamed row batches, never a driver collect).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[FakeDecoder]] is a deterministic stand-in that
-  * fabricates plausible features from the bytes. The Spark-side plumbing
-  * — schema, encoders, partition-wise batching, output shape — is real
-  * and tested; swapping in a real decoder changes only `decode()`.
+  * Decoding is pluggable ([[MediaDecoder]]). [[HeaderDecoder]] — the
+  * default — REALLY parses the two formats whose containers are pure
+  * public byte layout (no codec library needed): BMP (pixel dimensions,
+  * bit depth) and RIFF/WAVE (sample rate, channels, duration from the
+  * fmt/data chunks). Every other format falls back to [[FakeDecoder]],
+  * a deterministic stand-in, because no image/audio codec libraries
+  * exist in this environment — swapping in a real codec is one more
+  * [[MediaDecoder]] branch. Embeddings are deterministic pseudo-features
+  * in all cases (an embedding MODEL is out of scope for a decode step).
   */
 object MultimodalOps {
 
   /** A media row: opaque payload + metadata. */
   final case class MediaRow(media_id: Long, kind: String, uri: String, bytes: Array[Byte])
 
-  /** Extracted features (what a real image/audio decoder would emit). */
+  /** Extracted features (what an image/audio decoder emits). */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
@@ -27,18 +33,26 @@ object MultimodalOps {
       width: Int,
       height: Int,
       duration_ms: Long,
+      sample_rate: Int,
+      channels: Int,
       embedding: Array[Float])
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * A real implementation would decode the codec here — per-partition
-    * instantiation means codec state (decoder contexts, model weights)
-    * is created once per task, not per row.
+  /** One decoder instance per task partition: codec state (contexts,
+    * model weights) is created once per task, not per row. */
+  trait MediaDecoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic pseudo-features from the payload bytes — the stand-in
+    * for formats whose codecs aren't available in this environment.
     */
-  final class FakeDecoder {
-    def decode(row: MediaRow): MediaFeatures = {
+  final class FakeDecoder extends MediaDecoder {
+    private[ops] def pseudoEmbedding(bytes: Array[Byte]): Array[Float] = {
+      val h = java.util.Arrays.hashCode(bytes)
+      Array.tabulate(8)(i => (h * (i + 1)).toFloat / Int.MaxValue)
+    }
+    override def decode(row: MediaRow): MediaFeatures = {
       val h = java.util.Arrays.hashCode(row.bytes)
-      val dims = 8
-      val emb = Array.tabulate(dims)(i => ((h * (i + 1)).toFloat / Int.MaxValue))
       MediaFeatures(
         media_id = row.media_id,
         kind = row.kind,
@@ -46,16 +60,92 @@ object MultimodalOps {
         width = if (row.kind == "image") 16 + math.abs(h % 4096) else 0,
         height = if (row.kind == "image") 16 + math.abs((h / 7) % 4096) else 0,
         duration_ms = if (row.kind == "audio" || row.kind == "video") math.abs(h % 600000L) else 0L,
-        embedding = emb)
+        sample_rate = 0,
+        channels = 0,
+        embedding = pseudoEmbedding(row.bytes))
     }
   }
 
-  /** Partition-wise feature extraction: the real operator shape. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Sniffs the container magic and REALLY parses what pure-JVM byte
+    * layout allows: BMP (`BM` + BITMAPINFOHEADER: width int32@18,
+    * height int32@22 — negative means top-down, so abs — bit depth@28)
+    * and RIFF/WAVE (chunk walk from offset 12; `fmt ` carries channels@+2
+    * and sampleRate@+4 and byteRate@+8; `data`'s size over byteRate is
+    * the duration). A truncated or corrupt header falls back to the
+    * deterministic stub rather than failing the task — a 100-TB media
+    * scan always contains garbage rows, and quarantining beats aborting.
+    */
+  final class HeaderDecoder extends MediaDecoder {
+    private val fake = new FakeDecoder
+
+    private def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+    private def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
+        b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
+
+    private def decodeBmp(row: MediaRow): MediaFeatures = {
+      val buf = ByteBuffer.wrap(row.bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val width = buf.getInt(18)
+      val height = buf.getInt(22) // negative = top-down row order
+      require(width > 0 && height != 0, "corrupt BMP dimensions")
+      fake.decode(row).copy(
+        kind = "image", width = width, height = math.abs(height),
+        duration_ms = 0L, sample_rate = 0, channels = 0)
+    }
+
+    private def decodeWav(row: MediaRow): MediaFeatures = {
+      val b = row.bytes
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var channels = 0
+      var sampleRate = 0
+      var byteRate = 0
+      var dataLen = -1L
+      var off = 12
+      while (off + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          channels = buf.getShort(off + 8 + 2).toInt & 0xFFFF
+          sampleRate = buf.getInt(off + 8 + 4)
+          byteRate = buf.getInt(off + 8 + 8)
+        } else if (id == "data") {
+          // size may exceed the sampled payload (metadata-only prefixes):
+          // trust the header, it IS the stream length
+          dataLen = size
+        }
+        off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      require(channels > 0 && sampleRate > 0 && byteRate > 0 && dataLen >= 0,
+        "missing fmt/data chunk")
+      fake.decode(row).copy(
+        kind = "audio", width = 0, height = 0,
+        duration_ms = dataLen * 1000L / byteRate,
+        sample_rate = sampleRate, channels = channels)
+    }
+
+    override def decode(row: MediaRow): MediaFeatures = {
+      val b = row.bytes
+      try {
+        if (isBmp(b)) decodeBmp(row)
+        else if (isWav(b)) decodeWav(row)
+        else fake.decode(row)
+      } catch { case scala.util.control.NonFatal(_) => fake.decode(row) }
+    }
+  }
+
+  /** Partition-wise feature extraction: the real operator shape.
+    * `decoder` is a FACTORY so per-task codec state never serializes.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decoder: () => MediaDecoder = () => new HeaderDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new FakeDecoder // once per partition, not per row
-      rows.map(decoder.decode)
+      val d = decoder() // once per partition, not per row
+      rows.map(d.decode)
     }
   }
 

@@ -1,11 +1,15 @@
 package graft
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import graft.ops.MultimodalOps
 import graft.ops.MultimodalOps.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal plumbing is real even though the codec is stubbed:
-  * schema, typed encoders, per-partition batching, generator explode.
+/** The multimodal plumbing: schema, typed encoders, per-partition
+  * batching, generator explode — plus the two REAL header decoders (BMP,
+  * RIFF/WAVE) asserted against hand-built fixture bytes; every other
+  * format rides the deterministic stub.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSessions.spark
@@ -14,15 +18,52 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     Seq(
       MediaRow(1L, "image", "s3://m/1.jpg", Array.tabulate(256)(_.toByte)),
-      MediaRow(2L, "audio", "s3://m/2.wav", Array.tabulate(1024)(i => (i * 7).toByte)),
+      MediaRow(2L, "audio", "s3://m/2.ogg", Array.tabulate(1024)(i => (i * 7).toByte)),
       MediaRow(3L, "video", "s3://m/3.mp4", Array.tabulate(4096)(i => (i * 13).toByte)))
       .toDS().repartition(2)
+  }
+
+  /** Minimal BITMAPINFOHEADER BMP: 14-byte file header + 40-byte DIB. */
+  private def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54) // file size (headers only)
+    buf.putInt(0) // reserved
+    buf.putInt(54) // pixel data offset
+    buf.putInt(40) // DIB header size
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1) // planes
+    buf.putShort(24) // bits per pixel
+    buf.array()
+  }
+
+  /** Canonical 44-byte PCM WAV header + `dataLen` silence bytes. */
+  private def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataLen: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16) // PCM fmt chunk size
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(byteRate)
+    buf.putShort((channels * bitsPerSample / 8).toShort) // block align
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataLen)
+    buf.array()
   }
 
   test("feature extraction: schema, determinism, per-kind fields") {
     val feats = MultimodalOps.extractFeatures(media())
     assert(feats.columns.toSeq == Seq(
-      "media_id", "kind", "n_bytes", "width", "height", "duration_ms", "embedding"))
+      "media_id", "kind", "n_bytes", "width", "height", "duration_ms",
+      "sample_rate", "channels", "embedding"))
     val rows = feats.collect().sortBy(_.media_id)
     assert(rows.map(_.n_bytes).toSeq == Seq(256L, 1024L, 4096L))
     val img = rows.find(_.kind == "image").get
@@ -33,6 +74,46 @@ class MultimodalSpec extends AnyFunSuite {
     // deterministic: a second run produces identical features
     val again = MultimodalOps.extractFeatures(media()).collect().sortBy(_.media_id)
     assert(again.map(_.embedding.toSeq).toSeq == rows.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("BMP decode is real: true dimensions from fixture bytes, top-down abs'd") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, "image", "a.bmp", bmpBytes(width = 640, height = 480)),
+      MediaRow(2L, "image", "b.bmp", bmpBytes(width = 13, height = -7))).toDS()
+    val byId = MultimodalOps.extractFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).width == 640 && byId(1L).height == 480)
+    assert(byId(2L).width == 13 && byId(2L).height == 7) // negative = top-down
+    assert(byId(1L).duration_ms == 0L && byId(1L).sample_rate == 0)
+  }
+
+  test("WAV decode is real: sample rate, channels, duration from the chunk walk") {
+    import spark.implicits._
+    // 44100 Hz stereo 16-bit, exactly half a second of frames
+    val halfSec = 44100 * 2 * 2 / 2
+    val ds = Seq(
+      MediaRow(1L, "audio", "a.wav", wavBytes(44100, 2, 16, halfSec)),
+      MediaRow(2L, "audio", "b.wav", wavBytes(16000, 1, 16, 16000 * 2 * 3))).toDS()
+    val byId = MultimodalOps.extractFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).sample_rate == 44100 && byId(1L).channels == 2)
+    assert(byId(1L).duration_ms == 500L)
+    assert(byId(2L).sample_rate == 16000 && byId(2L).channels == 1)
+    assert(byId(2L).duration_ms == 3000L)
+    assert(byId(1L).width == 0 && byId(1L).height == 0)
+  }
+
+  test("corrupt headers fall back to the deterministic stub, not a task failure") {
+    import spark.implicits._
+    val truncatedBmp = bmpBytes(640, 480).take(20) // magic ok, DIB cut off
+    val zeroWidthBmp = bmpBytes(0, 10)
+    val headerlessWav = "RIFFxxxxWAVE".getBytes("US-ASCII") // no fmt/data chunks
+    val ds = Seq(
+      MediaRow(1L, "image", "t.bmp", truncatedBmp),
+      MediaRow(2L, "image", "z.bmp", zeroWidthBmp),
+      MediaRow(3L, "audio", "h.wav", headerlessWav)).toDS()
+    val rows = MultimodalOps.extractFeatures(ds).collect()
+    assert(rows.length == 3) // nothing threw
+    assert(rows.forall(_.embedding.length == 8)) // stub features present
   }
 
   test("chunk sampling explodes every stride-th fixed-size slice") {
