@@ -1,0 +1,93 @@
+package graft.tools
+
+import graft.{Queries, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale evidence for the LSH/dedup/packing designs: runs the
+  * five corpus-shaped headline queries on the sf0.1 documents table and
+  * on a 10x salted replication of it, and reports wall-times (Bench's
+  * protocol: cache cleared, warm-up, GC-drained timed runs, median) plus
+  * the q39 pointer-jumping round count at both scales.
+  *
+  * The 10x corpus is 10 copies of documents; copy k > 0 shifts `doc_id`
+  * by k*10^8 and suffixes every word with `ck`. Word-salting maps each
+  * copy's shingle space bijectively, so within-copy Jaccard relations
+  * (and therefore the near-dup pair/cluster structure) are preserved
+  * exactly while NO cross-copy pair is a near-dup: the 10x corpus has
+  * exactly 10x the documents, vocabulary, pairs, and clusters — the
+  * linear-growth shape the operators claim to scale with.
+  *
+  * Usage: `runMain graft.tools.ScaleEvidence [sfDir] [x10Dir]`
+  * (defaults /root/testdata/sf0.1 and /tmp/graft-scale-x10). Prints a
+  * markdown table for SURVEY.md's appendix.
+  */
+object ScaleEvidence {
+
+  private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
+    "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack")
+
+  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    val base = Tables.documents(spark, sfDir)
+    val copies = (0 until 10).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1c" + k).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    copies.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def medianTime(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
+    val q = Queries.byName(name)
+    spark.sharedState.cacheManager.clearCache()
+    q.fn(spark, dir).write.format("noop").mode("overwrite").save() // warm-up
+    val ts = (1 to runs).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(f"[scale] $name @ $dir runs: ${ts.map(t => f"$t%.2f").mkString(", ")}")
+    ts.sorted.apply(runs / 2)
+  }
+
+  private def ccRounds(spark: SparkSession, dir: String): Int = {
+    val edges = Queries.byName("q36_minhash_lsh").fn(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.ops.DedupOps.connectedComponentsWithRounds(edges)._2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val x10Dir = args.lift(1).getOrElse("/tmp/graft-scale-x10")
+    val spark = Tables.configure(SparkSession.builder().appName("scale-evidence"), "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, sfDir, x10Dir)
+    val n1 = Tables.documents(spark, sfDir).count()
+    val n10 = Tables.documents(spark, x10Dir).count()
+
+    val rows = QueryNames.map { name =>
+      val t1 = medianTime(spark, name, sfDir, runs = 3)
+      val t10 = medianTime(spark, name, x10Dir, runs = 3)
+      (name, t1, t10)
+    }
+    val r1 = ccRounds(spark, sfDir)
+    val r10 = ccRounds(spark, x10Dir)
+
+    println(s"\ndocs: 1x=$n1  10x=$n10")
+    println("| query | 1x (s) | 10x (s) | 10x/1x |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, t1, t10) =>
+      println(f"| $n | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
+    }
+    println(s"| q39 CC rounds | $r1 | $r10 | — |")
+    spark.stop()
+  }
+}
