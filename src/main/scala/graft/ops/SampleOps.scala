@@ -20,6 +20,13 @@ object SampleOps {
     * Mirror SQL: `CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),1,4))
     * AS INTEGER) % buckets` (16 hex bits, so `buckets` must divide the
     * space finely enough — fine for percent-style splits).
+    *
+    * Accepted bias: 65536 % buckets leaves the first `65536 mod buckets`
+    * buckets one 1/65536-slice heavier (~0.15% relative at buckets=100) —
+    * irrelevant at split granularity, and NOT silently fixable: widening
+    * the hash re-keys every existing split membership, so it stays as
+    * recorded unless a deliberate membership migration re-keys oracle
+    * and engine in lock-step.
     */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
