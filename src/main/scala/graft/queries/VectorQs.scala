@@ -165,7 +165,11 @@ object VectorQs {
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")
     },
-    None)
+    None,
+    // headline since round 5 (annex row in BASELINE.md — the frozen
+    // round-4 table is untouched): the embedding-LSH path deserves a
+    // perf gate now that its projections are a custom expression
+    headline = true)
 
   val defs: Seq[Q] = Seq(q41, q42, q43)
 }

@@ -77,7 +77,10 @@ final class PagedTable(rawOptions: Map[String, String]) extends Table with Suppo
     if (dir.startsWith("http://") || dir.startsWith("https://"))
       new HttpPageTransport(
         bearerToken = opt("bearerToken"),
-        requestTimeoutMs = opt("requestTimeoutMs").getOrElse("25000").toLong)
+        requestTimeoutMs = opt("requestTimeoutMs").getOrElse("25000").toLong,
+        listRetries = opt("maxRetries").getOrElse("3").toInt,
+        listBackoffBaseMs = opt("backoffBaseMs").getOrElse("1").toLong,
+        maxRetryAfterMs = opt("maxRetryAfterMs").getOrElse("60000").toLong)
     else
       // the session's Hadoop conf (spark.hadoop.* overrides, fs.defaultFS)
       // — NOT a bare `new Configuration()`, which would resolve scheme-less
@@ -233,7 +236,10 @@ final class FilePageTransport(val conf: SerializableConfiguration) extends PageT
   */
 final class HttpPageTransport(
     val bearerToken: Option[String],
-    val requestTimeoutMs: Long) extends PageTransport {
+    val requestTimeoutMs: Long,
+    val listRetries: Int = 3,
+    val listBackoffBaseMs: Long = 1000L,
+    val maxRetryAfterMs: Long = 60000L) extends PageTransport {
 
   // HttpClient is not serializable — rebuilt lazily on each executor
   @transient private lazy val client: java.net.http.HttpClient =
@@ -281,9 +287,32 @@ final class HttpPageTransport(
     else Seq(node.toString)
   }
 
+  /** The reference routes EVERY request — the first page included —
+    * through its retry wrapper (movie.py:98-129, called from the loop at
+    * :152-157), so the driver-side window-discovery GET gets the same
+    * taxonomy as executor fetches: 429 waits out the capped hint, 5xx and
+    * timeouts back off, 4xx fails immediately.
+    */
   override def listPages(dir: String): Seq[String] = {
-    val first = get(pageUrl(dir, 1))
-    classify(pageUrl(dir, 1), first)
+    val url = pageUrl(dir, 1)
+    var attempt = 0
+    var first: java.net.http.HttpResponse[String] = null
+    while (first == null) {
+      try {
+        val r = get(url)
+        classify(url, r)
+        first = r
+      } catch {
+        case e: PageGoneException => throw e
+        case e: RateLimitedException if attempt < listRetries =>
+          Thread.sleep(e.retryAfterMs.map(math.min(_, maxRetryAfterMs))
+            .getOrElse(listBackoffBaseMs * (1L << attempt)))
+          attempt += 1
+        case _: Exception if attempt < listRetries =>
+          Thread.sleep(listBackoffBaseMs * (1L << attempt))
+          attempt += 1
+      }
+    }
     val node = mapper.readTree(first.body())
     val total =
       if (node.isObject && node.hasNonNull("total_pages")) node.get("total_pages").asInt(1)

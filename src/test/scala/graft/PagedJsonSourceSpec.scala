@@ -326,6 +326,26 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP: the window-discovery GET retries like any other request") {
+    // the reference routes page 1 through the same retry wrapper; a 429
+    // then a 500 on the LISTING request must not fail the query
+    val listHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      listHits.incrementAndGet() match {
+        case 1 => respond(ex, 429, "", "Retry-After" -> "0")
+        case 2 => respond(ex, 503, "")
+        case _ => respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 1))
+      }
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("backoffBaseMs", "1")
+        .load()
+      assert(df.count() == 2)
+      assert(listHits.get() >= 3) // 429, 503, then success
+    }
+  }
+
   test("HTTP: request timeout is retryable, not fatal") {
     // the slow response hits page 2 — exclusively executor-fetched — which
     // times out once, retries with backoff, then succeeds
