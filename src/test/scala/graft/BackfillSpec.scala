@@ -77,6 +77,56 @@ class BackfillSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PAGES_DIR"))
   }
 
+  test("backfill runs end-to-end over the live HTTP transport") {
+    // the reference's actual deployment shape: month loop -> HTTPS pages
+    // -> normalize -> dedup -> checkpoint -> masters, here against an
+    // in-process stub speaking the discover protocol (from/to/page params)
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def param(ex: HttpExchange, k: String): String =
+      Option(ex.getRequestURI.getQuery).toSeq.flatMap(_.split("&"))
+        .collectFirst { case q if q.startsWith(s"$k=") => q.drop(k.length + 1) }
+        .getOrElse("")
+    // month -> pages of movie ids; id 4 repeats across months (global dedup)
+    val months = Map(
+      "2023-01-01" -> Seq(Seq(1, 2), Seq(3, 4)),
+      "2023-02-01" -> Seq(Seq(4, 5)))
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val pages = months(param(ex, "from"))
+      val page = param(ex, "page").toInt
+      val results = pages(page - 1).map(i =>
+        s"""{"id": $i, "title": "Movie $i", "release_date": "${param(ex, "from")}",
+           |"genre_ids": [28], "vote_average": 7.0, "vote_count": 10,
+           |"popularity": $i.0, "original_language": "en", "overview": "o",
+           |"poster_path": "/p$i.jpg"}""".stripMargin.replaceAll("\n", " "))
+      val body =
+        s"""{"page": $page, "total_pages": ${pages.size}, "results": [${results.mkString(",")}]}"""
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody; os.write(bytes); os.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/discover"
+      val outDir = Files.createTempDirectory("bf-http").toString
+      def fetch(ms: String, me: String): DataFrame =
+        spark.read.format("graft.sources.PagedJsonSource")
+          .option("dir", s"$base?from=$ms&to=$me")
+          .option("bearerToken", "stub-token")
+          .load()
+      val r = Backfill.run(spark, outDir, s"$outDir/cp.json",
+        "2023-01-01", "2023-02-28", "https://cdn/", "w500", Map(28 -> "Action"), fetch)
+      assert(r.processedMonths.size == 2)
+      assert(r.masterRows == 5) // ids 1-5; cross-month dup of 4 deduped
+      val master = spark.read.parquet(
+        s"$outDir/${MovieOps.masterPaths("2023-01-01", "2023-02-28")._2}")
+      val kept = master.filter(col("tmdb_id") === 4).head()
+      assert(kept.getAs[String]("release_date") == "2023-01-01") // earliest month won
+      assert(kept.getAs[String]("genres") == "Action")
+    } finally server.stop(0)
+  }
+
   test("crash mid-run, rerun converges with each month processed once") {
     val dir = Files.createTempDirectory("bf").toString
     val cp = s"$dir/cp.json"
