@@ -47,8 +47,9 @@ case class VecSrpBits(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "vec_srp_bits"
 
   private lazy val bitsPerBand: Int = third.eval().asInstanceOf[Int]
-  /** Planes flattened row-major; all rows padded/truncated to the first
-    * plane's length so the codegen loop bound is a compile-time constant.
+  /** Planes flattened row-major; all rows must share the first plane's
+    * length (ragged matrices are rejected at plan time) so the codegen
+    * loop bound is a compile-time constant.
     */
   private lazy val (flatPlanes: Array[Float], planeLen: Int, numPlanes: Int) = {
     val ad = second.eval().asInstanceOf[ArrayData]

@@ -86,8 +86,19 @@ object MultimodalOps {
         b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte && b(3) == 'F'.toByte &&
         b(8) == 'W'.toByte && b(9) == 'A'.toByte && b(10) == 'V'.toByte && b(11) == 'E'.toByte
 
+    /** DIB header sizes whose width/height live at offsets 18/22 as
+      * int32 (BITMAPINFOHEADER and its extensions; the ancient
+      * BITMAPCOREHEADER(12) uses int16 fields and is left to the stub).
+      * Requiring a known DIB size makes the 2-byte `BM` sniff sound: a
+      * random payload starting with 'BM' passes 1 in 2^16, but also
+      * matching a valid DIB int32 is ~2^-48 — garbage stays garbage
+      * instead of being emitted as an "image" with random dimensions.
+      */
+    private val DibSizes = Set(40, 52, 56, 64, 108, 124)
+
     private def decodeBmp(row: MediaRow): MediaFeatures = {
       val buf = ByteBuffer.wrap(row.bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(DibSizes.contains(buf.getInt(14)), "unknown DIB header size")
       val width = buf.getInt(18)
       val height = buf.getInt(22) // negative = top-down row order
       require(width > 0 && height != 0, "corrupt BMP dimensions")
@@ -103,20 +114,25 @@ object MultimodalOps {
       var sampleRate = 0
       var byteRate = 0
       var dataLen = -1L
-      var off = 12
+      // Long cursor + unsigned chunk sizes: the walk ALWAYS advances by
+      // >= 8 bytes, so a corrupt size field (e.g. 0xFFFFFFF8, whose
+      // signed-int reading is -8) can never stall or rewind the loop —
+      // it just walks past the end and the require below rejects the row
+      var off = 12L
       while (off + 8 <= b.length && (channels == 0 || dataLen < 0)) {
-        val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
-        if (id == "fmt " && off + 8 + 16 <= b.length) {
-          channels = buf.getShort(off + 8 + 2).toInt & 0xFFFF
-          sampleRate = buf.getInt(off + 8 + 4)
-          byteRate = buf.getInt(off + 8 + 8)
+        val at = off.toInt
+        val id = new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = buf.getInt(at + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && at + 8 + 16 <= b.length) {
+          channels = buf.getShort(at + 8 + 2).toInt & 0xFFFF
+          sampleRate = buf.getInt(at + 8 + 4)
+          byteRate = buf.getInt(at + 8 + 8)
         } else if (id == "data") {
           // size may exceed the sampled payload (metadata-only prefixes):
           // trust the header, it IS the stream length
           dataLen = size
         }
-        off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+        off += 8L + size + (size & 1L) // chunks pad to even
       }
       require(channels > 0 && sampleRate > 0 && byteRate > 0 && dataLen >= 0,
         "missing fmt/data chunk")

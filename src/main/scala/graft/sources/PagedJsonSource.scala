@@ -71,9 +71,13 @@ final class PagedTable(rawOptions: Map[String, String]) extends Table with Suppo
     throw new IllegalArgumentException("option 'dir' is required"))
 
   /** The transport serving this table's pages — driver side; serialized
-    * into the reader factory for executor-side fetches.
+    * into the reader factory for executor-side fetches. One instance per
+    * table (lazy val): building it clones the session Hadoop conf, and a
+    * scan asks for it from both the partition listing and the reader
+    * factory — two `def` evaluations could even snapshot different conf
+    * state mid-planning.
     */
-  private[graft] def transport: PageTransport =
+  private[graft] lazy val transport: PageTransport =
     if (dir.startsWith("http://") || dir.startsWith("https://"))
       new HttpPageTransport(
         bearerToken = opt("bearerToken"),
@@ -241,10 +245,13 @@ final class HttpPageTransport(
     val listBackoffBaseMs: Long = 1000L,
     val maxRetryAfterMs: Long = 60000L) extends PageTransport {
 
-  // HttpClient is not serializable — rebuilt lazily on each executor
+  // HttpClient is not serializable — rebuilt lazily on each executor.
+  // NORMAL redirect policy follows 3xx like the reference's requests
+  // session does (but never downgrades https -> http)
   @transient private lazy val client: java.net.http.HttpClient =
     java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(requestTimeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -277,9 +284,15 @@ final class HttpPageTransport(
 
   private def parseLines(body: String): Seq[String] = {
     val trimmed = body.trim
-    if (!(trimmed.startsWith("{") || trimmed.startsWith("["))) {
-      return trimmed.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    // JSON-lines first: multiple lines, each a complete object — checked
+    // BEFORE the single-document parse because a JSON-lines body also
+    // starts with '{' and Jackson's readTree would silently keep only
+    // the first document (trailing tokens don't fail by default)
+    val lines = trimmed.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    if (lines.length > 1 && lines.forall(l => l.startsWith("{") && l.endsWith("}"))) {
+      return lines
     }
+    if (!(trimmed.startsWith("{") || trimmed.startsWith("["))) return lines
     val node = mapper.readTree(trimmed)
     if (node.isObject && node.has("results"))
       node.get("results").elements().asScala.map(_.toString).toList

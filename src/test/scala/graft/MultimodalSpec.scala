@@ -107,13 +107,31 @@ class MultimodalSpec extends AnyFunSuite {
     val truncatedBmp = bmpBytes(640, 480).take(20) // magic ok, DIB cut off
     val zeroWidthBmp = bmpBytes(0, 10)
     val headerlessWav = "RIFFxxxxWAVE".getBytes("US-ASCII") // no fmt/data chunks
+    // chunk size whose signed-int reading is -8: a naive walk advances by
+    // 8 + (-8) = 0 bytes and spins forever — this row pins termination
+    val spinWav = {
+      val buf = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      buf.array()
+    }
+    // payload that merely STARTS with 'BM' but has no valid DIB header:
+    // must NOT be rewritten into an "image" with garbage dimensions
+    val bmMagicAudio = Array.tabulate(64)(i =>
+      if (i == 0) 'B'.toByte else if (i == 1) 'M'.toByte else 0x11.toByte)
     val ds = Seq(
       MediaRow(1L, "image", "t.bmp", truncatedBmp),
       MediaRow(2L, "image", "z.bmp", zeroWidthBmp),
-      MediaRow(3L, "audio", "h.wav", headerlessWav)).toDS()
+      MediaRow(3L, "audio", "h.wav", headerlessWav),
+      MediaRow(4L, "audio", "s.wav", spinWav),
+      MediaRow(5L, "audio", "bm.ogg", bmMagicAudio)).toDS()
     val rows = MultimodalOps.extractFeatures(ds).collect()
-    assert(rows.length == 3) // nothing threw
+    assert(rows.length == 5) // nothing threw (and nothing hung)
     assert(rows.forall(_.embedding.length == 8)) // stub features present
+    val bm = rows.find(_.media_id == 5L).get
+    assert(bm.kind == "audio" && bm.width == 0 && bm.sample_rate == 0,
+      "BM-magic audio payload was mis-sniffed as a decoded image")
   }
 
   test("chunk sampling explodes every stride-th fixed-size slice") {

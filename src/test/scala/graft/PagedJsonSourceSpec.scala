@@ -326,6 +326,34 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP: a JSON-lines body yields one row per line") {
+    // Jackson's readTree keeps only the FIRST document of a JSON-lines
+    // body (trailing tokens don't fail) — the transport must split lines
+    withServer { ex =>
+      respond(ex, 200, (1 to 3).map(i =>
+        s"""{"id": $i, "title": "M$i", "vote_count": 1}""").mkString("\n"))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base).load()
+      assert(df.count() == 3, "JSON-lines body silently truncated to one row")
+    }
+  }
+
+  test("HTTP: redirects are followed like the reference client") {
+    withServer { ex =>
+      if (ex.getRequestURI.getPath.startsWith("/discover")) {
+        val q = Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+        respond(ex, 301, "", "Location" -> s"/real$q")
+      } else respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 1))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("backoffBaseMs", "1")
+        .load()
+      assert(df.count() == 2, "301 redirect not followed")
+    }
+  }
+
   test("HTTP: the window-discovery GET retries like any other request") {
     // the reference routes page 1 through the same retry wrapper; a 429
     // then a 500 on the LISTING request must not fail the query
