@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q45_vocab_encode").contains("BroadcastHashJoin"), "vocab join not broadcast")
   }
 
+  test("q43: packed SRP expression in plan, verify joins broadcast, no cross join") {
+    val p = plan("q43_embedding_near_dup")
+    assert(p.contains("vec_srp_bits"),
+      "plane projections regressed off the packed codegen expression")
+    assert(p.contains("BroadcastHashJoin"), "verify/cap joins not broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q43 plan contains an all-pairs join")
+  }
+
   test("q36: band relation is served from cache, not recomputed per consumer") {
     // force the memoized relations to exist, then check the plan reads them
     Queries.byName("q36_minhash_lsh").fn(spark, sf)
