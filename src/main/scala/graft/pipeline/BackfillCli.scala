@@ -10,12 +10,18 @@ import org.apache.spark.sql.SparkSession
   * source → normalize → checkpointed monthly backfill → consolidation
   * pipeline ([[Backfill]]).
   *
-  * The transport root replaces the HTTPS endpoint: `--pages-dir` points
-  * at per-month page directories (`<pagesDir>/<monthStart>_<monthEnd>/
-  * page-*.json`), read through [[graft.sources.PagedJsonSource]] with
-  * the reference's 500-page window cap (overridable via `--max-pages`,
-  * loss logged). Image URL config comes from keys instead of the
-  * config endpoint (S2 — plan-time scalars either way).
+  * `--pages-dir` is the transport root, either form:
+  *  - per-month page directories (`<pagesDir>/<monthStart>_<monthEnd>/
+  *    page-*.json`), read through the Hadoop FS; or
+  *  - an http(s) discover endpoint — each month is fetched live as
+  *    `<pagesDir>?primary_release_date.gte=<ms>&primary_release_date
+  *    .lte=<me>&page=N` (the reference's own query params,
+  *    movie.py:148-151), with `--bearer-token`/`BEARER_TOKEN` standing
+  *    in for `TMDB_API_KEY`.
+  * Both go through [[graft.sources.PagedJsonSource]] with the
+  * reference's 500-page window cap (overridable via `--max-pages`, loss
+  * logged). Image URL config comes from keys instead of the config
+  * endpoint (S2 — plan-time scalars either way).
   */
 object BackfillCli {
 
@@ -39,15 +45,24 @@ object BackfillCli {
     // keep='first' parity (movie.py:276): ingest ordinals from the source
     // feed the dedup window so the first fetched duplicate survives
     val keepFirst = conf.getOrElse("keep-first", "KEEP_FIRST", "false").toBoolean
+    val bearer = conf.get("bearer-token", "BEARER_TOKEN")
+    val isHttp = pagesDir.startsWith("http://") || pagesDir.startsWith("https://")
+    def monthDir(ms: String, me: String): String =
+      if (isHttp) {
+        val sep = if (pagesDir.contains("?")) "&" else "?"
+        s"$pagesDir${sep}primary_release_date.gte=$ms&primary_release_date.lte=$me"
+      } else s"$pagesDir/${ms}_$me"
     Backfill.run(
       spark, outDir, s"$outDir/checkpoint_months.json", from, to,
       imageBase, posterSize, genres,
-      fetchMonth = (ms, me) =>
-        spark.read.format("graft.sources.PagedJsonSource")
-          .option("dir", s"$pagesDir/${ms}_$me")
+      fetchMonth = (ms, me) => {
+        val reader = spark.read.format("graft.sources.PagedJsonSource")
+          .option("dir", monthDir(ms, me))
           .option("maxPages", maxPages)
           .option("withOrdinals", keepFirst.toString)
-          .load(),
+        bearer.foreach(reader.option("bearerToken", _))
+        reader.load()
+      },
       onProgress = onProgress,
       keepFirst = keepFirst)
   }

@@ -127,6 +127,54 @@ class BackfillSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("BackfillCli runs against an http pages-dir (live-API parity)") {
+    // the reference's deployment exactly: config cascade -> discover
+    // endpoint with primary_release_date.gte/lte params + bearer auth
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def param(ex: HttpExchange, k: String): String =
+      Option(ex.getRequestURI.getQuery).toSeq.flatMap(_.split("&"))
+        .collectFirst { case q if q.startsWith(s"$k=") => q.drop(k.length + 1) }
+        .getOrElse("")
+    val months = Map("2023-01-01" -> Seq(1, 2), "2023-02-01" -> Seq(2, 3))
+    val badAuth = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val bytes =
+        if (ex.getRequestHeaders.getFirst("Authorization") != "Bearer k-123") {
+          badAuth.incrementAndGet(); Array.empty[Byte]
+        } else {
+          val ids = months(param(ex, "primary_release_date.gte"))
+          val results = ids.map(i =>
+            s"""{"id": $i, "title": "M$i", "release_date": "${param(ex, "primary_release_date.gte")}",
+               |"genre_ids": [28], "vote_average": 7.0, "vote_count": 10, "popularity": 1.0,
+               |"original_language": "en", "overview": "o", "poster_path": "/p$i.jpg"}"""
+              .stripMargin.replaceAll("\n", " "))
+          s"""{"page": 1, "total_pages": 1, "results": [${results.mkString(",")}]}"""
+            .getBytes("UTF-8")
+        }
+      val code = if (bytes.isEmpty) 401 else 200
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+      if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+      else ex.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/discover"
+      val outDir = Files.createTempDirectory("cli-http").toString
+      val conf = Conf.Layered(
+        cli = Conf.parseArgs(Seq(
+          "--pages-dir", base, "--out-dir", outDir,
+          "--from", "2023-01-01", "--to", "2023-02-28")),
+        env = Map("GENRES" -> "28:Action", "BEARER_TOKEN" -> "k-123"),
+        dotEnv = Map.empty)
+      val r = BackfillCli.run(spark, conf)
+      assert(r.processedMonths.size == 2)
+      assert(r.masterRows == 3) // ids 1-3; cross-month dup of 2 deduped
+      assert(badAuth.get() == 0, "bearer token not sent on some request")
+    } finally server.stop(0)
+  }
+
   test("crash mid-run, rerun converges with each month processed once") {
     val dir = Files.createTempDirectory("bf").toString
     val cp = s"$dir/cp.json"
