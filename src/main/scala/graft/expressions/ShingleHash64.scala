@@ -1,0 +1,106 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct token n-gram shingles of a string as 64-bit FNV-1a
+  * fingerprints, computed natively over the UTF8String's bytes.
+  *
+  * Semantics are IDENTICAL to [[graft.ops.TextOps.shingleHashes]]'s UDF
+  * (split on single spaces keeping empty tokens, FNV-1a over the
+  * space-joined shingle's UTF-8 bytes, first-seen order distinct) —
+  * `VecDotSpec` pins row-for-row equality on the corpus. The win over
+  * the UDF is mechanical, not semantic: no UTF8String→java.lang.String
+  * decode, no per-token String allocation, no boxed-array→Catalyst
+  * re-conversion. Because tokens are split on the single byte 0x20 (a
+  * byte that never occurs inside a multi-byte UTF-8 sequence), the
+  * space-joined shingle of tokens i..i+n-1 is exactly the source byte
+  * range from token i's start to token i+n-1's end, so each fingerprint
+  * is one FNV pass over a byte slice — no joining at all.
+  *
+  * Null text yields null; n must be a positive plan-time literal.
+  */
+case class ShingleHash64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("shingle_hash64 requires a literal n")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"shingle_hash64 requires (string, int), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash64"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    ShingleHash64.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // one static JIT-able method call per row — the loop body lives in
+    // compute(), not in the generated source, so whole-stage codegen
+    // stays small no matter how often the expression appears (the
+    // vec_srp_bits lesson: inlining big loops N times breaks the JIT)
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.expressions.ShingleHash64.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHash64 {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    require(n > 0, s"shingle_hash64: n must be positive, got $n")
+    val nb = text.numBytes()
+    // pass 1: token count (split on ' ' keeping empties: tokens = spaces+1)
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val numToks = spaces + 1
+    if (numToks < n) return new GenericArrayData(Array.empty[Long])
+    // pass 2: token start offsets, plus a sentinel one past the last
+    // byte + 1 so every token's end is starts(t + 1) - 1
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(numToks) = nb + 1
+    // pass 3: FNV-1a per window over the contiguous byte slice,
+    // first-seen-order distinct
+    val out = new Array[Long](numToks - n + 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var k = 0
+    var w = 0
+    while (w <= numToks - n) {
+      var h = FnvOffset
+      var j = starts(w)
+      val end = starts(w + n) - 1
+      while (j < end) {
+        h ^= text.getByte(j) & 0xffL
+        h *= FnvPrime
+        j += 1
+      }
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      w += 1
+    }
+    new GenericArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}

@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_srp_bits"),
       new ExpressionInfo(classOf[VecSrpBits].getName, "vec_srp_bits"),
       (children: Seq[Expression]) => VecSrpBits(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
+      (children: Seq[Expression]) => ShingleHash64(children(0), children(1))))
   }
 }

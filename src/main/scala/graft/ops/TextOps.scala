@@ -78,11 +78,19 @@ object TextOps {
     * shuffles, and join payloads than the text it fingerprints. At 27 k
     * distinct shingles (sf0.1) the 64-bit collision probability is
     * ~2e-11; a collision could only merge two shingles, never split one.
-    * Same UDF-over-HOF rationale as [[shingles]].
+    *
+    * Resolves to the native [[graft.expressions.ShingleHash64]]
+    * expression (registered by `GraftExtensions`): the same fingerprints
+    * as [[shingleHashReference]]'s UDF (spec-pinned row-for-row), but
+    * computed straight over the UTF8String bytes — no String decode, no
+    * per-token allocation, no boxed-result re-conversion.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column = shingleHashUdf(text, lit(n))
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("shingle_hash64", text, lit(n))
 
-  private val shingleHashUdf = udf((text: String, n: Int) =>
+  /** The plain-JVM reference implementation of [[shingleHashes]] — kept
+    * as the oracle the native expression is spec-tested against. */
+  private[graft] val shingleHashReference = udf((text: String, n: Int) =>
     if (text == null) Array.empty[Long]
     else {
       val toks = text.split(" ", -1)

@@ -63,6 +63,29 @@ class VecDotSpec extends AnyFunSuite {
     assert(bad == 0, "packed SRP bits diverge from per-plane vec_dot signs")
   }
 
+  test("shingle_hash64 equals the UDF reference row-for-row on the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val bad = docs.select(
+        graft.ops.TextOps.shingleHashes(col("text")).as("a"),
+        graft.ops.TextOps.shingleHashReference(col("text"), lit(3)).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(bad == 0, "native shingle fingerprints diverge from the UDF reference")
+    // edge shapes: short docs, empty tokens from double spaces, 1 token
+    val edges = Seq("", "a", "a b", "a b c", "a  b c", " a b", "a b c d e")
+      .toDF("text")
+    val mism = edges.select(
+        graft.ops.TextOps.shingleHashes(col("text")).as("a"),
+        graft.ops.TextOps.shingleHashReference(col("text"), lit(3)).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mism == 0)
+    // null text: the native expression null-propagates (standard Catalyst
+    // semantics); explode/size>0 downstream treat null and empty alike
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(graft.ops.TextOps.shingleHashes(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("vec_srp_bits: null vec is null; non-literal planes are rejected") {
     import spark.implicits._
     val nul = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
