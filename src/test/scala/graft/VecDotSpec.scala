@@ -86,6 +86,24 @@ class VecDotSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("shingle_hash64 == reference on random MULTI-BYTE unicode docs (300 samples)") {
+    import spark.implicits._
+    // the native form hashes contiguous UTF8String byte slices — sound
+    // only because 0x20 never occurs inside a multi-byte UTF-8 sequence;
+    // this samples exactly that claim (accents, CJK, emoji, empty tokens)
+    val words = Seq("the", "café", "naïve", "日本語のテキスト", "🙂🚀", "a", "",
+      "Straße", "кот и пёс", "ₓ₁", "é") // includes a combining mark
+    val rnd = new scala.util.Random(4242)
+    val docs = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }.toDF("text")
+    val bad = docs.select(
+        graft.ops.TextOps.shingleHashes(col("text")).as("a"),
+        graft.ops.TextOps.shingleHashReference(col("text"), lit(3)).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(bad == 0, "byte-slice fingerprints diverge from the String reference on unicode")
+  }
+
   test("vec_srp_bits: null vec is null; non-literal planes are rejected") {
     import spark.implicits._
     val nul = Seq((1L, Option.empty[Seq[Float]])).toDF("id", "v")
