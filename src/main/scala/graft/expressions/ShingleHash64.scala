@@ -1,8 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * range from token i's start to token i+n-1's end, so each fingerprint
   * is one FNV pass over a byte slice — no joining at all.
   *
-  * Null text yields null; n must be a positive plan-time literal.
+  * Null text yields an EMPTY array — the same as the UDF it replaces
+  * (a null document has no shingles; `size(...)` downstream counts 0,
+  * never null) — so the expression itself is never null. n must be a
+  * positive non-null plan-time literal.
   */
 case class ShingleHash64(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -32,24 +37,43 @@ case class ShingleHash64(left: Expression, right: Expression)
       case (StringType, IntegerType) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure("shingle_hash64 requires a literal n")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("shingle_hash64 requires a non-null n")
         else TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(
           s"shingle_hash64 requires (string, int), got ${l.sql} and ${r.sql}")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "shingle_hash64"
 
-  override protected def nullSafeEval(text: Any, n: Any): Any =
-    ShingleHash64.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) ShingleHash64.EMPTY
+    else ShingleHash64.compute(t.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[Int])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // one static JIT-able method call per row — the loop body lives in
     // compute(), not in the generated source, so whole-stage codegen
     // stays small no matter how often the expression appears (the
-    // vec_srp_bits lesson: inlining big loops N times breaks the JIT)
-    nullSafeCodeGen(ctx, ev, (t, n) =>
-      s"${ev.value} = graft.expressions.ShingleHash64.compute($t, $n);")
+    // vec_srp_bits lesson: inlining big loops N times breaks the JIT).
+    // Null text short-circuits to the shared EMPTY array, so the result
+    // slot is never null and downstream null checks vanish.
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $javaType ${ev.value} = ${l.isNull}
+          ? graft.expressions.ShingleHash64.EMPTY()
+          : graft.expressions.ShingleHash64.compute(${l.value}, ${r.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -59,6 +83,9 @@ case class ShingleHash64(left: Expression, right: Expression)
 object ShingleHash64 {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
+
+  /** Shared null-text result (referenced from generated code). */
+  val EMPTY: ArrayData = new GenericArrayData(Array.empty[Long])
 
   /** Shared by interpreted eval and generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {

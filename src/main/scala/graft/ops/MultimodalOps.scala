@@ -25,13 +25,16 @@ object MultimodalOps {
   /** A media row: opaque payload + metadata. */
   final case class MediaRow(media_id: Long, kind: String, uri: String, bytes: Array[Byte])
 
-  /** Extracted features (what an image/audio decoder emits). */
+  /** Extracted features (what an image/audio decoder emits).
+    * `bit_depth` is bits per pixel for images (0 = unknown/not an image).
+    */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
       width: Int,
       height: Int,
+      bit_depth: Int,
       duration_ms: Long,
       sample_rate: Int,
       channels: Int,
@@ -59,6 +62,7 @@ object MultimodalOps {
         n_bytes = row.bytes.length.toLong,
         width = if (row.kind == "image") 16 + math.abs(h % 4096) else 0,
         height = if (row.kind == "image") 16 + math.abs((h / 7) % 4096) else 0,
+        bit_depth = 0,
         duration_ms = if (row.kind == "audio" || row.kind == "video") math.abs(h % 600000L) else 0L,
         sample_rate = 0,
         channels = 0,
@@ -101,10 +105,12 @@ object MultimodalOps {
       require(DibSizes.contains(buf.getInt(14)), "unknown DIB header size")
       val width = buf.getInt(18)
       val height = buf.getInt(22) // negative = top-down row order
+      // biBitCount, uint16 @28 (0 is legal: embedded JPEG/PNG define it)
+      val bitDepth = buf.getShort(28).toInt & 0xFFFF
       require(width > 0 && height != 0, "corrupt BMP dimensions")
       fake.decode(row).copy(
         kind = "image", width = width, height = math.abs(height),
-        duration_ms = 0L, sample_rate = 0, channels = 0)
+        bit_depth = bitDepth, duration_ms = 0L, sample_rate = 0, channels = 0)
     }
 
     private def decodeWav(row: MediaRow): MediaFeatures = {

@@ -92,6 +92,12 @@ final class PagedTable(rawOptions: Map[String, String]) extends Table with Suppo
       new FilePageTransport(new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
 
+  /** The page window, listed ONCE per table: every action on a loaded
+    * DataFrame plans a fresh Scan, and without this a rate-limited API
+    * would see one discovery GET per `count()`/`collect()`.
+    */
+  private[graft] lazy val window: PageWindow = transport.listWindow(dir)
+
   override def name(): String = s"paged_json(${opt("dir").getOrElse("?")})"
   override def schema(): StructType = PagedTable.schemaFor(withOrdinals)
   override def capabilities(): util.Set[TableCapability] =
@@ -102,21 +108,26 @@ final class PagedTable(rawOptions: Map[String, String]) extends Table with Suppo
       override def readSchema(): StructType = PagedTable.schemaFor(withOrdinals)
       override def toBatch: Batch = this
       // memoized: Spark calls planInputPartitions several times while
-      // planning one query (supportsColumnar, exec) — list once per scan,
-      // like FileScan's partition cache (and one HTTP GET, not several)
+      // planning one query (supportsColumnar, exec) — and `window` is
+      // memoized a level up on the TABLE, so repeated actions on the same
+      // DataFrame reuse one listing (one discovery GET per load, like
+      // FileScan's partition cache; staleness semantics match a file scan)
       private lazy val partitions: Array[InputPartition] = {
-        val pages = transport.listPages(dir)
+        val w = window
         // the reference's 500-page window cap LOGS its data loss
         // (movie.py:161-171) — a silently truncated window is
         // indistinguishable from a complete one downstream
         val maxPages = opt("maxPages").getOrElse(Int.MaxValue.toString).toInt
         val kept =
-          if (pages.length > maxPages) {
-            PagedTable.logOverflow(dir, pages.length, maxPages)
-            pages.take(maxPages)
-          } else pages
+          if (w.refs.length > maxPages) {
+            PagedTable.logOverflow(dir, w.refs.length, maxPages)
+            w.refs.take(maxPages)
+          } else w.refs
         kept.zipWithIndex.map { case (ref, i) =>
-          PagePartition(ref, i): InputPartition
+          // the discovery GET already paid for page 1's body — ship it
+          // with partition 0 instead of fetching the same page twice
+          // (the reference reuses the first response too, movie.py:173)
+          PagePartition(ref, i, if (i == 0) w.firstLines else None): InputPartition
         }.toArray
       }
       override def planInputPartitions(): Array[InputPartition] = partitions
@@ -157,7 +168,18 @@ object PagedTable {
   }
 }
 
-final case class PagePartition(path: String, index: Int) extends InputPartition
+/** One page of the window. `prefetch` carries a body some driver-side
+  * request already paid for (the HTTP discovery GET reads page 1 whole) —
+  * the reader serves it directly instead of re-fetching the page.
+  */
+final case class PagePartition(path: String, index: Int,
+    prefetch: Option[Seq[String]] = None) extends InputPartition
+
+/** A listed window: ordered page refs, plus page 1's already-fetched
+  * lines when the listing itself had to read page 1 to size the window.
+  */
+final case class PageWindow(refs: Seq[String],
+    firstLines: Option[Seq[String]] = None)
 
 /** The transport's 429 analog (movie.py:113-121): the page is
   * rate-limited and the server may have said how long to wait.
@@ -180,6 +202,9 @@ final class PageGoneException(msg: String, cause: Throwable = null)
 trait PageTransport extends Serializable {
   /** Ordered page refs for the window rooted at `dir` (driver-side). */
   def listPages(dir: String): Seq[String]
+  /** The window with any listing byproduct (an HTTP discovery GET reads
+    * page 1's body — returning it here saves a duplicate fetch). */
+  def listWindow(dir: String): PageWindow = PageWindow(listPages(dir))
   /** One page's raw JSON-lines (executor-side). */
   def fetchLines(ref: String): Seq[String]
 }
@@ -304,9 +329,11 @@ final class HttpPageTransport(
     * through its retry wrapper (movie.py:98-129, called from the loop at
     * :152-157), so the driver-side window-discovery GET gets the same
     * taxonomy as executor fetches: 429 waits out the capped hint, 5xx and
-    * timeouts back off, 4xx fails immediately.
+    * timeouts back off, 4xx fails immediately. The first response's body
+    * rides back in the window (movie.py:173 reuses it the same way), so
+    * page 1 is fetched exactly once per window.
     */
-  override def listPages(dir: String): Seq[String] = {
+  override def listWindow(dir: String): PageWindow = {
     val url = pageUrl(dir, 1)
     var attempt = 0
     var first: java.net.http.HttpResponse[String] = null
@@ -317,6 +344,9 @@ final class HttpPageTransport(
         first = r
       } catch {
         case e: PageGoneException => throw e
+        case e: InterruptedException =>
+          // a cancelled query must not sleep out the backoff schedule
+          Thread.currentThread().interrupt(); throw e
         case e: RateLimitedException if attempt < listRetries =>
           Thread.sleep(e.retryAfterMs.map(math.min(_, maxRetryAfterMs))
             .getOrElse(listBackoffBaseMs * (1L << attempt)))
@@ -330,8 +360,11 @@ final class HttpPageTransport(
     val total =
       if (node.isObject && node.hasNonNull("total_pages")) node.get("total_pages").asInt(1)
       else 1
-    (1 to math.max(1, total)).map(pageUrl(dir, _))
+    PageWindow((1 to math.max(1, total)).map(pageUrl(dir, _)),
+      firstLines = Some(parseLines(first.body())))
   }
+
+  override def listPages(dir: String): Seq[String] = listWindow(dir).refs
 
   override def fetchLines(ref: String): Seq[String] = {
     val r = get(ref)
@@ -406,6 +439,9 @@ final class PagedReader(part: PagePartition, transport: PageTransport,
         case e: PageGoneException =>
           throw new RuntimeException(
             s"page ${part.path} is gone (fatal, not retried — the 404 analog)", e)
+        case e: InterruptedException =>
+          // task kill/cancellation: surface immediately, never sleep on it
+          Thread.currentThread().interrupt(); throw e
         case e: RateLimitedException if attempt < maxRetries =>
           val wait = e.retryAfterMs match {
             case Some(hint) => math.min(hint, maxRetryAfterMs)
@@ -443,8 +479,13 @@ final class PagedReader(part: PagePartition, transport: PageTransport,
 
   override def next(): Boolean = {
     if (rows == null) {
-      if (pageDelayMs > 0) Thread.sleep(pageDelayMs) // C2: rate limit
-      rows = safeReadPage().iterator.zipWithIndex
+      // a prefetched body came from a request the driver already made —
+      // no new fetch, so no politeness delay and no retry loop
+      val lines = part.prefetch.getOrElse {
+        if (pageDelayMs > 0) Thread.sleep(pageDelayMs) // C2: rate limit
+        safeReadPage()
+      }
+      rows = lines.iterator.zipWithIndex
         .map { case (l, i) => toRow(mapper.readTree(l), i) }
     }
     if (rows.hasNext) { current = rows.next(); true } else false

@@ -62,8 +62,8 @@ class MultimodalSpec extends AnyFunSuite {
   test("feature extraction: schema, determinism, per-kind fields") {
     val feats = MultimodalOps.extractFeatures(media())
     assert(feats.columns.toSeq == Seq(
-      "media_id", "kind", "n_bytes", "width", "height", "duration_ms",
-      "sample_rate", "channels", "embedding"))
+      "media_id", "kind", "n_bytes", "width", "height", "bit_depth",
+      "duration_ms", "sample_rate", "channels", "embedding"))
     val rows = feats.collect().sortBy(_.media_id)
     assert(rows.map(_.n_bytes).toSeq == Seq(256L, 1024L, 4096L))
     val img = rows.find(_.kind == "image").get
@@ -84,6 +84,7 @@ class MultimodalSpec extends AnyFunSuite {
     val byId = MultimodalOps.extractFeatures(ds).collect().map(f => f.media_id -> f).toMap
     assert(byId(1L).width == 640 && byId(1L).height == 480)
     assert(byId(2L).width == 13 && byId(2L).height == 7) // negative = top-down
+    assert(byId(1L).bit_depth == 24 && byId(2L).bit_depth == 24) // biBitCount@28
     assert(byId(1L).duration_ms == 0L && byId(1L).sample_rate == 0)
   }
 

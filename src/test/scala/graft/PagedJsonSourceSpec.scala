@@ -374,6 +374,27 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP: page 1 fetched once per window; repeat actions reuse the listing") {
+    // the discovery GET reads page 1 whole — its body must ride into
+    // partition 0 instead of being fetched twice (movie.py:173), and a
+    // second action on the same DataFrame must not re-list the window
+    val hitsByPage = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    withServer { ex =>
+      hitsByPage.merge(pageOf(ex), 1, (a, b) => a + b)
+      respond(ex, 200, discoverBody(pageOf(ex), totalPages = 3, rowsPerPage = 2))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base).load()
+      assert(df.count() == 6)
+      assert(hitsByPage.get(1) == 1,
+        s"page 1 fetched ${hitsByPage.get(1)} times — discovery body not reused")
+      assert(df.count() == 6) // second action
+      assert(hitsByPage.get(1) == 1, "second action re-listed the window")
+      assert(hitsByPage.get(2) == 2 && hitsByPage.get(3) == 2,
+        "per-action executor fetches for pages 2+ expected (no result cache claimed)")
+    }
+  }
+
   test("HTTP: request timeout is retryable, not fatal") {
     // the slow response hits page 2 — exclusively executor-fetched — which
     // times out once, retries with backoff, then succeeds

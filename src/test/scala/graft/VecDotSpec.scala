@@ -79,11 +79,42 @@ class VecDotSpec extends AnyFunSuite {
         graft.ops.TextOps.shingleHashReference(col("text"), lit(3)).as("b"))
       .filter(not(col("a") === col("b"))).count()
     assert(mism == 0)
-    // null text: the native expression null-propagates (standard Catalyst
-    // semantics); explode/size>0 downstream treat null and empty alike
+    // null text: EMPTY array, same as the UDF reference (a null document
+    // has no shingles; size() downstream counts 0, never null)
     val n = Seq(Option.empty[String]).toDF("text")
-      .select(graft.ops.TextOps.shingleHashes(col("text"))).head()
-    assert(n.isNullAt(0))
+      .select(graft.ops.TextOps.shingleHashes(col("text")).as("a"),
+        graft.ops.TextOps.shingleHashReference(col("text"), lit(3)).as("b"))
+      .head()
+    assert(!n.isNullAt(0) && n.getSeq[Long](0).isEmpty, "null text must shingle to []")
+    assert(n.getSeq[Long](0) == n.getSeq[Long](1), "null-text result diverges from the UDF")
+  }
+
+  test("native expressions COMPILE under codegen — no interpreted fallback") {
+    // a codegen bug in doGenCode is invisible by default: Spark logs the
+    // janino error and silently falls back to interpreted eval, so every
+    // equality test still passes while the hot path quietly loses codegen
+    // (exactly what happened when generated Java referenced a Scala object
+    // val as a field instead of its static-forwarder method). CODEGEN_ONLY
+    // + fallback=false turn that into a hard failure here.
+    import spark.implicits._
+    val confs = Seq("spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = Seq("a b c d", null.asInstanceOf[String], "x y").toDF("text")
+      val shingled = docs.select(
+        graft.ops.TextOps.shingleHashes(col("text")).as("sh")).collect()
+      assert(shingled.forall(!_.isNullAt(0)))
+      val vecs = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      assert(vecs.select(call_function("vec_dot", col("a"), col("b")))
+        .head().getDouble(0) == 11.0)
+      assert(!vecs.select(call_function("vec_srp_bits", col("a"),
+          typedlit(Seq(Seq(1.0f, 1.0f))), lit(1))).head().isNullAt(0))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("shingle_hash64 == reference on random MULTI-BYTE unicode docs (300 samples)") {
