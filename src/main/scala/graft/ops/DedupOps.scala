@@ -123,7 +123,9 @@ object DedupOps {
     * canonical survivor per component.
     *
     * Algorithm: min-label propagation with POINTER JUMPING. Every node
-    * starts labeled with its own id; each round (1) every node takes the
+    * starts labeled `least(id, min(neighbor ids))` — the node-list
+    * exchange doubles as round 1, since initial labels are ids; each
+    * round (1) every node takes the
     * minimum of its own label and its neighbors' labels, then (2) jumps:
     * replaces its label with its label's label (path doubling). Step 1
     * alone converges in diameter rounds — fine for dense near-dup
@@ -181,8 +183,16 @@ object DedupOps {
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = cut(sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")))
+    // Init folds round 1 in for free: the node list needs a keyed
+    // exchange anyway (the old form was distinct()), and since every
+    // node's initial label IS its id, the first neighbor-min is just
+    // min(neighbor id) — so start from least(id, min(b)) and skip a
+    // whole join round. On clique-ish near-dup clusters (every member
+    // adjacent to the cluster min) this alone IS the fixpoint, leaving
+    // a single confirming loop round.
+    var labels = cut(sym.groupBy(col("a"))
+      .agg(min(col("b")).as("__mn"))
+      .select(col("a").as("id"), least(col("a"), col("__mn")).as("comp")))
     // Deterministic cleanup of SUPERSEDED rounds in both modes. Local:
     // unpersist the blocks (GC-driven ContextCleaner unpersists land
     // mid-job as multi-second bench noise). Reliable: delete the round's
