@@ -137,7 +137,12 @@ object VectorQs {
         val r = new java.util.Random(7)
         Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
       }
-      def buckets(side: String): DataFrame =
+      // cached like q36's minhash bands: the cap's aggregate + semi-join
+      // and both self-join sides consume this relation, and one side
+      // feeds a BroadcastExchange so ReusedExchange can't fire — without
+      // the cache the projection subplan runs 4x. O(vectors x tables)
+      // rows, spillable.
+      val bands = graft.Memo.cached(s, d, "srp_bands") {
         Tables.embeddings(s, d)
           .select(col("vec_id"),
             call_function("vec_srp_bits",
@@ -147,13 +152,16 @@ object VectorQs {
               struct(lit(t).as("table_idx"),
                 shiftrightunsigned(col("__packed"), t * 8)
                   .bitwiseAND(lit(255L)).cast("int").as("bits"))): _*)).as("b"))
-          .select(col("vec_id").as(s"vec_$side"),
+          .select(col("vec_id"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
+      }
       // same oversized-bucket guard as the text LSH paths (inert at test
-      // scales, bounds per-task pair generation at 100 TB); buckets() is
-      // cheap enough to rebuild that caching isn't warranted here
+      // scales, bounds per-task pair generation at 100 TB)
+      val cappedBands =
+        graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
       def capped(side: String): DataFrame =
-        graft.ops.DedupOps.capBuckets(buckets(side), Seq("table_idx", "bits"), 1000)
+        cappedBands.select(col("vec_id").as(s"vec_$side"),
+          col("table_idx"), col("bits"))
       val cands = capped("a").join(capped("b"), Seq("table_idx", "bits"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
