@@ -29,6 +29,58 @@ import org.apache.spark.unsafe.types.UTF8String
   * never null) — so the expression itself is never null. n must be a
   * positive non-null plan-time literal.
   */
+/** [[ShingleHash64]] WITHOUT the distinct: every overlapping token
+  * n-gram's fingerprint, repeats included, in window order. Repetition
+  * metrics (duplicate-n-gram fraction, top-n-gram fraction — the
+  * Gopher/C4 quality signals) need the multiset; shingling for
+  * MinHash/Jaccard needs the set. Same byte-slice FNV-1a core, same
+  * null→empty and literal-n contract as [[ShingleHash64]].
+  */
+case class NgramHash64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("ngram_hash64 requires a literal n")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("ngram_hash64 requires a non-null n")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"ngram_hash64 requires (string, int), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngram_hash64"
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) ShingleHash64.EMPTY
+    else ShingleHash64.computeAll(t.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $javaType ${ev.value} = ${l.isNull}
+          ? graft.expressions.ShingleHash64.EMPTY()
+          : graft.expressions.ShingleHash64.computeAll(${l.value}, ${r.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShingleHash64(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -87,9 +139,15 @@ object ShingleHash64 {
   /** Shared null-text result (referenced from generated code). */
   val EMPTY: ArrayData = new GenericArrayData(Array.empty[Long])
 
-  /** Shared by interpreted eval and generated code. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    require(n > 0, s"shingle_hash64: n must be positive, got $n")
+  /** Shared by interpreted eval and generated code: first-seen-order
+    * DISTINCT window fingerprints (the shingle-set form). */
+  def compute(text: UTF8String, n: Int): ArrayData = hashWindows(text, n, distinct = true)
+
+  /** ALL window fingerprints, repeats included (the multiset form). */
+  def computeAll(text: UTF8String, n: Int): ArrayData = hashWindows(text, n, distinct = false)
+
+  private def hashWindows(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    require(n > 0, s"shingle/ngram hash: n must be positive, got $n")
     val nb = text.numBytes()
     // pass 1: token count (split on ' ' keeping empties: tokens = spaces+1)
     var spaces = 0
@@ -110,10 +168,9 @@ object ShingleHash64 {
       i += 1
     }
     starts(numToks) = nb + 1
-    // pass 3: FNV-1a per window over the contiguous byte slice,
-    // first-seen-order distinct
+    // pass 3: FNV-1a per window over the contiguous byte slice
     val out = new Array[Long](numToks - n + 1)
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
     var k = 0
     var w = 0
     while (w <= numToks - n) {
@@ -125,7 +182,7 @@ object ShingleHash64 {
         h *= FnvPrime
         j += 1
       }
-      if (seen.add(h)) { out(k) = h; k += 1 }
+      if (seen == null || seen.add(h)) { out(k) = h; k += 1 }
       w += 1
     }
     new GenericArrayData(if (k == out.length) out else java.util.Arrays.copyOf(out, k))

@@ -90,5 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hash64"),
       new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
       (children: Seq[Expression]) => ShingleHash64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hash64"),
+      new ExpressionInfo(classOf[NgramHash64].getName, "ngram_hash64"),
+      (children: Seq[Expression]) => NgramHash64(children(0), children(1))))
   }
 }

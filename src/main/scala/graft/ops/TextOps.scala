@@ -144,4 +144,14 @@ object TextOps {
     * in every engine; the cheap first pass of any dedup cascade.
     */
   def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** ALL overlapping token n-gram fingerprints, repeats included — the
+    * multiset repetition metrics need ([[shingleHashes]] dedups; a
+    * duplicate-n-gram fraction computed on a set is always 0). Native
+    * [[graft.expressions.NgramHash64]]; same 64-bit FNV-1a over the
+    * contiguous byte slice, so `ngram_hash64(t, n)`'s distinct set ==
+    * `shingle_hash64(t, n)`.
+    */
+  def ngramHashes(text: Column, n: Int): Column =
+    call_function("ngram_hash64", text, lit(n))
 }

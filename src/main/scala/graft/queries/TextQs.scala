@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.TextOps
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -281,7 +282,107 @@ object TextQs {
       WHERE rk <= 50 ORDER BY lang, doc_id"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47)
+  /** Repetition quality signals (the Gopher/C4 pretraining filters q31's
+    * surface metrics don't see): per document, the most-frequent-2-gram
+    * fraction and the duplicate-3-gram fraction, plus the keep-gate a
+    * repetition filter would apply. Shape: one `ngram_hash64` explode per
+    * n → partial-aggregated count keyed (doc_id, gram) → per-doc
+    * aggregate — corpus rows only ever carry 8-byte fingerprints, and
+    * both aggregations map-side-combine before their exchange. The
+    * 64-bit fingerprints stand in for the string grams exactly as in
+    * q38: injective on the corpus, and a collision could only merge two
+    * grams, never split one.
+    *
+    * Documents with fewer than n tokens have no n-grams: their fractions
+    * (and the gate) are NULL in both engines via the left join.
+    */
+  val q48 = Q(
+    "q48_repetition",
+    (s, d) => {
+      def gramCounts(n: Int): DataFrame =
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.ngramHashes(col("text"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val a2 = gramCounts(2).groupBy("doc_id")
+        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot2"))
+      val a3 = gramCounts(3).groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
+          sum(col("c")).as("tot3"))
+      val top2 = col("mx").cast("double") / col("tot2").cast("double")
+      val dup3 = col("dupc").cast("double") / col("tot3").cast("double")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(a2, Seq("doc_id"), "left")
+        .join(a3, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          top2.as("top_2gram_frac"),
+          dup3.as("dup_3gram_frac"),
+          (top2 <= 0.2 && dup3 <= 0.4).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g2 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+            for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS g FROM w) t
+        GROUP BY doc_id, g),
+      a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot2 FROM g2 GROUP BY doc_id),
+      g3 AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS g FROM w) t
+        GROUP BY doc_id, g),
+      a3 AS (SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc, sum(c) AS tot3
+             FROM g3 GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(a2.mx AS DOUBLE) / a2.tot2 AS top_2gram_frac,
+        CAST(a3.dupc AS DOUBLE) / a3.tot3 AS dup_3gram_frac,
+        (CAST(a2.mx AS DOUBLE) / a2.tot2 <= 0.2
+          AND CAST(a3.dupc AS DOUBLE) / a3.tot3 <= 0.4) AS keep
+      FROM documents d
+      LEFT JOIN a2 ON d.doc_id = a2.doc_id
+      LEFT JOIN a3 ON d.doc_id = a3.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Keyword extraction — top-3 terms per document by tf·idf ORDER,
+    * realized as the integer ranking (tf desc, df asc, token asc). For a
+    * fixed document this is exactly the tf·idf ordering wherever it is
+    * strict (idf strictly decreases in df), and the integer tiebreak
+    * makes the rest deterministic — no ln()/float scores whose last-ulp
+    * differences across engines would flip ranks in the oracle compare.
+    * Shape: explode → (doc, term) partial-agg → term-keyed df join →
+    * per-doc top-k window (WindowGroupLimit prunes before the exchange).
+    * The df relation is POST-aggregation (vocabulary-sized, zipf-small
+    * next to the corpus), the classic broadcast side at scale.
+    */
+  val q49 = Q(
+    "q49_tfidf_keywords",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+      SELECT doc_id, tok, tf, df, rank FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+          CAST(row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS INT) AS rank
+        FROM tf JOIN df USING (tok)) t
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

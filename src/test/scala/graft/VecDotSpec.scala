@@ -89,6 +89,23 @@ class VecDotSpec extends AnyFunSuite {
     assert(n.getSeq[Long](0) == n.getSeq[Long](1), "null-text result diverges from the UDF")
   }
 
+  test("ngram_hash64 is the multiset form: distinct == shingle set, counts == windows") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .union(Seq("a b a b a b", "x x x", "one two", null).toDF("text"))
+    val bad = docs.select(
+        array_distinct(graft.ops.TextOps.ngramHashes(col("text"), 3)).as("nd"),
+        graft.ops.TextOps.shingleHashes(col("text")).as("sh"),
+        size(graft.ops.TextOps.ngramHashes(col("text"), 3)).as("n"),
+        greatest(size(split(col("text"), " ")) - lit(2), lit(0)).as("wins"),
+        col("text").isNull.as("isnull"))
+      .filter(not(col("nd") === col("sh")) ||
+        (not(col("isnull")) && col("n") =!= col("wins")) ||
+        (col("isnull") && col("n") =!= 0))
+      .count()
+    assert(bad == 0, "multiset n-gram fingerprints disagree with the shingle set / window count")
+  }
+
   test("native expressions COMPILE under codegen — no interpreted fallback") {
     // a codegen bug in doGenCode is invisible by default: Spark logs the
     // janino error and silently falls back to interpreted eval, so every
@@ -104,8 +121,9 @@ class VecDotSpec extends AnyFunSuite {
     try {
       val docs = Seq("a b c d", null.asInstanceOf[String], "x y").toDF("text")
       val shingled = docs.select(
-        graft.ops.TextOps.shingleHashes(col("text")).as("sh")).collect()
-      assert(shingled.forall(!_.isNullAt(0)))
+        graft.ops.TextOps.shingleHashes(col("text")).as("sh"),
+        graft.ops.TextOps.ngramHashes(col("text"), 2).as("ng")).collect()
+      assert(shingled.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
       val vecs = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
       assert(vecs.select(call_function("vec_dot", col("a"), col("b")))
         .head().getDouble(0) == 11.0)
