@@ -343,7 +343,10 @@ object TextQs {
       FROM documents d
       LEFT JOIN a2 ON d.doc_id = a2.doc_id
       LEFT JOIN a3 ON d.doc_id = a3.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""),
+    // headline since round 6 (annex row in BASELINE.md; frozen table
+    // untouched) — the repetition filters are a core dedup-adjacent path
+    headline = true)
 
   /** Keyword extraction — top-3 terms per document by tf·idf ORDER,
     * realized as the integer ranking (tf desc, df asc, token asc). For a
@@ -380,7 +383,9 @@ object TextQs {
           CAST(row_number() OVER (PARTITION BY tf.doc_id
             ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS INT) AS rank
         FROM tf JOIN df USING (tok)) t
-      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+      WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    // headline since round 6 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49)
 }

@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q45_vocab_encode").contains("BroadcastHashJoin"), "vocab join not broadcast")
   }
 
+  test("q49: top-k-per-doc prunes with a partial WindowGroupLimit before the exchange") {
+    val p = plan("q49_tfidf_keywords")
+    assert(p.contains("WindowGroupLimit"),
+      "no group-limit pruning for the per-doc top-k window")
+    assert(p.contains("Partial"),
+      "per-doc top-k has no PARTIAL group limit — every (doc, term) row would cross the exchange")
+    assert(p.contains("BroadcastHashJoin"), "df relation not broadcast")
+  }
+
   test("q43: packed SRP expression in plan, verify joins broadcast, no cross join") {
     val p = plan("q43_embedding_near_dup")
     assert(p.contains("vec_srp_bits"),
