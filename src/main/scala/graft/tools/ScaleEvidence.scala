@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 object ScaleEvidence {
 
   private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
-    "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack")
+    "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
+    "q48_repetition", "q49_tfidf_keywords")
 
   private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")
