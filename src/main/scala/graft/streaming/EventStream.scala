@@ -71,6 +71,33 @@ object EventStream {
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Stream-STREAM interval join: every `click` joined to the same
+    * user's `view`s from the preceding 30 minutes — the funnel/attribution
+    * shape. Both sides carry watermarks and the join condition carries
+    * BOTH time bounds, which is what lets the engine drop buffered state:
+    * a view older than (watermark − 30 min) can never match a future
+    * click, so its buffer entry is evicted instead of growing forever —
+    * the stream-stream analog of `dropDuplicatesWithinWatermark`'s
+    * bounded-state argument. Inner join: unmatched rows simply expire.
+    */
+  def viewClickFunnel(spark: SparkSession, sourceDir: String): DataFrame = {
+    val base = withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    val views = base.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a per-user running
     * event count that survives micro-batch boundaries (pair with
     * `maxFilesPerTrigger` to force multiple batches). Emits the updated

@@ -120,6 +120,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    // funnel: every click joined to same-user views from the prior 30
+    // minutes; append mode — rows emit once both watermarks pass the
+    // match window, and AvailableNow's final batch seals every window
+    val q = EventStream.viewClickFunnel(spark, streamDir)
+      .writeStream
+      .format("memory")
+      .queryName("stream_funnel")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_funnel")
+      .orderBy("view_id", "click_id").collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+    val batch = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+      .orderBy("view_id", "click_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "stream-stream join emitted nothing")
+    assert(streamed == batch)
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
