@@ -109,5 +109,52 @@ object EventQs {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - INTERVAL 5 MINUTE AS is_late
       FROM events ORDER BY event_id"""))
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** AS-OF join — each click matched to the same user's most recent view
+    * at-or-before it (the attribution/point-in-time-lookup operator Spark
+    * has no native form of; DuckDB grades it with its native ASOF JOIN).
+    *
+    * Implemented WITHOUT a join: union both sides tagged, one window per
+    * user ordered (ts, side, id), and `last(view columns, ignoreNulls)`
+    * carries the latest preceding view into every click row. One keyed
+    * exchange + per-partition sort, zero join blow-up — the range-join
+    * rewrite would expand candidates per click and re-prune; this is the
+    * canonical distributed as-of shape. Views sort BEFORE clicks at equal
+    * ts (side 0 < 1), giving ASOF's inclusive `view_ts <= click_ts`
+    * semantics. Graded as the standard INNER as-of (clicks with no prior
+    * view drop — DuckDB's plain ASOF JOIN); the same window columns with
+    * the filter removed are the LEFT variant.
+    */
+  val q54 = Q(
+    "q54_asof_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      def side(kind: String, tag: Int) =
+        ev.filter(col("event_type") === kind)
+          .select(col("user_id"), col("event_ts").as("ts"),
+            lit(tag).as("side"), col("event_id"))
+      val tagged = side("view", 0).unionByName(side("click", 1))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("view_id",
+          last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("view_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("view_id").isNotNull)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"), col("view_id"), col("view_ts"))
+        .orderBy("click_id")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click')
+      SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts
+      FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
+      ORDER BY click_id"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54)
 }

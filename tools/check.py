@@ -53,11 +53,16 @@ def main():
                             same = (math.isnan(a) and math.isnan(b)) or a == b
                     except TypeError:
                         pass
-                    # pandas NaN-vs-None normalization
+                    # pandas NaN/NaT/None normalization (NaT == NaT is
+                    # False, like NaN; pd.isna covers every null flavor)
                     if not same:
-                        an = a is None or (isinstance(a, float) and math.isnan(a))
-                        bn = b is None or (isinstance(b, float) and math.isnan(b))
-                        same = an and bn
+                        try:
+                            import pandas as pd
+                            same = bool(pd.isna(a)) and bool(pd.isna(b))
+                        except (TypeError, ValueError):
+                            an = a is None or (isinstance(a, float) and math.isnan(a))
+                            bn = b is None or (isinstance(b, float) and math.isnan(b))
+                            same = an and bn
                     if not same:
                         errs.append(f"col {c} row {i}: exp={a!r} got={b!r}")
                         break
