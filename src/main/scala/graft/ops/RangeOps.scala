@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval/range joins at scale.
+  *
+  * Spark plans `l.key == r.key AND r.ts BETWEEN l.ts + lower AND l.ts +
+  * upper` as an equi-join on the key with the band as a post-join filter:
+  * every same-key pair is materialized before the band prunes it, so one
+  * hot key (a bot user with 10^7 events) costs 10^14 candidate pairs
+  * inside a single task. The binned form bounds that: bucket the time
+  * axis by the band width, replicate each LEFT row into the (at most two)
+  * buckets its band can reach, and equi-join on (key, bucket) before the
+  * exact band filter — per-task work becomes O(rows-per-bucket²) with
+  * the bucket width matched to the band, not O(rows-per-key²).
+  */
+object RangeOps {
+
+  /** All pairs (left, right) with `leftKey == rightKey` and
+    * `rightTs ∈ [leftTs + lowerUs, leftTs + upperUs]` (bounds inclusive,
+    * offsets in microseconds, `lowerUs <= upperUs`).
+    *
+    * Each right row lands in ONE bucket (`floor(ts / width)`); each left
+    * row is replicated over the `<= 2` buckets its band overlaps (band
+    * length == width by construction), so a matching pair meets in
+    * exactly one bucket — no post-join distinct needed. The explode is a
+    * narrow ≤2× expansion; the join is a plain equi-join on
+    * (key, bucket) that shuffles both sides once and co-partitions.
+    *
+    * Column-name contract: the caller pre-renames so the two frames
+    * share no column names (same as the LSH `side()` helpers).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs <= upperUs, s"empty band: [$lowerUs, $upperUs]")
+    val width = math.max(1L, upperUs - lowerUs)
+    val lUs = unix_micros(col(leftTs))
+    val rUs = unix_micros(col(rightTs))
+    // EXACT floor division for non-negative longs: subtract the remainder
+    // first, so the double division is (k*width)/width — exactly k. A
+    // bare a/width in doubles can round across a bucket boundary.
+    def bucket(a: org.apache.spark.sql.Column) =
+      ((a - pmod(a, lit(width))) / lit(width)).cast("long")
+    val r = right.withColumn("__rb", bucket(rUs))
+    val l = left.withColumn("__lb",
+      explode(sequence(bucket(lUs + lit(lowerUs)), bucket(lUs + lit(upperUs)))))
+    l.join(r,
+        col(leftKey) === col(rightKey) && col("__lb") === col("__rb") &&
+          rUs >= lUs + lit(lowerUs) && rUs <= lUs + lit(upperUs))
+      .drop("__lb", "__rb")
+  }
+}

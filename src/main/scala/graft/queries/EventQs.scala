@@ -156,5 +156,39 @@ object EventQs {
       FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
       ORDER BY click_id"""))
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** Large-LARGE interval join, batch form of the streaming funnel:
+    * every (view, click) pair for the same user with the click at most
+    * 30 minutes after the view. [[graft.ops.RangeOps.intervalJoin]]'s
+    * binned plan — equi-join on (user, time-bucket) BEFORE the band
+    * filter, so per-task work is bounded by rows-per-band-width, not
+    * rows-per-key (Spark's native plan for key+band is the per-key cross
+    * product). Oracle = the naive band join, feasible at oracle scale.
+    */
+  val q55 = Q(
+    "q55_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("event_ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("event_ts").as("click_ts"))
+      graft.ops.RangeOps.intervalJoin(views, clicks, "v_user", "c_user",
+          "view_ts", "click_ts", lowerUs = 0L, upperUs = 30L * 60 * 1000000L)
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+        .orderBy("view_id", "click_id")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT v.user_id, view_id, click_id
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND c.click_ts >= v.view_ts
+        AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+      ORDER BY view_id, click_id"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.RangeOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The binned interval join must be pair-for-pair identical to the naive
+  * band join — including rows sitting exactly on band and bucket
+  * boundaries, where a rounded bucket computation would drop or double
+  * matches.
+  */
+class RangeOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("binned interval join == naive band join on the events corpus") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("event_ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+    val upper = 30L * 60 * 1000000L
+    val binned = RangeOps.intervalJoin(views, clicks,
+      "v_user", "c_user", "view_ts", "click_ts", 0L, upper)
+    val naive = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        unix_micros(col("click_ts")) >= unix_micros(col("view_ts")) &&
+        unix_micros(col("click_ts")) <= unix_micros(col("view_ts")) + upper)
+    assert(pairs(binned) == pairs(naive))
+    assert(pairs(binned).nonEmpty, "no matches — corpus not exercising the join")
+  }
+
+  test("band and bucket boundaries: inclusive edges match, just-outside rows do not") {
+    import spark.implicits._
+    val w = 1000000L // 1s band
+    // left at t=5s: band [5s, 6s]. rights at exactly 5s (inclusive lower),
+    // exactly 6s (inclusive upper = a BUCKET boundary), 6s+1us (out),
+    // 4s+999999us (out), different key at 5.5s (out by key)
+    val views = Seq((1L, 10L, 5000000L)).toDF("v_user", "view_id", "vus")
+      .select(col("v_user"), col("view_id"), expr("timestamp_micros(vus)").as("view_ts"))
+    val clicks = Seq(
+      (1L, 20L, 5000000L), (1L, 21L, 6000000L), (1L, 22L, 6000001L),
+      (1L, 23L, 4999999L), (2L, 24L, 5500000L))
+      .toDF("c_user", "click_id", "cus")
+      .select(col("c_user"), col("click_id"), expr("timestamp_micros(cus)").as("click_ts"))
+    val got = pairs(RangeOps.intervalJoin(views, clicks,
+      "v_user", "c_user", "view_ts", "click_ts", 0L, w))
+    assert(got == Set((10L, 20L), (10L, 21L)))
+  }
+
+  test("negative lower bound (band straddling the left timestamp)") {
+    import spark.implicits._
+    val views = Seq((1L, 10L, 5000000L)).toDF("v_user", "view_id", "vus")
+      .select(col("v_user"), col("view_id"), expr("timestamp_micros(vus)").as("view_ts"))
+    val clicks = Seq(
+      (1L, 20L, 4000000L), (1L, 21L, 6000000L), (1L, 22L, 3999999L), (1L, 23L, 6000001L))
+      .toDF("c_user", "click_id", "cus")
+      .select(col("c_user"), col("click_id"), expr("timestamp_micros(cus)").as("click_ts"))
+    val got = pairs(RangeOps.intervalJoin(views, clicks,
+      "v_user", "c_user", "view_ts", "click_ts", -1000000L, 1000000L))
+    assert(got == Set((10L, 20L), (10L, 21L)))
+  }
+}
