@@ -154,7 +154,9 @@ object EventQs {
             FROM events WHERE event_type = 'click')
       SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts
       FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
-      ORDER BY click_id"""))
+      ORDER BY click_id"""),
+    // headline since round 6 (annex row in BASELINE.md)
+    headline = true)
 
   /** Large-LARGE interval join, batch form of the streaming funnel:
     * every (view, click) pair for the same user with the click at most
@@ -188,7 +190,9 @@ object EventQs {
       FROM v JOIN c ON v.user_id = c.user_id
         AND c.click_ts >= v.view_ts
         AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
-      ORDER BY view_id, click_id"""))
+      ORDER BY view_id, click_id"""),
+    // headline since round 6 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
 }
