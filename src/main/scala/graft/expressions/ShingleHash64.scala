@@ -9,26 +9,6 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct token n-gram shingles of a string as 64-bit FNV-1a
-  * fingerprints, computed natively over the UTF8String's bytes.
-  *
-  * Semantics are IDENTICAL to [[graft.ops.TextOps.shingleHashes]]'s UDF
-  * (split on single spaces keeping empty tokens, FNV-1a over the
-  * space-joined shingle's UTF-8 bytes, first-seen order distinct) —
-  * `VecDotSpec` pins row-for-row equality on the corpus. The win over
-  * the UDF is mechanical, not semantic: no UTF8String→java.lang.String
-  * decode, no per-token String allocation, no boxed-array→Catalyst
-  * re-conversion. Because tokens are split on the single byte 0x20 (a
-  * byte that never occurs inside a multi-byte UTF-8 sequence), the
-  * space-joined shingle of tokens i..i+n-1 is exactly the source byte
-  * range from token i's start to token i+n-1's end, so each fingerprint
-  * is one FNV pass over a byte slice — no joining at all.
-  *
-  * Null text yields an EMPTY array — the same as the UDF it replaces
-  * (a null document has no shingles; `size(...)` downstream counts 0,
-  * never null) — so the expression itself is never null. n must be a
-  * positive non-null plan-time literal.
-  */
 /** [[ShingleHash64]] WITHOUT the distinct: every overlapping token
   * n-gram's fingerprint, repeats included, in window order. Repetition
   * metrics (duplicate-n-gram fraction, top-n-gram fraction — the
@@ -81,6 +61,26 @@ case class NgramHash64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct token n-gram shingles of a string as 64-bit FNV-1a
+  * fingerprints, computed natively over the UTF8String's bytes.
+  *
+  * Semantics are IDENTICAL to [[graft.ops.TextOps.shingleHashes]]'s UDF
+  * (split on single spaces keeping empty tokens, FNV-1a over the
+  * space-joined shingle's UTF-8 bytes, first-seen order distinct) —
+  * `VecDotSpec` pins row-for-row equality on the corpus. The win over
+  * the UDF is mechanical, not semantic: no UTF8String→java.lang.String
+  * decode, no per-token String allocation, no boxed-array→Catalyst
+  * re-conversion. Because tokens are split on the single byte 0x20 (a
+  * byte that never occurs inside a multi-byte UTF-8 sequence), the
+  * space-joined shingle of tokens i..i+n-1 is exactly the source byte
+  * range from token i's start to token i+n-1's end, so each fingerprint
+  * is one FNV pass over a byte slice — no joining at all.
+  *
+  * Null text yields an EMPTY array — the same as the UDF it replaces
+  * (a null document has no shingles; `size(...)` downstream counts 0,
+  * never null) — so the expression itself is never null. n must be a
+  * positive non-null plan-time literal.
+  */
 case class ShingleHash64(left: Expression, right: Expression)
   extends BinaryExpression {
 

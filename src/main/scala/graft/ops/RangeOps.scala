@@ -38,11 +38,13 @@ object RangeOps {
     val width = math.max(1L, upperUs - lowerUs)
     val lUs = unix_micros(col(leftTs))
     val rUs = unix_micros(col(rightTs))
-    // EXACT floor division for non-negative longs: subtract the remainder
-    // first, so the double division is (k*width)/width — exactly k. A
-    // bare a/width in doubles can round across a bucket boundary.
+    // EXACT floor division at any magnitude: subtract the remainder
+    // (pmod is always non-negative, so a - pmod(a, w) is the floor
+    // multiple even for negative a), then INTEGRAL division — `div`
+    // stays in longs end to end. A double division would round across
+    // bucket boundaries once |ts| clears 2^53.
     def bucket(a: org.apache.spark.sql.Column) =
-      ((a - pmod(a, lit(width))) / lit(width)).cast("long")
+      call_function("div", a - pmod(a, lit(width)), lit(width))
     val r = right.withColumn("__rb", bucket(rUs))
     val l = left.withColumn("__lb",
       explode(sequence(bucket(lUs + lit(lowerUs)), bucket(lUs + lit(upperUs)))))

@@ -123,6 +123,13 @@ object EventQs {
     * semantics. Graded as the standard INNER as-of (clicks with no prior
     * view drop — DuckDB's plain ASOF JOIN); the same window columns with
     * the filter removed are the LEFT variant.
+    *
+    * Views are deduped to one per (user, ts) first — REQUIRED for a
+    * deterministic as-of: two views on the same microsecond are "equally
+    * most recent", our window would pick the larger event_id while
+    * DuckDB's ASOF picks an unspecified one. The dedup (min event_id,
+    * mirrored in the oracle) removes the ambiguity in both engines
+    * instead of leaving the graded answer corpus-dependent.
     */
   val q54 = Q(
     "q54_asof_join",
@@ -133,7 +140,9 @@ object EventQs {
         ev.filter(col("event_type") === kind)
           .select(col("user_id"), col("event_ts").as("ts"),
             lit(tag).as("side"), col("event_id"))
-      val tagged = side("view", 0).unionByName(side("click", 1))
+      val views = graft.ops.DedupOps.exactDedup(
+        side("view", 0), Seq("user_id", "ts"), Seq(col("event_id")))
+      val tagged = views.unionByName(side("click", 1))
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("side"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -148,8 +157,10 @@ object EventQs {
         .orderBy("click_id")
     },
     Some("""
-      WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
-                 FROM events WHERE event_type = 'view'),
+      WITH v AS (SELECT user_id, view_ts, view_id FROM (
+                   SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id,
+                     row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+                   FROM events WHERE event_type = 'view') t WHERE rn = 1),
       c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
             FROM events WHERE event_type = 'click')
       SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts

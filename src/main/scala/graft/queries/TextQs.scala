@@ -362,9 +362,15 @@ object TextQs {
   val q49 = Q(
     "q49_tfidf_keywords",
     (s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // cached like q36/q43's band relations: tf sits on the probe side
+      // AND under df's BroadcastExchange, where ReusedExchange can't
+      // fire — uncached, the tokenize→explode→(doc, tok) aggregation
+      // would run twice per query
+      val tf = graft.Memo.cached(s, d, "tfidf_tf") {
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      }
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("tok").asc)

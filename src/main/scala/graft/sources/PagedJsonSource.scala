@@ -199,6 +199,21 @@ final class PageGoneException(msg: String, cause: Throwable = null)
   * [[PageGoneException]] = fatal, [[RateLimitedException]] = retry with
   * the server's wait hint, any other exception = retry with backoff.
   */
+object PageTransport {
+  /** `Thread.sleep` that RESTORES the interrupt flag before rethrowing.
+    * The retry loops spend most of their wall-clock inside backoff
+    * sleeps, so that is where a query cancellation usually lands; plain
+    * sleep throws with the flag CLEARED, and cancellation machinery that
+    * re-checks `isInterrupted` would miss it.
+    */
+  private[sources] def sleep(ms: Long): Unit =
+    try Thread.sleep(ms)
+    catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt(); throw e
+    }
+}
+
 trait PageTransport extends Serializable {
   /** Ordered page refs for the window rooted at `dir` (driver-side). */
   def listPages(dir: String): Seq[String]
@@ -348,11 +363,11 @@ final class HttpPageTransport(
           // a cancelled query must not sleep out the backoff schedule
           Thread.currentThread().interrupt(); throw e
         case e: RateLimitedException if attempt < listRetries =>
-          Thread.sleep(e.retryAfterMs.map(math.min(_, maxRetryAfterMs))
+          PageTransport.sleep(e.retryAfterMs.map(math.min(_, maxRetryAfterMs))
             .getOrElse(listBackoffBaseMs * (1L << attempt)))
           attempt += 1
         case _: Exception if attempt < listRetries =>
-          Thread.sleep(listBackoffBaseMs * (1L << attempt))
+          PageTransport.sleep(listBackoffBaseMs * (1L << attempt))
           attempt += 1
       }
     }
@@ -448,10 +463,10 @@ final class PagedReader(part: PagePartition, transport: PageTransport,
             case None => backoffBaseMs * (1L << attempt)
           }
           PagedReader.rateLimitWaits.put(part.path, wait)
-          Thread.sleep(wait)
+          PageTransport.sleep(wait)
           attempt += 1
         case e: Exception if attempt < maxRetries =>
-          Thread.sleep(backoffBaseMs * (1L << attempt))
+          PageTransport.sleep(backoffBaseMs * (1L << attempt))
           attempt += 1
         case e: Exception =>
           throw new RuntimeException(s"page ${part.path} failed after $maxRetries retries", e)
@@ -482,7 +497,7 @@ final class PagedReader(part: PagePartition, transport: PageTransport,
       // a prefetched body came from a request the driver already made —
       // no new fetch, so no politeness delay and no retry loop
       val lines = part.prefetch.getOrElse {
-        if (pageDelayMs > 0) Thread.sleep(pageDelayMs) // C2: rate limit
+        if (pageDelayMs > 0) PageTransport.sleep(pageDelayMs) // C2: rate limit
         safeReadPage()
       }
       rows = lines.iterator.zipWithIndex

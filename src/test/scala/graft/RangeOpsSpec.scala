@@ -54,6 +54,23 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(got == Set((10L, 20L), (10L, 21L)))
   }
 
+  test("bucket math stays exact past 2^53 microseconds (double-division trap)") {
+    import spark.implicits._
+    // ~year 2255: k*width exceeds double precision, so a double-based
+    // floor division can land rows one bucket off and silently drop
+    // in-band matches; the integral `div` must not
+    val base = (1L << 53) + 123456789L
+    val w = 1000000L
+    val views = Seq((1L, 10L, base)).toDF("v_user", "view_id", "vus")
+      .select(col("v_user"), col("view_id"), expr("timestamp_micros(vus)").as("view_ts"))
+    val clicks = Seq((1L, 20L, base), (1L, 21L, base + w), (1L, 22L, base + w + 1))
+      .toDF("c_user", "click_id", "cus")
+      .select(col("c_user"), col("click_id"), expr("timestamp_micros(cus)").as("click_ts"))
+    val got = pairs(RangeOps.intervalJoin(views, clicks,
+      "v_user", "c_user", "view_ts", "click_ts", 0L, w))
+    assert(got == Set((10L, 20L), (10L, 21L)))
+  }
+
   test("negative lower bound (band straddling the left timestamp)") {
     import spark.implicits._
     val views = Seq((1L, 10L, 5000000L)).toDF("v_user", "view_id", "vus")
