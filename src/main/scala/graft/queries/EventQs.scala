@@ -159,7 +159,8 @@ object EventQs {
     Some("""
       WITH v AS (SELECT user_id, view_ts, view_id FROM (
                    SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id,
-                     row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+                     row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id) AS rn
                    FROM events WHERE event_type = 'view') t WHERE rn = 1),
       c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
             FROM events WHERE event_type = 'click')

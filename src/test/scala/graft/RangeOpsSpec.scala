@@ -71,6 +71,29 @@ class RangeOpsSpec extends AnyFunSuite {
     assert(got == Set((10L, 20L), (10L, 21L)))
   }
 
+  test("randomized: binned == naive across random keys/timestamps/bands (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    // clustered timestamps so bands actually overlap rows
+    def rows(n: Int) = (0 until n).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextLong(120L) * 250000L + rnd.nextLong(7L))
+    }
+    val views = rows(120).toDF("v_user", "view_id", "vus")
+      .select(col("v_user"), col("view_id"), expr("timestamp_micros(vus)").as("view_ts"))
+    val clicks = rows(120).toDF("c_user", "click_id", "cus")
+      .select(col("c_user"), col("click_id"), expr("timestamp_micros(cus)").as("click_ts"))
+    for ((lo, hi) <- Seq((0L, 1000000L), (-500000L, 500000L), (250000L, 250000L),
+        (-3000000L, -1000000L))) {
+      val binned = pairs(RangeOps.intervalJoin(views, clicks,
+        "v_user", "c_user", "view_ts", "click_ts", lo, hi))
+      val naive = pairs(views.join(clicks,
+        col("v_user") === col("c_user") &&
+          unix_micros(col("click_ts")) >= unix_micros(col("view_ts")) + lo &&
+          unix_micros(col("click_ts")) <= unix_micros(col("view_ts")) + hi))
+      assert(binned == naive, s"band [$lo, $hi] diverged")
+    }
+  }
+
   test("negative lower bound (band straddling the left timestamp)") {
     import spark.implicits._
     val views = Seq((1L, 10L, 5000000L)).toDF("v_user", "view_id", "vus")
