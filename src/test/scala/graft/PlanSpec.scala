@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q45_vocab_encode").contains("BroadcastHashJoin"), "vocab join not broadcast")
   }
 
+  test("q48: gram counts partially aggregate before their exchange; native expression in plan") {
+    val p = plan("q48_repetition")
+    assert(p.contains("ngram_hash64"),
+      "repetition metrics regressed off the native multiset fingerprints")
+    assert(p.contains("partial_count"),
+      "(doc, gram) counting has no map-side partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q49: top-k-per-doc prunes with a partial WindowGroupLimit before the exchange") {
     val p = plan("q49_tfidf_keywords")
     assert(p.contains("WindowGroupLimit"),
