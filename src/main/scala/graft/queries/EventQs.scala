@@ -140,8 +140,14 @@ object EventQs {
         ev.filter(col("event_type") === kind)
           .select(col("user_id"), col("event_ts").as("ts"),
             lit(tag).as("side"), col("event_id"))
-      val views = graft.ops.DedupOps.exactDedup(
-        side("view", 0), Seq("user_id", "ts"), Seq(col("event_id")))
+      // hash-aggregate form of the dedup (min event_id per (user, ts)):
+      // partial-aggregates map-side before one exchange, where the
+      // window form would sort; only the id survives, which is all the
+      // as-of lookup carries anyway
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("event_ts").as("ts"))
+        .agg(min(col("event_id")).as("event_id"))
+        .withColumn("side", lit(0))
       val tagged = views.unionByName(side("click", 1))
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("side"), col("event_id"))
