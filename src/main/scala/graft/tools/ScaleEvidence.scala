@@ -28,6 +28,9 @@ object ScaleEvidence {
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
     "q48_repetition", "q49_tfidf_keywords")
 
+  /** Event-table queries measured against the 10x events replication. */
+  private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join")
+
   private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
@@ -41,6 +44,26 @@ object ScaleEvidence {
     }
     copies.reduce(_ union _).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** 10x events: copy k shifts user_id and event_id, so every copy keeps
+    * its per-user temporal structure exactly (same as-of matches, same
+    * interval pairs, 10x of each) while no cross-copy row can ever join —
+    * the linear-growth shape the temporal joins claim.
+    */
+  private def generateEvents(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/events.parquet")
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    val base = graft.Tables.read(spark, sfDir, "events")
+    val copies = (0 until 10).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    copies.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   private def medianTime(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
@@ -71,10 +94,11 @@ object ScaleEvidence {
     spark.sparkContext.setLogLevel("ERROR")
 
     generate(spark, sfDir, x10Dir)
+    generateEvents(spark, sfDir, x10Dir)
     val n1 = Tables.documents(spark, sfDir).count()
     val n10 = Tables.documents(spark, x10Dir).count()
 
-    val rows = QueryNames.map { name =>
+    val rows = (QueryNames ++ EventQueryNames).map { name =>
       val t1 = medianTime(spark, name, sfDir, runs = 3)
       val t10 = medianTime(spark, name, x10Dir, runs = 3)
       (name, t1, t10)
