@@ -152,6 +152,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpointed restart resumes where it left off — no reprocessing (AvailableNow)") {
+    // the engine-managed form of the reference's month-loop resume
+    // (movie.py:260-286, SURVEY §1): run against one file with a
+    // checkpoint into a DURABLE sink, stop, add a second file, restart
+    // on the SAME checkpoint — the source's commit log must skip the
+    // first file (output grows to exactly 2n, never 3n) — the
+    // write-then-mark idempotence the Backfill loop hand-rolls, managed
+    // by the engine (parquet sink has its own exactly-once commit log;
+    // the memory sink rejects recovery outright)
+    val dir = java.nio.file.Files.createTempDirectory("events-resume")
+    val ckpt = java.nio.file.Files.createTempDirectory("events-resume-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("events-resume-out")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    def run(): Unit = {
+      val q = spark.readStream.schema(EventStream.EventsSchema)
+        .parquet(dir.toString)
+        .select(col("event_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val n = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(out.toString).count() == n)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    run()
+    assert(spark.read.parquet(out.toString).count() == 2 * n,
+      "restart reprocessed the already-committed file instead of resuming")
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
