@@ -31,19 +31,44 @@ object ScaleEvidence {
   /** Event-table queries measured against the 10x events replication. */
   private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join")
 
-  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$outDir/documents.parquet")
+  /** Per-copy id shift. Cross-copy disjointness — the whole point of the
+    * replication — requires every shifted id column to stay below it. */
+  private val CopyShift = 100000000L
+
+  /** 10 salted copies of `table` into `outDir` (skipped if present):
+    * copy 0 verbatim, copies 1-9 through `salt(k)`. One shared skeleton
+    * so the documents and events evidence corpora can't diverge.
+    */
+  private def replicate(spark: SparkSession, outDir: String, table: String,
+      base: org.apache.spark.sql.DataFrame,
+      salt: Int => org.apache.spark.sql.DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/$table.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
-    val base = Tables.documents(spark, sfDir)
-    val copies = (0 until 10).map { k =>
-      if (k == 0) base
-      else base.select(
-        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
-        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1c" + k).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    ((base +: (1 until 10).map(salt)): Seq[org.apache.spark.sql.DataFrame])
+      .reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(path.toString)
+  }
+
+  /** Guard the disjointness precondition: a corpus whose ids reach the
+    * shift would make copies COLLIDE, and the cross-copy joins that
+    * appear would masquerade as superlinear operator growth. */
+  private def requireIdsBelowShift(df: org.apache.spark.sql.DataFrame,
+      idCols: Seq[String]): Unit = {
+    val maxes = df.select(idCols.map(c => max(col(c)).as(c)): _*).head()
+    idCols.zipWithIndex.foreach { case (c, i) =>
+      require(maxes.getLong(i) < CopyShift,
+        s"$c reaches ${maxes.getLong(i)} >= copy shift $CopyShift — replication would collide")
     }
-    copies.reduce(_ union _).repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val base = Tables.documents(spark, sfDir)
+    requireIdsBelowShift(base, Seq("doc_id"))
+    replicate(spark, outDir, "documents", base, k =>
+      base.select(
+        (col("doc_id") + lit(k * CopyShift)).as("doc_id"),
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1c" + k).as("text"),
+        col("lang"), col("source"), col("n_chars")))
   }
 
   /** 10x events: copy k shifts user_id and event_id, so every copy keeps
@@ -52,18 +77,13 @@ object ScaleEvidence {
     * the linear-growth shape the temporal joins claim.
     */
   private def generateEvents(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$outDir/events.parquet")
-    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
     val base = graft.Tables.read(spark, sfDir, "events")
-    val copies = (0 until 10).map { k =>
-      if (k == 0) base
-      else base.select(
-        (col("event_id") + lit(k * 100000000L)).as("event_id"), col("ts"),
-        (col("user_id") + lit(k * 100000000L)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }
-    copies.reduce(_ union _).repartition(32)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    requireIdsBelowShift(base, Seq("event_id", "user_id"))
+    replicate(spark, outDir, "events", base, k =>
+      base.select(
+        (col("event_id") + lit(k * CopyShift)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * CopyShift)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
   }
 
   private def medianTime(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
