@@ -293,6 +293,15 @@ object TextQs {
     * q38: injective on the corpus, and a collision could only merge two
     * grams, never split one.
     *
+    * Unlike q38's SET semantics (where a collision only perturbs
+    * membership), these are MULTISET counts: a single in-doc collision
+    * would shift `mx`/`dupc` and so the graded fractions. Accepted for
+    * benchmark corpora (64-bit FNV-1a over ~10^5 grams/doc puts the
+    * per-doc birthday probability near 10^-10); if the corpus ever
+    * becomes adversarial or user-supplied, widen the fingerprint to
+    * 128 bits (two independent seeds packed in a struct) or grade on
+    * string grams at oracle scale.
+    *
     * Documents with fewer than n tokens have no n-grams: their fractions
     * (and the gate) are NULL in both engines via the left join.
     */

@@ -95,8 +95,25 @@ final class PagedTable(rawOptions: Map[String, String]) extends Table with Suppo
   /** The page window, listed ONCE per table: every action on a loaded
     * DataFrame plans a fresh Scan, and without this a rate-limited API
     * would see one discovery GET per `count()`/`collect()`.
+    *
+    * The memoized window lives as long as the table, and page 1's
+    * prefetched body rides into partition 0 on EVERY action — so an
+    * oversized first page would both pin driver memory for the table's
+    * lifetime and re-serialize into a task per action. Bodies beyond
+    * `maxPrefetchBytes` (default 8 MiB) are therefore dropped from the
+    * memo at listing time; partition 0 then fetches page 1 like any
+    * other page (one extra GET total — the fallback, not the norm).
     */
-  private[graft] lazy val window: PageWindow = transport.listWindow(dir)
+  private[graft] lazy val window: PageWindow = {
+    val w = transport.listWindow(dir)
+    val cap = opt("maxPrefetchBytes").getOrElse((8L << 20).toString).toLong
+    w.firstLines match {
+      case Some(lines) if lines.iterator.map(l => 2L * l.length).sum > cap =>
+        PagedTable.logPrefetchDrop(dir, cap)
+        w.copy(firstLines = None)
+      case _ => w
+    }
+  }
 
   override def name(): String = s"paged_json(${opt("dir").getOrElse("?")})"
   override def schema(): StructType = PagedTable.schemaFor(withOrdinals)
@@ -165,6 +182,17 @@ object PagedTable {
     overflows.put(dir, found - cap)
     log.warn(s"window '$dir' hit the $cap-page cap: ${found - cap} of $found " +
       s"pages DROPPED — results beyond the cap are lost (reference movie.py:161-171)")
+  }
+
+  /** Dropped-prefetch events, keyed by dir — test-visible mirror of the
+    * log line, same spirit as [[overflows]]. */
+  val prefetchDrops: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean] =
+    new java.util.concurrent.ConcurrentHashMap()
+
+  private[sources] def logPrefetchDrop(dir: String, cap: Long): Unit = {
+    prefetchDrops.put(dir, true)
+    log.info(s"window '$dir': page 1's body exceeds maxPrefetchBytes=$cap — " +
+      s"not memoized; partition 0 will fetch page 1 normally")
   }
 }
 

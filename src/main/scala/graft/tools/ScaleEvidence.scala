@@ -37,13 +37,18 @@ object ScaleEvidence {
 
   /** 10 salted copies of `table` into `outDir` (skipped if present):
     * copy 0 verbatim, copies 1-9 through `salt(k)`. One shared skeleton
-    * so the documents and events evidence corpora can't diverge.
+    * so the documents and events evidence corpora can't diverge. The
+    * id-shift guard runs here, on the cache-miss path only — an existing
+    * replication already passed it, and re-scanning the base corpus for
+    * a full max() on every invocation would tax exactly the repeated
+    * runs this cache exists for.
     */
   private def replicate(spark: SparkSession, outDir: String, table: String,
-      base: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame, idCols: Seq[String],
       salt: Int => org.apache.spark.sql.DataFrame): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/$table.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    requireIdsBelowShift(base, idCols)
     ((base +: (1 until 10).map(salt)): Seq[org.apache.spark.sql.DataFrame])
       .reduce(_ union _).repartition(32)
       .write.mode("overwrite").parquet(path.toString)
@@ -56,15 +61,18 @@ object ScaleEvidence {
       idCols: Seq[String]): Unit = {
     val maxes = df.select(idCols.map(c => max(col(c)).as(c)): _*).head()
     idCols.zipWithIndex.foreach { case (c, i) =>
-      require(maxes.getLong(i) < CopyShift,
-        s"$c reaches ${maxes.getLong(i)} >= copy shift $CopyShift — replication would collide")
+      // max() over an empty/all-null column is NULL — surface that as the
+      // precondition failure it is, not a getLong NPE
+      val m = maxes.getAs[java.lang.Long](i)
+      require(m != null, s"$c has no non-null values — cannot validate the copy shift")
+      require(m < CopyShift,
+        s"$c reaches $m >= copy shift $CopyShift — replication would collide")
     }
   }
 
   private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val base = Tables.documents(spark, sfDir)
-    requireIdsBelowShift(base, Seq("doc_id"))
-    replicate(spark, outDir, "documents", base, k =>
+    replicate(spark, outDir, "documents", base, Seq("doc_id"), k =>
       base.select(
         (col("doc_id") + lit(k * CopyShift)).as("doc_id"),
         regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1c" + k).as("text"),
@@ -78,8 +86,7 @@ object ScaleEvidence {
     */
   private def generateEvents(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val base = graft.Tables.read(spark, sfDir, "events")
-    requireIdsBelowShift(base, Seq("event_id", "user_id"))
-    replicate(spark, outDir, "events", base, k =>
+    replicate(spark, outDir, "events", base, Seq("event_id", "user_id"), k =>
       base.select(
         (col("event_id") + lit(k * CopyShift)).as("event_id"), col("ts"),
         (col("user_id") + lit(k * CopyShift)).as("user_id"),

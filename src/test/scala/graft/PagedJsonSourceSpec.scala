@@ -395,6 +395,31 @@ class PagedJsonSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP: oversized page-1 body is not memoized — partition 0 refetches") {
+    // the window memo lives for the table's lifetime and its prefetched
+    // body serializes into partition 0 on EVERY action — a large first
+    // page must fall back to a normal executor fetch instead
+    PagedTable.prefetchDrops.clear()
+    val hitsByPage = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    withServer { ex =>
+      hitsByPage.merge(pageOf(ex), 1, (a, b) => a + b)
+      respond(ex, 200, discoverBody(pageOf(ex), totalPages = 2, rowsPerPage = 3))
+    } { base =>
+      val df = spark.read.format("graft.sources.PagedJsonSource")
+        .option("dir", base)
+        .option("maxPrefetchBytes", "16") // any real body exceeds this
+        .load()
+      assert(df.count() == 6)
+      assert(PagedTable.prefetchDrops.containsKey(base), "drop not recorded/logged")
+      // discovery GET + partition-0 executor fetch = 2 hits on page 1,
+      // and the result is still complete and correct
+      assert(hitsByPage.get(1) == 2,
+        s"page 1 fetched ${hitsByPage.get(1)} times — expected discovery + fallback fetch")
+      assert(df.count() == 6) // second action: still one listing (no 3rd discovery)
+      assert(hitsByPage.get(1) == 3, "second action should refetch page 1, not re-list")
+    }
+  }
+
   test("HTTP: request timeout is retryable, not fatal") {
     // the slow response hits page 2 — exclusively executor-fetched — which
     // times out once, retries with backoff, then succeeds
