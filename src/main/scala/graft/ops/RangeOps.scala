@@ -48,9 +48,18 @@ object RangeOps {
     val r = right.withColumn("__rb", bucket(rUs))
     val l = left.withColumn("__lb",
       explode(sequence(bucket(lUs + lit(lowerUs)), bucket(lUs + lit(upperUs)))))
-    l.join(r,
-        col(leftKey) === col(rightKey) && col("__lb") === col("__rb") &&
-          rUs >= lUs + lit(lowerUs) && rUs <= lUs + lit(upperUs))
-      .drop("__lb", "__rb")
+    val joined = l.join(r,
+      col(leftKey) === col(rightKey) && col("__lb") === col("__rb") &&
+        rUs >= lUs + lit(lowerUs) && rUs <= lUs + lit(upperUs))
+    // this join still CONTAINS equi + band conjuncts, so the automatic
+    // rewrite (plans/BinnedIntervalJoin) would bin it a second time —
+    // mark it as already binned (tags survive plan rewrites; the
+    // PlanSpec one-Generate pin fails loudly if that ever stops holding)
+    joined.queryExecution.analyzed.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.setTagValue(graft.plans.BinnedIntervalJoin.BinnedTag, true)
+      case _ => ()
+    }
+    joined.drop("__lb", "__rb")
   }
 }

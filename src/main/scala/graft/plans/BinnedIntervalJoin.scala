@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.CalendarInterval
+
+/** Catalyst optimizer rule: rewrite a naive key+band interval join into
+  * the binned form `ops/RangeOps.intervalJoin` builds by hand — so a user
+  * who writes the natural
+  *
+  * {{{
+  *   views.join(clicks,
+  *     v("user_id") === c("user_id") &&
+  *     c("ts") >= v("ts") && c("ts") <= v("ts") + expr("INTERVAL 30 MINUTES"))
+  * }}}
+  *
+  * gets the scalable plan automatically. Spark itself plans the band as a
+  * post-join filter over the per-key cross product, which is quadratic in
+  * rows-per-key inside a single task (one bot user with 10^7 events =
+  * 10^14 candidate pairs); the rewrite replicates each left row into the
+  * (at most two) band-width time buckets its band can reach, adds the
+  * bucket as an extra equi-join key, and keeps the original band
+  * predicates as the residual filter — per-task work becomes
+  * O(rows-per-bucket²) with the bucket width matched to the band.
+  *
+  * Matching is conservative, because an optimizer rule fires on every
+  * query in the session:
+  *
+  *  - INNER joins only, both sides batch (a stream-stream interval join's
+  *    band condition is what bounds its state — rewriting it would break
+  *    watermark-based state eviction).
+  *  - the band pair must be two deterministic single-side expressions of
+  *    the SAME type, `TimestampType` or `LongType` (µs-integral domains
+  *    where the ±1 strict-bound adjustment and the bucket arithmetic are
+  *    exact — never floats/decimals), with both a lower and an upper
+  *    bound between the same pair: `r − l ∈ [lo, hi]` with literal
+  *    offsets (long literals, or day-time/calendar interval literals on
+  *    timestamps).
+  *  - joins already binned — by this rule or by `RangeOps.intervalJoin` —
+  *    carry [[BinnedIntervalJoin.BinnedTag]] and are skipped, keeping the
+  *    fixed-point batch convergent and the manual form un-doubled.
+  *
+  * The rewrite itself builds only stock operators (Generate/Project/Join)
+  * so every downstream optimization — column pruning, AQE broadcast at
+  * small scale, SMJ co-partitioning at large — applies unchanged.
+  * Disabled with `spark.graft.binnedIntervalJoin.enabled=false`.
+  *
+  * Reference: the engine-surface contract (SURVEY §2.5) — this is the
+  * `Rule[LogicalPlan]` rung of the extension ladder, registered through
+  * `SparkSessionExtensions.injectOptimizerRule` in `GraftExtensions`.
+  */
+object BinnedIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Marks joins that are already binned (set here and by
+    * `RangeOps.intervalJoin`); tags are copied through tree rewrites, so
+    * the fixed-point optimizer never re-bins a join. */
+  val BinnedTag: TreeNodeTag[Boolean] = TreeNodeTag[Boolean]("graft.binnedIntervalJoin")
+
+  val ConfKey = "spark.graft.binnedIntervalJoin.enabled"
+
+  /** One inequality conjunct, canonicalized to a bound on (r − l):
+    * `lower = true` means `r − l >= v`, else `r − l <= v`. */
+  private case class Bound(l: Expression, r: Expression, v: Long, lower: Boolean)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if j.getTagValue(BinnedTag).isEmpty && j.resolved &&
+            !left.isStreaming && !right.isStreaming =>
+        rewrite(j, left, right, cond).getOrElse(j)
+    }
+  }
+
+  /** `e` as (core, literal µs offset): peels `+ INTERVAL`/`± long`
+    * wrappers so `ts + INTERVAL 30 MINUTES` and `unix_micros(ts) +
+    * 1800000000L` both canonicalize. Intervals with a month component
+    * are NOT fixed µs spans — those never match. */
+  private def split(e: Expression): (Expression, Long) = e match {
+    case TimestampAddInterval(ts, Literal(us: Long, _: DayTimeIntervalType), _) =>
+      (ts, us)
+    case TimestampAddInterval(ts, Literal(iv: CalendarInterval, CalendarIntervalType), _)
+        if iv.months == 0 =>
+      (ts, iv.days * 86400000000L + iv.microseconds)
+    case Add(c, Literal(v: Long, LongType), _) => (c, v)
+    case Add(Literal(v: Long, LongType), c, _) => (c, v)
+    case Subtract(c, Literal(v: Long, LongType), _) => (c, -v)
+    case _ => (e, 0L)
+  }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def leftPure(e: Expression): Boolean =
+      e.deterministic && e.references.nonEmpty && e.references.subsetOf(left.outputSet)
+    def rightPure(e: Expression): Boolean =
+      e.deterministic && e.references.nonEmpty && e.references.subsetOf(right.outputSet)
+    def bandType(t: DataType): Boolean = t == TimestampType || t == LongType
+
+    // canonicalize `a >= b` (strict: +1 below — exact, both domains are
+    // µs-integral) into a Bound on whichever (l, r) orientation is pure
+    def bound(a: Expression, b: Expression, strict: Boolean): Option[Bound] = {
+      val (ca, oa) = split(a)
+      val (cb, ob) = split(b)
+      if (!bandType(ca.dataType) || ca.dataType != cb.dataType) return None
+      if (rightPure(ca) && leftPure(cb)) {
+        // r + oa >= l + ob  ⇔  r − l >= ob − oa (+1 if strict)
+        Some(Bound(cb, ca, ob - oa + (if (strict) 1 else 0), lower = true))
+      } else if (leftPure(ca) && rightPure(cb)) {
+        // l + oa >= r + ob  ⇔  r − l <= oa − ob (−1 if strict)
+        Some(Bound(ca, cb, oa - ob - (if (strict) 1 else 0), lower = false))
+      } else None
+    }
+
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => bound(a, b, strict = false)
+      case GreaterThan(a, b)        => bound(a, b, strict = true)
+      case LessThanOrEqual(a, b)    => bound(b, a, strict = false)
+      case LessThan(a, b)           => bound(b, a, strict = true)
+      case _                        => None
+    }
+
+    // a band = some (l, r) pair carrying BOTH a lower and an upper bound
+    val band = bounds.groupBy(b => (b.l.canonicalized, b.r.canonicalized)).values
+      .collectFirst {
+        case bs if bs.exists(_.lower) && bs.exists(!_.lower) =>
+          val lo = bs.filter(_.lower).map(_.v).max
+          val hi = bs.filterNot(_.lower).map(_.v).min
+          (bs.head.l, bs.head.r, lo, hi)
+      }
+    band.filter { case (_, _, lo, hi) => lo <= hi }.map { case (lc, rc, lo, hi) =>
+      val width = math.max(1L, hi - lo)
+      def us(e: Expression): Expression =
+        if (e.dataType == TimestampType) UnixMicros(e) else e
+      // bucket label = the floor multiple of `width` (a − pmod(a, w) is
+      // exact at any magnitude, negatives included) — no division needed,
+      // and `sequence(…, step = width)` walks the ≤2 labels a band spans
+      def bucketStart(a: Expression): Expression =
+        Subtract(a, Pmod(a, Literal(width)))
+      val rb = Alias(bucketStart(us(rc)), "__rb")()
+      val newRight = Project(right.output :+ rb, right)
+      val lUs = us(lc)
+      // Sequence is TimeZoneAware — a None zone leaves it UNRESOLVED and
+      // fails the optimizer's plan validation (long sequences never
+      // consult the zone, but resolution requires it to be set)
+      val lbSeq = new Sequence(
+        bucketStart(Add(lUs, Literal(lo))),
+        bucketStart(Add(lUs, Literal(hi))),
+        Some(Literal(width)), Some(conf.sessionLocalTimeZone))
+      val lb = AttributeReference("__lb", LongType, nullable = false)()
+      val gen = Generate(Explode(lbSeq), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(lb), child = left)
+      // original conjuncts stay verbatim (band → residual filter); the
+      // bucket equality is the new join key Spark can hash/sort on
+      val newCond = (conjuncts :+ EqualTo(lb, rb.toAttribute)).reduce(And)
+      val newJoin = Join(gen, newRight, Inner, Some(newCond), j.hint)
+      newJoin.setTagValue(BinnedTag, true)
+      Project(j.output, newJoin)
+    }
+  }
+}

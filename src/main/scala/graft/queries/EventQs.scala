@@ -212,5 +212,41 @@ object EventQs {
     // headline since round 6 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55)
+  /** The SAME class of join as q55, but written the way a user naturally
+    * would — plain `join` with equality + band predicates — and left to
+    * the injected optimizer rule (`plans/BinnedIntervalJoin`) to rewrite
+    * into the binned plan. Attribution flavor: clicks landing strictly
+    * after a view and within 10 minutes, counted per view. Grading this
+    * against DuckDB proves the AUTOMATIC rewrite end to end (the strict
+    * lower bound exercises the ±1 µs canonicalization); the
+    * `BinnedIntervalJoinSpec` plan pin proves the rewrite actually fired
+    * rather than Spark's native per-key cross product.
+    */
+  val q56 = Q(
+    "q56_auto_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+          col("event_ts").as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_ts").as("click_ts"))
+      v.join(c, col("vu") === col("cu") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("view_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("view_id")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+            FROM events WHERE event_type = 'click')
+      SELECT view_id, count(*) AS n_clicks
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND c.click_ts > v.view_ts
+        AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
+      GROUP BY view_id ORDER BY view_id"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }
