@@ -249,5 +249,34 @@ object DedupQs {
       FROM walk GROUP BY id ORDER BY doc_id"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39)
+  /** Corpus-level span dedup ([[graft.ops.DedupOps.spanDedup]], 8-token
+    * chunks): the C4-style repeated-span REMOVAL pass, graded end to end —
+    * chunking, corpus-wide keep-first, and document reassembly all
+    * mirrored exactly in the oracle.
+    */
+  val q57 = Q(
+    "q57_span_dedup",
+    (s, d) =>
+      graft.ops.DedupOps.spanDedup(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      cl AS (SELECT doc_id,
+               [array_to_string(toks[(i*8+1):(i*8+8)], ' ')
+                for i in range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))] AS chunks
+             FROM t),
+      c AS (SELECT doc_id, unnest(range(0, len(chunks))) AS pos,
+              unnest(chunks) AS chunk FROM cl),
+      k AS (SELECT doc_id, pos, chunk,
+              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+            FROM c),
+      reb AS (SELECT doc_id, count(*) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+              FROM k WHERE rn = 1 GROUP BY doc_id)
+      SELECT t.doc_id, CAST(ceil(len(t.toks)/8.0) AS BIGINT) AS n_chunks,
+             COALESCE(reb.n_kept, 0) AS n_kept, reb.clean_text
+      FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+      ORDER BY t.doc_id"""))
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57)
 }

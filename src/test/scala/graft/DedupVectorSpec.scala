@@ -13,6 +13,33 @@ class DedupVectorSpec extends AnyFunSuite {
   private lazy val spark = SparkSessions.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("span dedup: corpus-wide keep-first, in-doc dups removed, edge docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1: 5 tokens = chunks "a b"|"c d"|"e" at k=2
+      (1L, "a b c d e"),
+      // doc 2 repeats doc 1's first chunk, then its own
+      (2L, "a b x y"),
+      // doc 3 is entirely doc 1's chunks -> fully deduplicated away
+      (3L, "a b c d"),
+      // doc 4 repeats a chunk WITHIN itself
+      (4L, "p q p q r"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)).getOrElse("<null>")))
+    assert(out === Array(
+      (1L, 3L, 3L, "a b c d e"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "<null>"),
+      (4L, 3L, 2L, "p q r"),
+      // split("") = [""], one 1-token chunk of the empty string
+      (5L, 1L, 1L, "")))
+  }
+
   test("minhash-LSH output equals exact all-pairs Jaccard >= 0.8") {
     // exact all-pairs via the inverted-index query at threshold 0.8 would
     // be q38@0.5 filtered; compute it directly from q38's exact output
