@@ -276,7 +276,9 @@ object DedupQs {
       SELECT t.doc_id, CAST(ceil(len(t.toks)/8.0) AS BIGINT) AS n_chunks,
              COALESCE(reb.n_kept, 0) AS n_kept, reb.clean_text
       FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
-      ORDER BY t.doc_id"""))
+      ORDER BY t.doc_id"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57)
 }

@@ -246,7 +246,9 @@ object EventQs {
       FROM v JOIN c ON v.user_id = c.user_id
         AND c.click_ts > v.view_ts
         AND c.click_ts <= v.view_ts + INTERVAL 10 MINUTE
-      GROUP BY view_id ORDER BY view_id"""))
+      GROUP BY view_id ORDER BY view_id"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }

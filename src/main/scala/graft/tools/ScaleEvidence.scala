@@ -26,10 +26,11 @@ object ScaleEvidence {
 
   private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
-    "q48_repetition", "q49_tfidf_keywords")
+    "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup")
 
   /** Event-table queries measured against the 10x events replication. */
-  private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join")
+  private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join",
+    "q56_auto_interval_join")
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
