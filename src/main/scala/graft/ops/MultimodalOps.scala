@@ -72,10 +72,14 @@ object MultimodalOps {
 
   /** Sniffs the container magic and REALLY parses what pure-JVM byte
     * layout allows: BMP (`BM` + BITMAPINFOHEADER: width int32@18,
-    * height int32@22 — negative means top-down, so abs — bit depth@28)
-    * and RIFF/WAVE (chunk walk from offset 12; `fmt ` carries channels@+2
-    * and sampleRate@+4 and byteRate@+8; `data`'s size over byteRate is
-    * the duration). A truncated or corrupt header falls back to the
+    * height int32@22 — negative means top-down, so abs — bit depth@28),
+    * PNG (8-byte signature, then the mandatory IHDR chunk: width/height
+    * uint32 big-endian @16/@20, per-channel bit depth @24 × the color
+    * type's channel count @25), GIF (`GIF87a`/`GIF89a` + logical screen
+    * descriptor: width/height uint16 little-endian @6/@8) and RIFF/WAVE
+    * (chunk walk from offset 12; `fmt ` carries channels@+2 and
+    * sampleRate@+4 and byteRate@+8; `data`'s size over byteRate is the
+    * duration). A truncated or corrupt header falls back to the
     * deterministic stub rather than failing the task — a 100-TB media
     * scan always contains garbage rows, and quarantining beats aborting.
     */
@@ -84,6 +88,16 @@ object MultimodalOps {
 
     private def isBmp(b: Array[Byte]): Boolean =
       b.length >= 30 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    // 8-byte signature + IHDR length/type + the 13 IHDR bytes
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 29 && PngSig.indices.forall(i => b(i) == PngSig(i))
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length >= 10 && b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+        b(3) == '8'.toByte && (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte
 
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 &&
@@ -111,6 +125,39 @@ object MultimodalOps {
       fake.decode(row).copy(
         kind = "image", width = width, height = math.abs(height),
         bit_depth = bitDepth, duration_ms = 0L, sample_rate = 0, channels = 0)
+    }
+
+    /** Channel count per PNG color type (spec table: 0 greyscale,
+      * 2 truecolor, 3 indexed, 4 grey+alpha, 6 truecolor+alpha);
+      * anything else is corrupt and rejected. */
+    private val PngChannels = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+
+    private def decodePng(row: MediaRow): MediaFeatures = {
+      val buf = ByteBuffer.wrap(row.bytes) // PNG ints are big-endian
+      require(buf.getInt(8) == 13 &&
+        new String(row.bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR",
+        "first chunk is not a 13-byte IHDR")
+      val width = buf.getInt(16)
+      val height = buf.getInt(20)
+      val depth = row.bytes(24).toInt & 0xFF
+      val channels = PngChannels.getOrElse(row.bytes(25).toInt & 0xFF,
+        throw new IllegalArgumentException("invalid PNG color type"))
+      require(width > 0 && height > 0, "corrupt PNG dimensions")
+      fake.decode(row).copy(
+        kind = "image", width = width, height = height,
+        bit_depth = depth * channels, duration_ms = 0L, sample_rate = 0, channels = 0)
+    }
+
+    private def decodeGif(row: MediaRow): MediaFeatures = {
+      val buf = ByteBuffer.wrap(row.bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val width = buf.getShort(6).toInt & 0xFFFF
+      val height = buf.getShort(8).toInt & 0xFFFF
+      // packed fields @10: bits 0-2 = global color table depth - 1
+      val depth = (row.bytes(10).toInt & 0x07) + 1
+      require(width > 0 && height > 0, "corrupt GIF dimensions")
+      fake.decode(row).copy(
+        kind = "image", width = width, height = height,
+        bit_depth = depth, duration_ms = 0L, sample_rate = 0, channels = 0)
     }
 
     private def decodeWav(row: MediaRow): MediaFeatures = {
@@ -152,6 +199,8 @@ object MultimodalOps {
       val b = row.bytes
       try {
         if (isBmp(b)) decodeBmp(row)
+        else if (isPng(b)) decodePng(row)
+        else if (isGif(b)) decodeGif(row)
         else if (isWav(b)) decodeWav(row)
         else fake.decode(row)
       } catch { case scala.util.control.NonFatal(_) => fake.decode(row) }

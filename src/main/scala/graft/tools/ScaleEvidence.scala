@@ -5,22 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale evidence for the LSH/dedup/packing designs: runs the
-  * five corpus-shaped headline queries on the sf0.1 documents table and
-  * on a 10x salted replication of it, and reports wall-times (Bench's
-  * protocol: cache cleared, warm-up, GC-drained timed runs, median) plus
-  * the q39 pointer-jumping round count at both scales.
+  * corpus-shaped headline queries on the sf0.1 documents/events tables
+  * and on an N-fold salted replication of them (N = 10 by default, 100
+  * for the deep tier), and reports wall-times (Bench's protocol: cache
+  * cleared, warm-up, GC-drained timed runs, median) plus the q39
+  * pointer-jumping round count at both scales.
   *
-  * The 10x corpus is 10 copies of documents; copy k > 0 shifts `doc_id`
-  * by k*10^8 and suffixes every word with `ck`. Word-salting maps each
-  * copy's shingle space bijectively, so within-copy Jaccard relations
-  * (and therefore the near-dup pair/cluster structure) are preserved
-  * exactly while NO cross-copy pair is a near-dup: the 10x corpus has
-  * exactly 10x the documents, vocabulary, pairs, and clusters — the
-  * linear-growth shape the operators claim to scale with.
+  * The replicated corpus is N copies of documents; copy k > 0 shifts
+  * `doc_id` by k*10^8 and suffixes every word with `ck`. Word-salting
+  * maps each copy's shingle space bijectively, so within-copy Jaccard
+  * relations (and therefore the near-dup pair/cluster/duplicate-span
+  * structure) are preserved exactly while NO cross-copy pair is a
+  * near-dup: the Nx corpus has exactly Nx the documents, vocabulary,
+  * pairs, and clusters — the linear-growth shape the operators claim to
+  * scale with.
   *
-  * Usage: `runMain graft.tools.ScaleEvidence [sfDir] [x10Dir]`
-  * (defaults /root/testdata/sf0.1 and /tmp/graft-scale-x10). Prints a
-  * markdown table for SURVEY.md's appendix.
+  * Usage: `runMain graft.tools.ScaleEvidence [sfDir] [outDir] [factor]
+  * [queryCsv]` (defaults /root/testdata/sf0.1, /tmp/graft-scale-x10,
+  * 10, all queries). Prints a markdown table for SURVEY.md's appendix.
   */
 object ScaleEvidence {
 
@@ -36,23 +38,29 @@ object ScaleEvidence {
     * replication — requires every shifted id column to stay below it. */
   private val CopyShift = 100000000L
 
-  /** 10 salted copies of `table` into `outDir` (skipped if present):
-    * copy 0 verbatim, copies 1-9 through `salt(k)`. One shared skeleton
-    * so the documents and events evidence corpora can't diverge. The
-    * id-shift guard runs here, on the cache-miss path only — an existing
-    * replication already passed it, and re-scanning the base corpus for
-    * a full max() on every invocation would tax exactly the repeated
-    * runs this cache exists for.
+  /** `factor` salted copies of `table` into `outDir` (skipped if
+    * present): copy 0 verbatim, copies 1..factor-1 through `salt(k)`.
+    * One shared skeleton so the documents and events evidence corpora
+    * can't diverge. The id-shift guard runs here, on the cache-miss path
+    * only — an existing replication already passed it, and re-scanning
+    * the base corpus for a full max() on every invocation would tax
+    * exactly the repeated runs this cache exists for. Copies write in
+    * batches of 10 (append) so a 100x replication never builds a
+    * 100-way union plan.
     */
   private def replicate(spark: SparkSession, outDir: String, table: String,
-      base: org.apache.spark.sql.DataFrame, idCols: Seq[String],
+      base: org.apache.spark.sql.DataFrame, idCols: Seq[String], factor: Int,
       salt: Int => org.apache.spark.sql.DataFrame): Unit = {
+    require(factor >= 2 && factor.toLong * CopyShift <= Long.MaxValue / 2,
+      s"unsupported replication factor $factor")
     val path = new org.apache.hadoop.fs.Path(s"$outDir/$table.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
     requireIdsBelowShift(base, idCols)
-    ((base +: (1 until 10).map(salt)): Seq[org.apache.spark.sql.DataFrame])
-      .reduce(_ union _).repartition(32)
-      .write.mode("overwrite").parquet(path.toString)
+    (0 until factor).map(k => if (k == 0) base else salt(k))
+      .grouped(10).zipWithIndex.foreach { case (batch, i) =>
+        batch.reduce(_ union _).repartition(32)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(path.toString)
+      }
   }
 
   /** Guard the disjointness precondition: a corpus whose ids reach the
@@ -71,9 +79,10 @@ object ScaleEvidence {
     }
   }
 
-  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  private def generate(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
     val base = Tables.documents(spark, sfDir)
-    replicate(spark, outDir, "documents", base, Seq("doc_id"), k =>
+    replicate(spark, outDir, "documents", base, Seq("doc_id"), factor, k =>
       base.select(
         (col("doc_id") + lit(k * CopyShift)).as("doc_id"),
         regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1c" + k).as("text"),
@@ -85,9 +94,10 @@ object ScaleEvidence {
     * interval pairs, 10x of each) while no cross-copy row can ever join —
     * the linear-growth shape the temporal joins claim.
     */
-  private def generateEvents(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  private def generateEvents(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
     val base = graft.Tables.read(spark, sfDir, "events")
-    replicate(spark, outDir, "events", base, Seq("event_id", "user_id"), k =>
+    replicate(spark, outDir, "events", base, Seq("event_id", "user_id"), factor, k =>
       base.select(
         (col("event_id") + lit(k * CopyShift)).as("event_id"), col("ts"),
         (col("user_id") + lit(k * CopyShift)).as("user_id"),
@@ -114,33 +124,41 @@ object ScaleEvidence {
     graft.ops.DedupOps.connectedComponentsWithRounds(edges)._2
   }
 
+  /** `runMain graft.tools.ScaleEvidence [sfDir] [outDir] [factor] [queryCsv]`
+    * — factor defaults to 10; queryCsv restricts the measured set (the
+    * 100x tier runs a pared list so the expensive iterative queries
+    * don't dominate the harness).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val x10Dir = args.lift(1).getOrElse("/tmp/graft-scale-x10")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-scale-x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val filter = args.lift(3).map(_.split(",").toSet)
     val spark = Tables.configure(SparkSession.builder().appName("scale-evidence"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    generate(spark, sfDir, x10Dir)
-    generateEvents(spark, sfDir, x10Dir)
+    generate(spark, sfDir, outDir, factor)
+    generateEvents(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
-    val n10 = Tables.documents(spark, x10Dir).count()
+    val nX = Tables.documents(spark, outDir).count()
 
-    val rows = (QueryNames ++ EventQueryNames).map { name =>
+    val names = (QueryNames ++ EventQueryNames).filter(n => filter.forall(_.contains(n)))
+    val rows = names.map { name =>
       val t1 = medianTime(spark, name, sfDir, runs = 3)
-      val t10 = medianTime(spark, name, x10Dir, runs = 3)
-      (name, t1, t10)
+      val tX = medianTime(spark, name, outDir, runs = 3)
+      (name, t1, tX)
     }
-    val r1 = ccRounds(spark, sfDir)
-    val r10 = ccRounds(spark, x10Dir)
+    val measureCc = filter.forall(_.contains("q39_dup_clusters"))
+    val ccPair = if (measureCc) Some((ccRounds(spark, sfDir), ccRounds(spark, outDir))) else None
 
-    println(s"\ndocs: 1x=$n1  10x=$n10")
-    println("| query | 1x (s) | 10x (s) | 10x/1x |")
+    println(s"\ndocs: 1x=$n1  ${factor}x=$nX")
+    println(s"| query | 1x (s) | ${factor}x (s) | ${factor}x/1x |")
     println("|---|---|---|---|")
-    rows.foreach { case (n, t1, t10) =>
-      println(f"| $n | $t1%.2f | $t10%.2f | ${t10 / t1}%.1fx |")
+    rows.foreach { case (n, t1, tX) =>
+      println(f"| $n | $t1%.2f | $tX%.2f | ${tX / t1}%.1fx |")
     }
-    println(s"| q39 CC rounds | $r1 | $r10 | — |")
+    ccPair.foreach { case (r1, rX) => println(s"| q39 CC rounds | $r1 | $rX | — |") }
     spark.stop()
   }
 }

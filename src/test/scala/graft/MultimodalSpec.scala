@@ -88,6 +88,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L).duration_ms == 0L && byId(1L).sample_rate == 0)
   }
 
+  /** 8-byte PNG signature + the mandatory 13-byte IHDR chunk (no CRC
+    * needed — the decoder only reads through byte 25). */
+  private def pngBytes(width: Int, height: Int, depth: Int, colorType: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(33) // big-endian by default
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    buf.putInt(13)
+    buf.put("IHDR".getBytes("US-ASCII"))
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.put(depth.toByte)
+    buf.put(colorType.toByte)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    buf.array()
+  }
+
+  /** GIF89a header + logical screen descriptor. */
+  private def gifBytes(width: Int, height: Int, depthMinus1: Int): Array[Byte] = {
+    val buf = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(width.toShort)
+    buf.putShort(height.toShort)
+    buf.put((0x80 | depthMinus1).toByte) // global color table flag + depth bits
+    buf.put(0.toByte).put(0.toByte)
+    buf.array()
+  }
+
+  test("PNG and GIF decode are real: big-endian IHDR, LE screen descriptor") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, "image", "a.png", pngBytes(1920, 1080, depth = 8, colorType = 6)),
+      MediaRow(2L, "image", "b.png", pngBytes(300, 200, depth = 8, colorType = 0)),
+      MediaRow(3L, "image", "c.gif", gifBytes(640, 350, depthMinus1 = 7)),
+      // color type 5 does not exist -> corrupt, stub fallback
+      MediaRow(4L, "image", "d.png", pngBytes(10, 10, depth = 8, colorType = 5))).toDS()
+    val byId = MultimodalOps.extractFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).width == 1920 && byId(1L).height == 1080)
+    assert(byId(1L).bit_depth == 32) // 8 bits x RGBA
+    assert(byId(2L).bit_depth == 8)  // 8 bits x greyscale
+    assert(byId(3L).width == 640 && byId(3L).height == 350 && byId(3L).bit_depth == 8)
+    val stub = new MultimodalOps.FakeDecoder().decode(
+      MediaRow(4L, "image", "d.png", pngBytes(10, 10, 8, 5)))
+    assert(byId(4L).width == stub.width && byId(4L).height == stub.height)
+  }
+
   test("WAV decode is real: sample rate, channels, duration from the chunk walk") {
     import spark.implicits._
     // 44100 Hz stereo 16-bit, exactly half a second of frames
