@@ -97,5 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Rule[LogicalPlan] rung: naive key+band interval joins rewrite
     // to the binned form automatically (see plans/BinnedIntervalJoin)
     ext.injectOptimizerRule(_ => graft.plans.BinnedIntervalJoin)
+    // the SparkStrategy rung: plans the native as-of join operator
+    // (see plans/AsOfJoin — custom LogicalPlan + physical merge exec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -250,5 +250,48 @@ object EventQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  /** The SAME as-of semantics as q54, answered by the NATIVE operator —
+    * `plans/AsOfJoin`, the custom `LogicalPlan` + `SparkStrategy` +
+    * `SparkPlan` rung of the extension ladder. Each side shuffles once on
+    * `user_id`, sorts by (user, ts), and a per-partition forward merge
+    * emits each click joined to its latest preceding view: no union
+    * doubling, no window state — the engine-native shape of the operator
+    * q54 composes from stock pieces. Views deduped to one per (user, ts)
+    * first, exactly like q54, so "most recent" is total and both engines
+    * agree (see q54's doc). Oracle: DuckDB's native ASOF JOIN — the same
+    * SQL as q54, so the composed and native forms are graded against one
+    * answer.
+    */
+  val q58 = Q(
+    "q58_asof_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("event_ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("event_ts").as("view_ts"))
+        .agg(min(col("event_id")).as("view_id"))
+      graft.plans.AsOfJoin(clicks, views,
+          leftKeys = Seq("user_id"), rightKeys = Seq("v_user"),
+          leftTs = "click_ts", rightTs = "view_ts")
+        .select(col("click_id"), col("user_id"), col("click_ts"),
+          col("view_id"), col("view_ts"))
+        .orderBy("click_id")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, view_ts, view_id FROM (
+                   SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id,
+                     row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                       ORDER BY event_id) AS rn
+                   FROM events WHERE event_type = 'view') t WHERE rn = 1),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+            FROM events WHERE event_type = 'click')
+      SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts
+      FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.click_ts
+      ORDER BY click_id"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58)
 }
