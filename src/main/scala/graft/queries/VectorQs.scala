@@ -179,5 +179,51 @@ object VectorQs {
     // perf gate now that its projections are a custom expression
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43)
+  /** Spherical k-means (2 Lloyd rounds) over the embedding corpus —
+    * embedding clustering as a training-data-pipeline operator (topic
+    * bucketing / diversity sampling / IVF centroid TRAINING: these
+    * centroids are exactly what q42's index should probe at scale).
+    *
+    * Hash-exact graded even though k-means is float-iterative, because
+    * every step is engine-portable by construction: assignments are the
+    * same broadcast argmax q42 grades; centroid means run on
+    * [[VectorOps.kmeansUpdate]]'s quantized integers (floor(v*2^40) —
+    * exact scaling, tie-free floor, associative integer sums), so no
+    * shuffle order and no engine's summation tree can move a single bit.
+    * A decimal-cast mean was measured non-portable first (30 665 / 32 000
+    * corpus values diverge — see KmeansQuantBits).
+    */
+  val q59 = Q(
+    "q59_kmeans_lloyd",
+    (s, d) => {
+      val seeds = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      VectorOps.kmeans(corpus(s, d), seeds, iters = 2)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+      a1 AS (
+        SELECT vec_id, vec, cell FROM (
+          SELECT e.vec_id, e.embedding AS vec, c.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent0 c) t WHERE rn = 1),
+      qz AS (
+        SELECT cell, pos, CAST(floor(CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT) AS q
+        FROM (SELECT cell, generate_subscripts(vec, 1) AS pos, unnest(vec) AS v FROM a1) u),
+      mz AS (
+        SELECT cell, pos,
+          CAST((CAST(sum(q) AS DOUBLE) / count(*)) * power(2.0, -40) AS REAL) AS m
+        FROM qz GROUP BY cell, pos),
+      cent1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM mz GROUP BY cell)
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cid AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent1 c) t WHERE rn = 1
+      ORDER BY vec_id"""))
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59)
 }
