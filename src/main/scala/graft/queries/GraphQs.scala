@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.ops.GraphOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the event stream — the family beyond q39's
+  * connected components: importance ranking on a behavior graph, the kind
+  * of signal a training-data pipeline uses to weight or sample sources.
+  */
+object GraphQs {
+
+  /** PageRank over the item-transition graph: nodes are the item ids in
+    * `events.props.k`, with a directed edge (a -> b, weight = transition
+    * count) whenever one user's consecutive events (microsecond order,
+    * `event_id` tiebreak — the same total order q53/q54 use) move from
+    * item a to item b. Two synchronous rounds of
+    * [[GraphOps.pageRank]]'s quantized-integer recurrence.
+    *
+    * Hash-exact graded: ranks stay in the fixed-point integer domain end
+    * to end (floor divisions + associative integer sums), so the DuckDB
+    * oracle unrolls the identical recurrence and must agree bit-for-bit —
+    * a float PageRank could only ever be graded to a tolerance.
+    *
+    * Scale shape: edge building is one window over user-partitioned
+    * events plus one (src,dst) hash aggregate; ranking is two exchanges
+    * per round on node-/edge-sized relations (see [[GraphOps.pageRank]]).
+    * Nothing is ever quadratic in users, items, or events.
+    */
+  val q63 = Q(
+    "q63_pagerank",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val edges = ev
+        .withColumn("next_item", lead(col("item"), 1).over(w))
+        .filter(col("item").isNotNull && col("next_item").isNotNull &&
+          col("item") =!= col("next_item"))
+        .groupBy(col("item").as("src"), col("next_item").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.pageRank(edges, iters = 2)
+        .select(col("node").as("item"), col("q"))
+        .orderBy("item")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+          lead(item) OVER (PARTITION BY user_id ORDER BY uts, event_id) AS next_item
+        FROM ev),
+      edges AS (
+        SELECT item AS src, next_item AS dst, count(*) AS w FROM tr
+        WHERE item IS NOT NULL AND next_item IS NOT NULL AND item <> next_item
+        GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      p AS (SELECT count(*) AS n FROM nodes),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1099511627776 // (SELECT n FROM p) AS q FROM nodes),
+      c1 AS (SELECT e.dst, CAST(sum((r.q * e.w) // o.ow) AS BIGINT) AS qin
+             FROM edges e
+             JOIN outw o ON o.src = e.src
+             JOIN r0 r ON r.node = e.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nd.node,
+               ((100 - 85) * 1099511627776) // (100 * (SELECT n FROM p))
+                 + (85 * coalesce(c1.qin, 0)) // 100 AS q
+             FROM nodes nd LEFT JOIN c1 ON c1.dst = nd.node),
+      c2 AS (SELECT e.dst, CAST(sum((r.q * e.w) // o.ow) AS BIGINT) AS qin
+             FROM edges e
+             JOIN outw o ON o.src = e.src
+             JOIN r1 r ON r.node = e.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nd.node,
+               ((100 - 85) * 1099511627776) // (100 * (SELECT n FROM p))
+                 + (85 * coalesce(c2.qin, 0)) // 100 AS q
+             FROM nodes nd LEFT JOIN c2 ON c2.dst = nd.node)
+      SELECT node AS item, q FROM r2 ORDER BY item"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q63)
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantized-integer PageRank: hand-checked recurrence on tiny graphs,
+  * the distributed determinism claim (bit-identical under repartition),
+  * mass conservation, and closeness to the float fixed point.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+
+  private val One = GraphOps.QuantOne
+
+  private def edgesDf(es: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    es.toDF("src", "dst", "w")
+  }
+
+  private def ranks(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The recurrence computed with BigInt on the driver — the independent
+    * mirror the Spark plan must reproduce exactly. */
+  private def reference(es: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outw = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val base = (BigInt(15) * One / (100 * n)).toLong
+    var q = nodes.map(_ -> (One / n)).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _, w) => (BigInt(q(s)) * w / outw(s)).toLong }.sum
+      }
+      q = nodes.map(v => v -> (base + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    q
+  }
+
+  test("two-node cycle matches the hand recurrence, both rounds") {
+    val es = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    for (iters <- Seq(1, 2, 3)) {
+      val got = ranks(GraphOps.pageRank(edgesDf(es), iters))
+      assert(got == reference(es, iters), s"iters=$iters")
+    }
+  }
+
+  test("dangling node keeps only the base term; its mass leaks") {
+    val es = Seq((1L, 2L, 1L))
+    val got = ranks(GraphOps.pageRank(edgesDf(es), iters = 1))
+    val base = (BigInt(15) * One / 200).toLong
+    assert(got(1L) == base)
+    assert(got(2L) == base + 85L * (One / 2) / 100L)
+    assert(got == reference(es, 1))
+  }
+
+  test("weighted fan-out splits proportionally with floor semantics") {
+    // 1 -> 2 (w=3), 1 -> 3 (w=7); 2,3 dangle
+    val es = Seq((1L, 2L, 3L), (1L, 3L, 7L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val got = ranks(GraphOps.pageRank(edgesDf(es), iters = 2))
+    assert(got == reference(es, 2))
+  }
+
+  test("bit-identical under any input partitioning") {
+    val rnd = new scala.util.Random(63)
+    val es = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, 1L + rnd.nextInt(9).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val base = ranks(GraphOps.pageRank(edgesDf(es), iters = 3))
+    val shuffled = ranks(GraphOps.pageRank(edgesDf(es).repartition(7), iters = 3))
+    assert(base == shuffled)
+    assert(base == reference(es, 3))
+  }
+
+  test("total quantized mass never exceeds one") {
+    val rnd = new scala.util.Random(64)
+    val es = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong, 1L + rnd.nextInt(5).toLong))
+      .filter(e => e._1 != e._2).distinct
+    for (iters <- Seq(1, 2, 4)) {
+      val got = ranks(GraphOps.pageRank(edgesDf(es), iters))
+      assert(got.values.map(BigInt(_)).sum <= BigInt(One), s"iters=$iters")
+    }
+  }
+
+  test("quantized ranks track the float recurrence within quantization error") {
+    val rnd = new scala.util.Random(65)
+    val es = Seq.fill(300)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L + rnd.nextInt(4).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val iters = 3
+    val got = ranks(GraphOps.pageRank(edgesDf(es), iters))
+    // float mirror of the same simplified recurrence
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val n = nodes.size
+    val outw = es.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _, w) => r(s) * w / outw(s) }.sum
+      }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      val quantized = got(v).toDouble / One.toDouble
+      // each round floors at most (indegree+2) ulps of 2^-40; 1e-6 is lax
+      assert(math.abs(quantized - r(v)) < 1e-6, s"node $v: $quantized vs ${r(v)}")
+    }
+  }
+}
