@@ -145,6 +145,38 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** PII-masking patterns. Deliberately restricted to the regex subset
+    * Java's engine (Spark) and RE2 (DuckDB) interpret identically — no
+    * lookaround, no `\b`, no shorthand classes, only greedy quantifiers
+    * over explicit character classes — so both engines mask the exact
+    * same spans and redacted corpora are reproducible cross-engine.
+    * Order matters and [[redact]] fixes it: URLs first (an address inside
+    * a URL is part of the URL, not a separate email), then emails, then
+    * phone numbers (strict international `+CC-NNN-N...` form; free-form
+    * national numbers are corpus-specific policy, not engine semantics).
+    */
+  val UrlRe = "https?://[^ \\t\\r\\n]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+
+  /** Non-overlapping match count of `pat` — `size(regexp_extract_all)`,
+    * codegen-friendly and mirrored by `len(regexp_extract_all)` in any
+    * engine. Count BEFORE the corresponding redaction stage; a later
+    * stage's input already has earlier kinds masked. */
+  def matchCount(text: Column, pat: String): Column =
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+
+  /** One redaction stage: every `pat` span replaced with `tag`. */
+  def redactOne(text: Column, pat: String, tag: String): Column =
+    regexp_replace(text, pat, tag)
+
+  /** Full PII mask: URL -> `<URL>`, then email -> `<EMAIL>`, then phone
+    * -> `<PHONE>`. A pure projection — scales with row count, composes
+    * with any scan, and never shuffles. */
+  def redact(text: Column): Column =
+    redactOne(redactOne(redactOne(text, UrlRe, "<URL>"),
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** ALL overlapping token n-gram fingerprints, repeats included — the
     * multiset repetition metrics need ([[shingleHashes]] dedups; a
     * duplicate-n-gram fraction computed on a set is always 0). Native

@@ -402,7 +402,75 @@ object TextQs {
     // headline since round 6 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49)
+  /** PII redaction — the corpus-cleaning pass every training-data
+    * pipeline runs before anything else sees the text. The driver corpus
+    * is synthetic word-salad with no PII, so the graded query PLANTS
+    * deterministic PII derived from `doc_id` (an email on every doc, a
+    * URL on 2/3, a phone on 1/2 — both engines construct the identical
+    * augmented text in-plan), then masks it with [[TextOps.redact]]'s
+    * engine-portable patterns and reports per-kind counts. Graded
+    * hash-exact INCLUDING the redacted text, so the masked spans match
+    * byte-for-byte across Java regex and RE2; realistic free-form
+    * fixtures (multiple PII per line, adjacent punctuation, no-match
+    * text) are `RedactSpec`'s job. Counts are stage-ordered: URLs
+    * counted+masked first, then emails, then phones (an email inside a
+    * URL is URL, not email — order pinned in [[TextOps.redact]]).
+    * Shape: pure projection — no shuffle, fully codegen'd, scales with
+    * row count alone.
+    */
+  val q64 = Q(
+    "q64_pii_redact",
+    (s, d) => {
+      val aug = concat(
+        col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" via https://docs.example.com/d/"), col("doc_id").cast("string"),
+            lit("?ref=corpus"))).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        lit("."))
+      val s1 = TextOps.redactOne(col("aug"), TextOps.UrlRe, "<URL>")
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .withColumn("n_url", TextOps.matchCount(col("aug"), TextOps.UrlRe))
+        .withColumn("s1", s1)
+        .withColumn("n_email", TextOps.matchCount(col("s1"), TextOps.EmailRe))
+        .withColumn("s2", TextOps.redactOne(col("s1"), TextOps.EmailRe, "<EMAIL>"))
+        .withColumn("n_phone", TextOps.matchCount(col("s2"), TextOps.PhoneRe))
+        .withColumn("clean", TextOps.redactOne(col("s2"), TextOps.PhoneRe, "<PHONE>"))
+        .select("doc_id", "n_url", "n_email", "n_phone", "clean")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            || CASE WHEN doc_id % 3 <> 0
+                 THEN ' via https://docs.example.com/d/' || CAST(doc_id AS VARCHAR) || '?ref=corpus'
+                 ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                 THEN ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || '.' AS aug
+        FROM documents),
+      st1 AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, 'https?://[^ \t\r\n]+')) AS BIGINT) AS n_url,
+          regexp_replace(aug, 'https?://[^ \t\r\n]+', '<URL>', 'g') AS s1
+        FROM aug),
+      st2 AS (
+        SELECT doc_id, n_url,
+          CAST(len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s2
+        FROM st1)
+      SELECT doc_id, n_url, n_email,
+        CAST(len(regexp_extract_all(s2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS BIGINT) AS n_phone,
+        regexp_replace(s2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS clean
+      FROM st2 ORDER BY doc_id"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
