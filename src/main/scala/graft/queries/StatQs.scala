@@ -105,5 +105,54 @@ object StatQs {
         CAST(len(json_keys(props)) AS INT) AS n_entries
       FROM events WHERE event_id < 500 ORDER BY event_id"""))
 
-  val defs: Seq[Q] = Seq(q26, q27, q28)
+  /** Exact per-group quantiles (p50/p90/p99 of document length per
+    * language) with PURE-INTEGER index selection: the p-quantile of a
+    * group of n sorted values is the element at 1-based row
+    * `((n-1)*p) div 100 + 1` — the "lower" discrete quantile. No float
+    * interpolation anywhere, so there is no `0.9*(n-1)` IEEE product
+    * whose last ulp could make two engines floor to different indexes:
+    * both sides compute the identical integer.
+    *
+    * Shape: ONE exchange on the group key; the per-group window sort is
+    * bounded by group size, row_number + count ride the same window, and
+    * the final group-by reuses the window's partitioning (no second
+    * exchange — group-sized output). Ties in the value column need no
+    * tiebreak: whichever tied row takes the selected row number, the
+    * VALUE at that index is the same. At 100 TB this is the per-group
+    * exact path (groups ≪ corpus); a GLOBAL exact quantile would ride
+    * [[graft.ops.PrefixOps]]'s fixed-bucket prefix sums instead of one
+    * giant partition.
+    */
+  val q65 = Q(
+    "q65_group_quantiles",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+      val ranked = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      val picks = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99)
+      ranked.groupBy("lang")
+        .agg(picks.head match { case (nm, p) =>
+          max(when(col("rn") === expr(s"((n - 1) * $p) div 100 + 1"),
+            col("n_chars"))).as(nm)
+        }, picks.tail.map { case (nm, p) =>
+          max(when(col("rn") === expr(s"((n - 1) * $p) div 100 + 1"),
+            col("n_chars"))).as(nm)
+        }: _*)
+        .orderBy("lang")
+    },
+    Some("""
+      WITH r AS (
+        SELECT lang, n_chars,
+          row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT lang,
+        CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN n_chars END) AS BIGINT) AS p50,
+        CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_chars END) AS BIGINT) AS p90,
+        CAST(max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN n_chars END) AS BIGINT) AS p99
+      FROM r GROUP BY lang ORDER BY lang"""))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65)
 }
