@@ -100,4 +100,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q36_minhash_lsh")
     assert(p.contains("InMemoryTableScan"), "band/shingle relations not cached")
   }
+
+  test("runtime bloom filter injects on a selectively-filtered fact-fact join") {
+    // The 100-TB posture fact: when a big-big equi-join has a selective
+    // predicate on one side, Spark's InjectRuntimeFilter builds a bloom
+    // filter from that side and applies it UNDER the other side's scan,
+    // so most probe rows die before the shuffle. The default thresholds
+    // (creation side < 10 MB after filtering, application side scan >
+    // 10 GB) are tuned for exactly the cluster scale we target; at test
+    // scale the application-side floor is lowered to let the rule fire,
+    // proving the session's plans are runtime-filter-eligible (shape,
+    // join keys, selective-filter detection) end to end.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val urgent = Tables.orders(s, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val j = Tables.lineitem(s, sf)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "no runtime bloom filter under the probe-side scan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
