@@ -158,4 +158,78 @@ object VectorOps {
     }
     assigned
   }
+
+  // ---------------------------------------------------------------- PQ --
+
+  /** Contiguous `m`-way split of a `m*subDim`-dim vector into subvectors
+    * (the product-quantization decomposition): array of `m` slices. */
+  def pqSubvectors(vec: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(i => slice(vec, i * subDim + 1, subDim)): _*)
+
+  /** Per-subspace PQ codebook from a deterministic sample of the corpus:
+    * sample vector j's i-th subvector becomes subspace i's code j (codes
+    * dense from 0 in sample-id order). Sampled codebooks skip a training
+    * loop on purpose — deterministic and cheap; when trained cells are
+    * worth it, feed each subspace through [[kmeans]] instead and keep the
+    * same (sub_idx, code, cvec) shape.
+    *
+    * @param samples (id: long, vec: array<float>) — small (codes × m rows out)
+    */
+  def pqCodebook(samples: DataFrame, m: Int, subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sub_idx").orderBy("id")
+    samples.select(col("id"),
+        posexplode(pqSubvectors(col("vec"), m, subDim)).as(Seq("sub_idx", "cvec")))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select("sub_idx", "code", "cvec")
+  }
+
+  /** PQ-encode the corpus: every vector becomes `m` small code ids — the
+    * 100-TB point of PQ: the ANN index is codes + norm (a few bytes per
+    * vector), memory-resident at scales where float vectors are not; full
+    * vectors are read again only for the final re-rank.
+    *
+    * Shape: subvector explode (narrow, ×m), broadcast codebook join
+    * (in-stage expand ×codes), then `min(struct(dist, code))` collapses
+    * map-side BEFORE its exchange (same partial-aggregate posture as
+    * [[ivfAssign]]'s argmax) — the only shuffle moves (id, sub_idx, code)
+    * rows, m per vector. The L2 distance is expanded to vec_dot calls
+    * (|a|² − 2a·b + |b|²) so everything stays codegen'd; the struct
+    * ordering is duplicate-free on `code`, so argmin is total and ties
+    * pick the lowest code deterministically.
+    *
+    * @return (id: long, codes: array<int>) — codes[i] = subspace i's code
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val cb = broadcast(codebook.withColumn("__ncb", sqNormD(col("cvec"))))
+    corpus.select(col("id"),
+        posexplode(pqSubvectors(col("vec"), m, subDim)).as(Seq("sub_idx", "subvec")))
+      .join(cb, "sub_idx")
+      .withColumn("dist",
+        sqNormD(col("subvec")) - lit(2.0) * dotD(col("subvec"), col("cvec")) + col("__ncb"))
+      .groupBy("id", "sub_idx")
+      .agg(min(struct(col("dist"), col("code"))).as("__best"))
+      .select(col("id"), col("sub_idx"), col("__best.code").as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** Per-query ADC lookup table: partial inner products of each query
+    * subvector against every codebook entry. Approximate dot(q, x) is
+    * then the sum over subspaces of `pdot[sub_idx][codes[sub_idx]]` —
+    * `m` table lookups per candidate, never a 64-dim product.
+    *
+    * @return (qid, sub_idx, code, pdot) — queries × codes × m rows (small)
+    */
+  def pqQueryTable(queries: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    queries.select(col("qid"),
+        posexplode(pqSubvectors(col("qvec"), m, subDim)).as(Seq("sub_idx", "qsub")))
+      .join(broadcast(codebook), "sub_idx")
+      .select(col("qid"), col("sub_idx"), col("code"),
+        dotD(col("qsub"), col("cvec")).as("pdot"),
+        // the reconstruction's squared norm decomposes EXACTLY across
+        // disjoint subspaces — summing this per candidate gives |x̂|²,
+        // the consistent denominator for the approximate cosine
+        sqNormD(col("cvec")).as("ncb"))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import graft.ops.VectorOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -225,5 +225,80 @@ object VectorQs {
         FROM embeddings e CROSS JOIN cent1 c) t WHERE rn = 1
       ORDER BY vec_id"""))
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59)
+  /** IVF-PQ — the memory-scale ANN path: the probed-cell candidates are
+    * scored from 8 product-quantization code bytes per vector (ADC table
+    * lookups, never a 64-dim product), and only the shortlist (top-100 by
+    * approximate cosine — the recall/cost knob; a real prune once cells
+    * hold thousands) touches full vectors for the exact re-rank. At 100 TB
+    * the encoded
+    * index (codes + norm, ~12 bytes/vector) is what stays resident; q42's
+    * plain IVF re-ranks EVERY candidate against full vectors.
+    *
+    * Deterministic end to end (sampled codebooks, total argmin/argmax
+    * orderings, decimal ADC sums) — but approximation error vs the exact
+    * answer is corpus-dependent, so like q43 it grades rows-only; the
+    * recall floor vs brute force is `DedupVectorSpec`'s job.
+    *
+    * Index relations (codebook, cell assignment, codes) ride [[graft.Memo]]
+    * — they are THE index; rebuild-per-query would charge every search
+    * with an O(corpus) encode.
+    */
+  val q66 = Q(
+    "q66_ann_ivfpq",
+    (s, d) => {
+      val M = 8; val SubDim = 8
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val samples = Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val codebook = graft.Memo.cached(s, d, "pq_codebook") {
+        VectorOps.pqCodebook(samples, M, SubDim)
+      }
+      val assigned = graft.Memo.cached(s, d, "pq_cells") {
+        VectorOps.ivfAssign(corpus(s, d), cents).drop("vec")
+      }
+      val encoded = graft.Memo.cached(s, d, "pq_codes") {
+        VectorOps.pqEncode(corpus(s, d), codebook, M, SubDim)
+      }
+      val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+      val probes = queries(s, d)
+        .crossJoin(broadcast(cents))
+        .withColumn("pcos", VectorOps.cosine(col("qvec"), col("cvec")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select("qid", "cid")
+      val qtab = VectorOps.pqQueryTable(queries(s, d), codebook, M, SubDim)
+      val cand = assigned
+        .join(broadcast(probes), col("cid") === col("cell"))
+        .filter(col("id") =!= col("qid"))
+      val adc = cand
+        .join(encoded, "id")
+        .select(col("qid"), col("id"),
+          posexplode(col("codes")).as(Seq("sub_idx", "code")))
+        .join(broadcast(qtab), Seq("qid", "sub_idx", "code"))
+        .groupBy("qid", "id")
+        .agg(Det.dsum(col("pdot")).as("adc"), Det.dsum(col("ncb")).as("recon"))
+      // approximate cosine = dot(q, x̂) / (|q| |x̂|): |q| is constant per
+      // query (rank-neutral) and |x̂|² sums exactly from the codebook
+      val wShort = Window.partitionBy("qid").orderBy(
+        (col("adc") / sqrt(col("recon"))).desc, col("id"))
+      val shortlist = adc
+        .withColumn("srn", row_number().over(wShort))
+        .filter(col("srn") <= 100)
+        .select("qid", "id")
+      val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+      shortlist
+        .join(corpus(s, d), "id")
+        .join(broadcast(queries(s, d).withColumn("q_norm", VectorOps.sqNormD(col("qvec")))), "qid")
+        .withColumn("cos",
+          VectorOps.dotD(col("qvec"), col("vec")) /
+            (sqrt(col("q_norm")) * sqrt(VectorOps.sqNormD(col("vec")))))
+        .withColumn("rn", row_number().over(wRank).cast("int"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    None)
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66)
 }
