@@ -95,5 +95,40 @@ object UdfQs {
       WHERE o_orderkey < 1000
       ORDER BY o_orderkey, horizon_month"""))
 
-  val defs: Seq[Q] = Seq(q60, q61, q62)
+  /** Sketch-then-verify heavy hitters: a one-pass Misra–Gries UDAF
+    * ([[graft.ops.SketchOps.MisraGries]], 255 counters) nominates
+    * candidate tokens, then a second pass counts ONLY the candidates
+    * exactly and keeps those above the 0.5% frequency threshold
+    * (`cnt * 200 > n` — integer compare, no division). The sketch's
+    * superset guarantee (any token with frequency > n/256 survives every
+    * reduce/merge tree) makes the graded output EXACT and deterministic
+    * even though the sketch itself is error-bearing: false candidates
+    * die on their exact counts, and no true heavy hitter can be missing.
+    * Scale shape: the sketch partials are ≤255 counters per task; the
+    * verify pass semi-joins the token stream against the broadcast
+    * candidate set before its aggregation — nothing ever aggregates the
+    * full vocabulary.
+    */
+  val q67 = Q(
+    "q67_heavy_hitters",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      val mg = udaf(new graft.ops.SketchOps.MisraGries(255))
+      val cands = toks.agg(mg(col("tok")).as("cands"))
+        .select(explode(col("cands")).as("tok"))
+      val total = toks.count()
+      toks.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200 > total)
+        .orderBy("tok")
+    },
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tot AS (SELECT count(*) AS n FROM toks)
+      SELECT tok, count(*) AS cnt FROM toks
+      GROUP BY tok HAVING count(*) * 200 > (SELECT n FROM tot)
+      ORDER BY tok"""))
+
+  val defs: Seq[Q] = Seq(q60, q61, q62, q67)
 }

@@ -28,11 +28,17 @@ object ScaleEvidence {
 
   private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
-    "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup")
+    "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup",
+    "q64_pii_redact", "q65_group_quantiles")
 
-  /** Event-table queries measured against the 10x events replication. */
+  /** Event-table queries measured against the 10x events replication.
+    * Note on q63: event replication shifts user/event ids but keeps
+    * `props` verbatim, so the item-transition graph keeps its ~100 nodes
+    * while edge weights grow ~10x — exactly the realistic shape (events
+    * grow, item vocabulary doesn't), measuring the edge-build window +
+    * fixed-size iterations. */
   private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join",
-    "q56_auto_interval_join")
+    "q56_auto_interval_join", "q58_asof_native", "q63_pagerank")
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */

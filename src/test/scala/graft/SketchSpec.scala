@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.SketchOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Misra–Gries heavy hitters: the superset guarantee under real Spark
+  * partial aggregation (vocab ≫ counters, shrink exercised), stability
+  * across partitionings, and the exact sketch-then-verify pipeline.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+
+  /** 20k tokens: 5 planted heavies (1400 each = 7%, comfortably above
+    * the k=20 guarantee line n/21 ≈ 952), the rest spread over a
+    * 2000-word tail so the 20-counter sketch must shrink hard. */
+  private def stream(seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val heavy = (0 until 5).flatMap(h => Seq.fill(1400)(s"heavy$h"))
+    val tail = Seq.fill(13000)(s"tail${rnd.nextInt(2000)}")
+    rnd.shuffle(heavy ++ tail)
+  }
+
+  private def candidates(toks: Seq[String], k: Int, parts: Int): Set[String] = {
+    import spark.implicits._
+    val mg = udaf(new SketchOps.MisraGries(k))
+    toks.toDF("tok").repartition(parts)
+      .agg(mg(col("tok")).as("c")).select(explode(col("c")).as("tok"))
+      .collect().map(_.getString(0)).toSet
+  }
+
+  test("every token above n/(k+1) survives any partitioning; sketch stays <= k") {
+    val toks = stream(67)
+    for (parts <- Seq(1, 4, 13)) {
+      val c = candidates(toks, k = 20, parts)
+      assert(c.size <= 20, s"sketch exceeded its counter budget: ${c.size}")
+      (0 until 5).foreach(h => assert(c.contains(s"heavy$h"),
+        s"heavy$h (7% > n/21) missing from sketch at $parts partitions"))
+    }
+  }
+
+  test("sketch-then-verify yields the exact heavy-hitter set") {
+    import spark.implicits._
+    val toks = stream(68)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 200 > toks.size }.keySet
+    val df = toks.toDF("tok").repartition(7)
+    val mg = udaf(new SketchOps.MisraGries(255))
+    val cands = df.agg(mg(col("tok")).as("c")).select(explode(col("c")).as("tok"))
+    val total = toks.size.toLong
+    val got = df.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 > total)
+      .collect().map(_.getString(0)).toSet
+    assert(got == exact)
+  }
+}
