@@ -154,5 +154,33 @@ object StatQs {
         CAST(max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN n_chars END) AS BIGINT) AS p99
       FROM r GROUP BY lang ORDER BY lang"""))
 
-  val defs: Seq[Q] = Seq(q26, q27, q28, q65)
+  /** Exact GLOBAL quantiles (p50/p90/p99 of price-in-cents over the
+    * whole fact table) via [[graft.ops.QuantileOps.exactQuantiles]]'s
+    * two-pass histogram — the no-global-sort path: pass 1 shuffles a
+    * ≤4096-row bucket histogram, pass 2 ranks only the hit buckets.
+    * Same pure-integer index convention as q65; the oracle pays the
+    * global sort this operator exists to avoid, and must land on the
+    * identical element. Cents come from `floor(price * 100)` — one IEEE
+    * multiply + floor, bit-identical in any engine (the oracle mirrors
+    * the exact expression, not the decimal intuition).
+    */
+  val q68 = Q(
+    "q68_global_quantiles",
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice").isNotNull)
+        .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      graft.ops.QuantileOps.exactQuantiles(s, cents, "cents", Seq(50, 90, 99))
+    },
+    Some("""
+      WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+                 FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+              count(*) OVER () AS n FROM c),
+      q AS (SELECT 50 AS p UNION ALL SELECT 90 UNION ALL SELECT 99)
+      SELECT q.p,
+        CAST(max(CASE WHEN s.rn = (s.n - 1) * q.p // 100 + 1 THEN s.cents END) AS BIGINT) AS value
+      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68)
 }
