@@ -152,7 +152,9 @@ object StatQs {
         CAST(max(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN n_chars END) AS BIGINT) AS p50,
         CAST(max(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN n_chars END) AS BIGINT) AS p90,
         CAST(max(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN n_chars END) AS BIGINT) AS p99
-      FROM r GROUP BY lang ORDER BY lang"""))
+      FROM r GROUP BY lang ORDER BY lang"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   /** Exact GLOBAL quantiles (p50/p90/p99 of price-in-cents over the
     * whole fact table) via [[graft.ops.QuantileOps.exactQuantiles]]'s
@@ -180,7 +182,9 @@ object StatQs {
       q AS (SELECT 50 AS p UNION ALL SELECT 90 UNION ALL SELECT 99)
       SELECT q.p,
         CAST(max(CASE WHEN s.rn = (s.n - 1) * q.p // 100 + 1 THEN s.cents END) AS BIGINT) AS value
-      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""))
+      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68)
 }

@@ -468,7 +468,9 @@ object TextQs {
       SELECT doc_id, n_url, n_email,
         CAST(len(regexp_extract_all(s2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}')) AS BIGINT) AS n_phone,
         regexp_replace(s2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}', '<PHONE>', 'g') AS clean
-      FROM st2 ORDER BY doc_id"""))
+      FROM st2 ORDER BY doc_id"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64)
 }

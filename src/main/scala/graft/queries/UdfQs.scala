@@ -128,7 +128,9 @@ object UdfQs {
       tot AS (SELECT count(*) AS n FROM toks)
       SELECT tok, count(*) AS cnt FROM toks
       GROUP BY tok HAVING count(*) * 200 > (SELECT n FROM tot)
-      ORDER BY tok"""))
+      ORDER BY tok"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q60, q61, q62, q67)
 }
