@@ -121,4 +121,42 @@ object EventStream {
       }
       .toDF("user_id", "running_count")
   }
+
+  /** Streaming heavy hitters: a [[graft.ops.SketchOps.MisraGries]]
+    * summary as KEYED STREAMING STATE — per `event_type`, the sketch
+    * folds each micro-batch's items into ≤`k` counters and emits the
+    * current candidate set (update mode). This is the unbounded-stream
+    * form of q67's sketch-then-verify: state stays ≤k counters per key
+    * FOREVER (no watermark needed — the sketch, not eviction, bounds
+    * it), and the superset guarantee (any item with frequency > n/(k+1)
+    * over the whole stream so far is present) holds across micro-batch
+    * boundaries because batch-folding is exactly the sketch's merge
+    * order. An exact-verify pass over any window of interest turns the
+    * candidates into exact answers, as in the batch query.
+    */
+  def streamingHeavyHitters(spark: SparkSession, sourceDir: String,
+      k: Int, maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val mg = new graft.ops.SketchOps.MisraGries(k)
+    spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, String)],
+            state: GroupState[Map[String, Long]]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(mg.zero)) {
+            (b, r) => mg.reduce(b, r._2)
+          }
+          state.update(updated)
+          Iterator((etype, mg.finish(updated)))
+      }
+      .toDF("event_type", "candidates")
+  }
 }

@@ -189,6 +189,53 @@ class StreamingSpec extends AnyFunSuite {
       "restart reprocessed the already-committed file instead of resuming")
   }
 
+  test("streaming Misra-Gries state keeps heavies across batches, bounded by k") {
+    // synthetic skewed item stream in the events schema: per type, 3
+    // planted heavy items (300 occurrences each over the full stream =
+    // 23% >> n/(k+1) = 1300/21) and a 200-item uniform tail; split into
+    // two files => two micro-batches, so the sketch state must carry the
+    // guarantee across the batch boundary
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val dir = java.nio.file.Files.createTempDirectory("events-mg")
+    def rows(file: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until 2).flatMap { t =>
+        val heavy = (0 until 3).flatMap(h => Seq.fill(150)(s"h$h"))
+        val tail = Seq.fill(500)(s"t${rnd.nextInt(200)}")
+        rnd.shuffle(heavy ++ tail).zipWithIndex.map { case (item, i) =>
+          (file * 100000L + t * 10000L + i, 1700000000000000000L + i * 1000000L,
+            i.toLong % 50, s"type$t", 0.0, s"""{"k": "$item"}""")
+        }
+      }
+    Seq(0, 1).foreach { f =>
+      rows(f).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      // move the part file up so the stream sees exactly two files
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    val q = EventStream.streamingHeavyHitters(spark, dir.toString,
+        k = 20, maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("stream_mg")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // per type: take the LAST emitted candidate set (2 batches => 2 rows)
+    val emitted = spark.table("stream_mg").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    assert(emitted.length == 4, s"expected 2 types x 2 batches, got ${emitted.length}")
+    Seq("type0", "type1").foreach { t =>
+      val cands = emitted.filter(_._1 == t).last._2.toSet
+      assert(cands.size <= 20, s"$t state exceeded k: ${cands.size}")
+      (0 until 3).foreach(h => assert(cands.contains(s"h$h"),
+        s"$t lost heavy h$h across the batch boundary"))
+    }
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
