@@ -280,5 +280,54 @@ object DedupQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57)
+  /** Test-set DECONTAMINATION — the benchmark-overlap pass every
+    * pretraining pipeline runs before a corpus ships: a training document
+    * is contaminated when it shares any 5-token n-gram with the held-out
+    * probe set (here `doc_id % 97 == 0` plays the benchmark). The n-gram
+    * overlap form is the public standard (GPT-3 appendix C / PaLM-style
+    * 8-to-13-gram collision checks, scaled to this corpus' ~50-token
+    * docs).
+    *
+    * Scale shape: the probe set is benchmark-sized — its distinct grams
+    * BROADCAST; the corpus side is explode → broadcast-semi-join →
+    * distinct on doc_id, so the only exchange moves contaminated doc ids
+    * (the semi-join kills clean grams map-side). Nothing is ever
+    * pairwise in corpus × corpus. Graded hash-exact: grams are the
+    * STRING shingles ([[graft.ops.TextOps.shingles]]) so the DuckDB
+    * mirror builds the identical sets with a list comprehension.
+    */
+  val q69 = Q(
+    "q69_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probeGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
+        .distinct()
+      val trainGrams = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
+      val contaminated = trainGrams
+        .join(broadcast(probeGrams), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+               for i in range(1, greatest(len(toks) - 4, 0) + 1)])) AS g
+            FROM t),
+      probe AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      cont AS (SELECT DISTINCT g.doc_id FROM g JOIN probe USING (g)
+               WHERE g.doc_id % 97 <> 0)
+      SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69)
 }
