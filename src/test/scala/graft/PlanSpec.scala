@@ -101,6 +101,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "band/shingle relations not cached")
   }
 
+  test("q67: the Misra-Gries sketch partially aggregates map-side before its exchange") {
+    val p = plan("q67_heavy_hitters")
+    assert(p.contains("partial_misragries"),
+      "sketch not partial — every raw token row would shuffle to one reducer")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set not broadcast for the exact-verify semi-join")
+  }
+
+  test("q69: probe grams broadcast; corpus filtered by a semi-join, never paired") {
+    val p = plan("q69_decontaminate")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "decontamination lost its broadcast semi-join shape")
+    assert(!p.contains("SortMergeJoin LeftSemi"),
+      "probe grams shuffled instead of broadcast")
+  }
+
   test("runtime bloom filter injects on a selectively-filtered fact-fact join") {
     // The 100-TB posture fact: when a big-big equi-join has a selective
     // predicate on one side, Spark's InjectRuntimeFilter builds a bloom
