@@ -76,7 +76,10 @@ object MultimodalOps {
     * PNG (8-byte signature, then the mandatory IHDR chunk: width/height
     * uint32 big-endian @16/@20, per-channel bit depth @24 × the color
     * type's channel count @25), GIF (`GIF87a`/`GIF89a` + logical screen
-    * descriptor: width/height uint16 little-endian @6/@8) and RIFF/WAVE
+    * descriptor: width/height uint16 little-endian @6/@8), JPEG (SOI then
+    * the FF-marker segment walk to the first SOFn frame header —
+    * precision/height/width/components, big-endian; DHT/JPG/DAC markers
+    * inside C0–CF are NOT frame headers and are skipped) and RIFF/WAVE
     * (chunk walk from offset 12; `fmt ` carries channels@+2 and
     * sampleRate@+4 and byteRate@+8; `data`'s size over byteRate is the
     * duration). A truncated or corrupt header falls back to the
@@ -160,6 +163,54 @@ object MultimodalOps {
         bit_depth = depth, duration_ms = 0L, sample_rate = 0, channels = 0)
     }
 
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+
+    /** JPEG dimensions from the first SOF frame header (public JIF/JFIF
+      * byte layout): walk FF-marker segments from offset 2 — each
+      * non-standalone segment carries a big-endian uint16 length that
+      * includes itself — until a SOFn marker (C0–CF minus C4 DHT, C8
+      * JPG-extension, CC DAC); its payload is precision(1) height(2)
+      * width(2) components(1), all big-endian. FF fill bytes before a
+      * marker are legal padding; RST/TEM are standalone (no length).
+      * Hitting SOS/EOI first means the sampled prefix held no frame
+      * header — reject (the caller falls back to the stub).
+      */
+    private def decodeJpeg(row: MediaRow): MediaFeatures = {
+      val b = row.bytes
+      var off = 2
+      var out: MediaFeatures = null
+      while (out == null) {
+        // fill bytes: any run of FFs collapses to one marker prefix
+        while (off + 1 < b.length && (b(off) & 0xFF) == 0xFF && (b(off + 1) & 0xFF) == 0xFF)
+          off += 1
+        require(off + 2 <= b.length && (b(off) & 0xFF) == 0xFF, "lost marker alignment")
+        val marker = b(off + 1) & 0xFF
+        require(marker != 0xD9 && marker != 0xDA, "no SOF before SOS/EOI in sampled bytes")
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          off += 2 // standalone marker, no length field
+        } else {
+          require(off + 4 <= b.length, "truncated segment header")
+          val len = ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+          require(len >= 2, "corrupt segment length")
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            require(len >= 8 && off + 10 <= b.length, "truncated SOF payload")
+            val precision = b(off + 4) & 0xFF
+            val height = ((b(off + 5) & 0xFF) << 8) | (b(off + 6) & 0xFF)
+            val width = ((b(off + 7) & 0xFF) << 8) | (b(off + 8) & 0xFF)
+            val comps = b(off + 9) & 0xFF
+            require(width > 0 && height > 0 && comps > 0, "corrupt SOF dimensions")
+            out = fake.decode(row).copy(
+              kind = "image", width = width, height = height,
+              bit_depth = precision * comps, duration_ms = 0L, sample_rate = 0, channels = 0)
+          } else off += 2 + len
+        }
+      }
+      out
+    }
+
     private def decodeWav(row: MediaRow): MediaFeatures = {
       val b = row.bytes
       val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
@@ -201,6 +252,7 @@ object MultimodalOps {
         if (isBmp(b)) decodeBmp(row)
         else if (isPng(b)) decodePng(row)
         else if (isGif(b)) decodeGif(row)
+        else if (isJpeg(b)) decodeJpeg(row)
         else if (isWav(b)) decodeWav(row)
         else fake.decode(row)
       } catch { case scala.util.control.NonFatal(_) => fake.decode(row) }

@@ -7,9 +7,9 @@ import graft.ops.MultimodalOps.MediaRow
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The multimodal plumbing: schema, typed encoders, per-partition
-  * batching, generator explode — plus the two REAL header decoders (BMP,
-  * RIFF/WAVE) asserted against hand-built fixture bytes; every other
-  * format rides the deterministic stub.
+  * batching, generator explode — plus the REAL header decoders (BMP,
+  * PNG, GIF, JPEG, RIFF/WAVE) asserted against hand-built fixture bytes;
+  * every other format rides the deterministic stub.
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkSessions.spark
@@ -147,6 +147,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(1L).width == 0 && byId(1L).height == 0)
   }
 
+  /** Minimal JPEG: SOI, APP0 (skipped), DHT (C4 — in C0–CF but NOT a
+    * SOF; the walk must skip it), a fill byte, then SOFn with the real
+    * frame header. `sofMarker` picks baseline C0 / progressive C2. */
+  private def jpegBytes(width: Int, height: Int, precision: Int, comps: Int,
+      sofMarker: Int = 0xC0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(i: Int): Unit = out.write(i & 0xFF)
+    def u16(i: Int): Unit = { b(i >> 8); b(i) }
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xE0); u16(16); out.write("JFIF".getBytes("US-ASCII")); b(0)
+    (0 until 9).foreach(_ => b(0)) // APP0 payload filler (len 16 = 2+14)
+    b(0xFF); b(0xC4); u16(5); b(0); b(0); b(0) // DHT: C0-CF range, not SOF
+    b(0xFF) // legal fill byte before the next marker
+    b(0xFF); b(sofMarker); u16(8 + 3 * comps)
+    b(precision); u16(height); u16(width); b(comps)
+    (0 until 3 * comps).foreach(_ => b(0x11)) // per-component specs
+    b(0xFF); b(0xDA); u16(2) // SOS (never reached by the walk)
+    out.toByteArray
+  }
+
+  test("JPEG decode is real: SOF dims after APP0/DHT skip and fill bytes") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRow(1L, "image", "a.jpg", jpegBytes(1920, 1080, 8, 3)),
+      MediaRow(2L, "image", "b.jpg", jpegBytes(320, 200, 8, 1, sofMarker = 0xC2)))
+      .toDS()
+    val rows = MultimodalOps.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(rows(0).width == 1920 && rows(0).height == 1080)
+    assert(rows(0).bit_depth == 24) // 8-bit x 3 components
+    assert(rows(1).width == 320 && rows(1).height == 200, "progressive SOF2 missed")
+    assert(rows(1).bit_depth == 8)
+  }
+
   test("corrupt headers fall back to the deterministic stub, not a task failure") {
     import spark.implicits._
     val truncatedBmp = bmpBytes(640, 480).take(20) // magic ok, DIB cut off
@@ -165,14 +198,19 @@ class MultimodalSpec extends AnyFunSuite {
     // must NOT be rewritten into an "image" with garbage dimensions
     val bmMagicAudio = Array.tabulate(64)(i =>
       if (i == 0) 'B'.toByte else if (i == 1) 'M'.toByte else 0x11.toByte)
+    // JPEG whose sampled prefix ends before any SOF: SOI + APP0 only
+    val noSofJpeg = jpegBytes(10, 10, 8, 3).take(20)
     val ds = Seq(
       MediaRow(1L, "image", "t.bmp", truncatedBmp),
       MediaRow(2L, "image", "z.bmp", zeroWidthBmp),
       MediaRow(3L, "audio", "h.wav", headerlessWav),
       MediaRow(4L, "audio", "s.wav", spinWav),
-      MediaRow(5L, "audio", "bm.ogg", bmMagicAudio)).toDS()
+      MediaRow(5L, "audio", "bm.ogg", bmMagicAudio),
+      MediaRow(6L, "image", "n.jpg", noSofJpeg)).toDS()
     val rows = MultimodalOps.extractFeatures(ds).collect()
-    assert(rows.length == 5) // nothing threw (and nothing hung)
+    assert(rows.length == 6) // nothing threw (and nothing hung)
+    val nj = rows.find(_.media_id == 6L).get
+    assert(nj.width != 10, "truncated JPEG must fall back to the stub, not fake-decode")
     assert(rows.forall(_.embedding.length == 8)) // stub features present
     val bm = rows.find(_.media_id == 5L).get
     assert(bm.kind == "audio" && bm.width == 0 && bm.sample_rate == 0,
