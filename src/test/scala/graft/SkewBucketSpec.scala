@@ -26,6 +26,43 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits a runtime-skewed join partition (skew=true in the adaptive plan)") {
+    // the OTHER half of the skew story: SkewOps.saltedJoin is the static
+    // fix you apply when you KNOW the hot keys; AQE's skew-join split is
+    // the runtime fix for skew you didn't predict. This pins that our
+    // session config lets AQE re-plan a sort-merge join whose one
+    // partition dwarfs the rest (thresholds lowered to fire at test data
+    // sizes; at cluster scale the 256 MB defaults apply).
+    import spark.implicits._
+    val s = spark
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      // 50k rows of key 0 vs 100 spread keys: partition 0 dwarfs the rest
+      val big = (0 until 50000).map(i => (if (i < 49000) 0L else (i % 100).toLong, i.toLong))
+        .toDF("k", "v")
+      val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "tag")
+      val j = big.join(dim, "k")
+      // act on THIS Dataset so ITS AdaptiveSparkPlan finalizes (a write
+      // action builds a separate QueryExecution and leaves j's unplanned)
+      assert(j.collect().length == 50000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("salted join rejects small-side-preserving join types") {
     val li = Tables.lineitem(spark, sf)
     val dim = Tables.orders(spark, sf).select(col("o_orderkey"))
