@@ -55,4 +55,75 @@ object SketchOps {
     def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
   }
+
+  /** KLL-style mergeable quantile sketch: levels of ≤`k` values, level i
+    * carrying weight 2^i; a full level sorts and keeps alternate
+    * elements, promoting them one level up. Deterministic compaction
+    * (always the odd sorted positions — no random coin), so a given
+    * reduce/merge tree reproduces exactly; like every compacting
+    * quantile sketch the summary CONTENT still depends on how Spark
+    * shaped that tree, which is why the estimates are a test-bounded
+    * approximation (`SketchSpec` pins empirical rank error across
+    * partitionings) and no DuckDB oracle grades them — the exact paths
+    * are q65/q68. Space: ≤ k·⌈log₂(n/k)⌉ values per task partial.
+    *
+    * Finish emits the weighted summary sorted by value; rank queries
+    * fold cumulative weights ([[QuantileSketch.estimate]]).
+    */
+  class QuantileSketch(k: Int)
+      extends Aggregator[Double, Seq[Seq[Double]], Seq[(Double, Long)]] {
+    require(k >= 2, s"need at least 2 per level, got $k")
+
+    def zero: Seq[Seq[Double]] = Seq(Seq.empty)
+
+    def reduce(b: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] =
+      compactCascade(b.updated(0, b.head :+ v))
+
+    def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val depth = math.max(a.size, b.size)
+      val joined = (0 until depth).map { i =>
+        a.lift(i).getOrElse(Seq.empty) ++ b.lift(i).getOrElse(Seq.empty)
+      }
+      compactCascade(joined)
+    }
+
+    def finish(b: Seq[Seq[Double]]): Seq[(Double, Long)] =
+      b.zipWithIndex.flatMap { case (lvl, i) => lvl.map(v => (v, 1L << i)) }
+        .sortBy(_._1)
+
+    private def compactCascade(levels0: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      var levels = levels0
+      var i = 0
+      while (i < levels.size) {
+        if (levels(i).size > k) {
+          // sorted odd positions: each kept value stands for itself and
+          // its even neighbor — weight doubles, count halves
+          val promoted = levels(i).sorted.zipWithIndex.collect {
+            case (v, idx) if idx % 2 == 1 => v
+          }
+          levels = levels.updated(i, Seq.empty)
+          if (i + 1 == levels.size) levels = levels :+ promoted
+          else levels = levels.updated(i + 1, levels(i + 1) ++ promoted)
+        }
+        i += 1
+      }
+      levels
+    }
+
+    def bufferEncoder: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  }
+
+  object QuantileSketch {
+    /** The p-percentile estimate from a finished weighted summary: the
+      * first value whose cumulative weight reaches p% of the total
+      * (lower-quantile convention, integer index math like q65/q68). */
+    def estimate(summary: Seq[(Double, Long)], p: Int): Double = {
+      require(summary.nonEmpty, "empty sketch")
+      val total = summary.map(_._2).sum
+      val target = (total - 1) * p / 100 + 1
+      var cum = 0L
+      summary.find { case (_, w) => cum += w; cum >= target }.get._1
+    }
+  }
 }

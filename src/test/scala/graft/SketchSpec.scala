@@ -39,6 +39,37 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch: rank error bounded across partitionings and data orders") {
+    import spark.implicits._
+    val n = 20000
+    val uniform = scala.util.Random.javaRandomToRandom(new java.util.Random(80))
+      .shuffle((0 until n).map(_.toDouble))
+    val sorted = (0 until n).map(_.toDouble) // adversarial: pre-sorted feed
+    val qs = udaf(new SketchOps.QuantileSketch(200))
+    for ((data, label) <- Seq((uniform, "shuffled"), (sorted, "sorted"));
+         parts <- Seq(1, 4, 13)) {
+      val summary = data.toDF("v").repartition(parts)
+        .agg(qs(col("v")).as("s")).head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      for (p <- Seq(10, 50, 90, 99)) {
+        val est = SketchOps.QuantileSketch.estimate(summary, p)
+        val trueRank = (n - 1).toLong * p / 100 + 1
+        // value == rank here (0..n-1), so rank error is |est - true|
+        val err = math.abs(est - (trueRank - 1)) / n
+        assert(err <= 0.05,
+          f"$label/$parts parts p$p: rank error $err%.3f (est $est)")
+      }
+    }
+  }
+
+  test("quantile sketch space stays k-logarithmic, not linear") {
+    val qs = new SketchOps.QuantileSketch(100)
+    val b = (0 until 50000).foldLeft(qs.zero)((acc, i) => qs.reduce(acc, i.toDouble))
+    val held = b.map(_.size).sum
+    assert(held <= 100 * (b.size + 1), s"sketch held $held values over ${b.size} levels")
+    assert(held < 2000, s"50k stream left $held values — compaction not engaging")
+  }
+
   test("sketch-then-verify yields the exact heavy-hitter set") {
     import spark.implicits._
     val toks = stream(68)
