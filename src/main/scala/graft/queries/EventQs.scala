@@ -293,5 +293,45 @@ object EventQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58)
+  /** Cohort retention — the product-analytics matrix: users grouped by
+    * their FIRST-activity day (the cohort), counted again on each later
+    * day they stayed active (offsets 0..7). The period index is pure
+    * integer division of the epoch timestamp — Spark divides the µs
+    * image of the raw nano column, DuckDB divides `epoch_us` of its
+    * µs-truncated read, the identical integer: no date intervals, no
+    * timezone edge. (Daily grain because the corpus spans one month;
+    * swap the divisor for weekly/monthly cohorts.)
+    *
+    * Scale shape: distinct (user, day) is one keyed exchange on
+    * user_id; the per-user cohort min AGGREGATES ON THAT SAME
+    * PARTITIONING and the activity-to-cohort join is therefore
+    * co-partitioned (no further user-keyed exchange); the final
+    * (cohort, offset) roll-up moves only matrix-sized data. Nothing is
+    * ever corpus × corpus, and no window spans more than a user's rows.
+    */
+  val q76 = Q(
+    "q76_retention_cohorts",
+    (s, d) => {
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+        .distinct()
+      val cohorts = activity.groupBy("user_id").agg(min(col("di")).as("cd"))
+      activity.join(cohorts, "user_id")
+        .withColumn("offset_d", col("di") - col("cd"))
+        .filter(col("offset_d") <= 7)
+        .groupBy("cd", "offset_d")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cd", "offset_d")
+    },
+    Some("""
+      WITH a AS (SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS di
+        FROM events),
+      c AS (SELECT user_id, min(di) AS cd FROM a GROUP BY user_id)
+      SELECT c.cd, a.di - c.cd AS offset_d, count(DISTINCT a.user_id) AS n_users
+      FROM a JOIN c USING (user_id)
+      WHERE a.di - c.cd <= 7
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76)
 }
