@@ -331,7 +331,9 @@ object EventQs {
       SELECT c.cd, a.di - c.cd AS offset_d, count(DISTINCT a.user_id) AS n_users
       FROM a JOIN c USING (user_id)
       WHERE a.di - c.cd <= 7
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // headline since round 7 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76)
 }
