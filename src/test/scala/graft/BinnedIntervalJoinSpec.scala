@@ -143,6 +143,46 @@ class BinnedIntervalJoinSpec extends AnyFunSuite {
       "bucket columns missing from the rewritten join")
   }
 
+  test("mayHaveBand pre-check: band-free shapes rejected before any canonicalization") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val ts1 = AttributeReference("vts", TimestampType)()
+    val ts2 = AttributeReference("cts", TimestampType)()
+    val tok = AttributeReference("tok", StringType)()
+    val rk  = AttributeReference("rank", IntegerType)()
+    val dbl = AttributeReference("lv", DoubleType)()
+    // q49's join shape: a string equi-key (+ an int filter conjunct)
+    assert(!BinnedIntervalJoin.mayHaveBand(EqualTo(tok, tok)))
+    assert(!BinnedIntervalJoin.mayHaveBand(
+      And(EqualTo(tok, tok), LessThanOrEqual(rk, Literal(3)))))
+    // a single inequality is not a band
+    assert(!BinnedIntervalJoin.mayHaveBand(
+      And(EqualTo(tok, tok), GreaterThanOrEqual(ts2, ts1))))
+    // two inequalities over non-µs-integral types are not a band
+    assert(!BinnedIntervalJoin.mayHaveBand(
+      And(GreaterThanOrEqual(dbl, Literal(0.0)), LessThan(dbl, Literal(1.0)))))
+    // the real band shape passes through to the full analysis
+    assert(BinnedIntervalJoin.mayHaveBand(
+      And(EqualTo(tok, tok),
+        And(GreaterThanOrEqual(ts2, ts1), LessThanOrEqual(ts2, ts1)))))
+  }
+
+  test("rule overhead is bounded on band-free plans (q49-shaped)") {
+    // q49's regression was ~50 ms per rule invocation before the
+    // pre-check; pin the fixed cost well under that with a generous
+    // absolute bound that stays stable on a loaded CI host.
+    val tf = Seq((1L, "a", 2L), (2L, "b", 1L)).toDF("doc_id", "tok", "tf")
+    val df = tf.groupBy("tok").agg(org.apache.spark.sql.functions.count("*").as("df"))
+    val shaped = tf.join(df, "tok").filter(col("tf") <= lit(3L))
+    val analyzed = shaped.queryExecution.analyzed
+    val out = BinnedIntervalJoin(analyzed)
+    assert(out eq analyzed, "band-free plan must come back untouched (same instance)")
+    val t0 = System.nanoTime()
+    (1 to 500).foreach(_ => BinnedIntervalJoin(analyzed))
+    val perCall = (System.nanoTime() - t0) / 1e6 / 500
+    assert(perCall < 10.0, f"rule costs $perCall%.2f ms per invocation on a band-free join")
+  }
+
   test("naive events join under the rule == RangeOps manual form (sf0.001)") {
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
