@@ -93,6 +93,18 @@ object Memo {
       val prev = m.putIfAbsent(k, df)
       if (prev != null) df = prev
     }
+    ensurePersisted(df)
+  }
+
+  /** Persist `df` only if the CacheManager has no entry for its plan yet
+    * (`storageLevel` is a canonicalized-plan lookup, so a freshly built
+    * but plan-identical DataFrame sees an earlier invocation's entry).
+    * The unconditional-`persist` alternative works — CacheManager dedups —
+    * but logs "Asked to cache already cached data" churn on every
+    * re-invocation, which pollutes recorded bench output and would mask a
+    * real double-cache if one ever appeared. Callers own the entry's
+    * lifetime: it lives until `unpersist`/`clearCache` on the session. */
+  def ensurePersisted(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df

@@ -65,13 +65,19 @@ object GraphOps {
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen out of range")
 
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted via the plan-keyed guard (graft.Memo.ensurePersisted), so
+    // re-invocations on the same edge relation reuse the session's cache
+    // entries instead of re-logging "already cached" churn. The returned
+    // `ranks` plan is LAZY and references both relations — they cannot be
+    // unpersisted here; the caller owns the cache lifetime (unpersist /
+    // clearCache once ranks are materialized).
+    val e = graft.Memo.ensurePersisted(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src")))
+    val nodes = graft.Memo.ensurePersisted(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
 
     // Driver-side scalars: one count job up front (node-sized aggregate),
     // then pure Long arithmetic mirrored literally by the oracle.

@@ -58,6 +58,11 @@ object QuantileOps {
     val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val width = hi - lo + 1
     require(width > 0, "value range overflows Long — shift values first")
+    // fail fast here rather than as an opaque ANSI arithmetic error
+    // mid-job: the bucket product below needs (width - 1) * buckets to
+    // fit a Long
+    require(width <= Long.MaxValue / buckets,
+      s"value range $width too wide for $buckets-bucket math — pre-scale values")
 
     // integer bucket id in [0, buckets): ((v - lo) * buckets) div width.
     // (v - lo) <= width - 1, so the product stays < width * buckets —

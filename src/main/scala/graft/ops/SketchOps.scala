@@ -47,8 +47,13 @@ object SketchOps {
       if (m.size <= k) m
       else {
         // the (k+1)-th largest count: subtracting it zeroes at least one
-        // counter, so the post-shrink size is <= k in a single pass
-        val d = m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
+        // counter, so the post-shrink size is <= k in a single pass. On
+        // the per-element reduce path the map holds exactly k+1 entries,
+        // where the (k+1)-th largest IS the minimum — O(k), no sort; the
+        // sort only runs on the rare merge path (size up to 2k).
+        val d =
+          if (m.size == k + 1) m.values.min
+          else m.values.toSeq.sorted(Ordering[Long].reverse).apply(k)
         m.collect { case (t, c) if c > d => t -> (c - d) }
       }
 
@@ -120,6 +125,7 @@ object SketchOps {
       * (lower-quantile convention, integer index math like q65/q68). */
     def estimate(summary: Seq[(Double, Long)], p: Int): Double = {
       require(summary.nonEmpty, "empty sketch")
+      require(p >= 0 && p <= 100, s"percentile must be in [0,100], got $p")
       val total = summary.map(_._2).sum
       val target = (total - 1) * p / 100 + 1
       var cum = 0L
