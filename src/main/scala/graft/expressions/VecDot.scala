@@ -97,6 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the Rule[LogicalPlan] rung: naive key+band interval joins rewrite
     // to the binned form automatically (see plans/BinnedIntervalJoin)
     ext.injectOptimizerRule(_ => graft.plans.BinnedIntervalJoin)
+    // column pruning through the custom as-of node (stock ColumnPruning
+    // cannot see inside an unknown logical operator)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPruning)
     // the SparkStrategy rung: plans the native as-of join operator
     // (see plans/AsOfJoin — custom LogicalPlan + physical merge exec)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -63,6 +64,32 @@ case class AsOfJoinPlan(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Column pruning for [[AsOfJoinPlan]] — Catalyst's own `ColumnPruning`
+  * only understands stock operators, so without this rule whatever the
+  * caller's inputs carry is what shuffles (both sides exchange on their
+  * keys). [[AsOfJoin.apply]] always leaves a name-restoring `Project`
+  * directly above the node, and any narrower user selection collapses
+  * into it (`CollapseProject`), so matching `Project(_, AsOfJoinPlan)`
+  * here sees the full set of columns actually consumed downstream; both
+  * children are cut to those plus the join's own keys/timestamps, and the
+  * stock rules then push the inserted projections all the way into the
+  * scans (`ReadSchema` shrinks — pinned by `AsOfJoinSpec`). Fires only
+  * when a child actually narrows, so the fixpoint batch converges. */
+object AsOfJoinPruning extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      val required = AttributeSet(p.projectList.flatMap(_.references)) ++ j.references
+      def prune(side: LogicalPlan): Option[LogicalPlan] = {
+        val keep = side.output.filter(required.contains)
+        if (keep.size < side.output.size) Some(Project(keep, side)) else None
+      }
+      val (nl, nr) = (prune(j.left), prune(j.right))
+      if (nl.isEmpty && nr.isEmpty) p
+      else p.copy(child =
+        j.copy(left = nl.getOrElse(j.left), right = nr.getOrElse(j.right)))
+  }
 }
 
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]; registered through
@@ -260,9 +287,10 @@ object AsOfJoin {
     * the node and restored after it, so self-joins (both sides derived
     * from the same relation — attribute ids collide) are always safe; the
     * deliberately non-redundant intermediate names also survive
-    * `RemoveRedundantAliases`. Select the columns you need BEFORE calling:
-    * the node is opaque to column pruning (an unknown logical operator),
-    * so whatever the inputs carry is what shuffles.
+    * `RemoveRedundantAliases`. Column pruning works through the node:
+    * [[AsOfJoinPruning]] cuts both inputs to the columns the query
+    * actually consumes (plus keys/timestamps) before the keyed
+    * exchanges, so callers may pass wide relations and select after.
     */
   def apply(
       left: DataFrame,

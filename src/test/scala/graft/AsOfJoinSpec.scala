@@ -46,6 +46,34 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"left side not sorted by ts:\n$sorts")
   }
 
+  test("column pruning reaches the scans when callers pass wide relations") {
+    // both sides are the FULL events table (6 columns incl. the wide
+    // `props` map); the query consumes only ids — AsOfJoinPruning must
+    // cut the unused columns before the keyed exchanges, all the way
+    // into the parquet ReadSchema
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumnRenamed("event_id", "click_id")
+    val views = ev.filter(col("event_type") === "view")
+      .withColumnRenamed("event_id", "view_id")
+    val joined = AsOfJoin(clicks, views,
+        Seq("user_id"), Seq("user_id"), "event_ts", "event_ts")
+      .select("click_id", "view_id")
+    joined.write.format("noop").mode("overwrite").save()
+    val plan = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.size == 2, s"expected two parquet scans:\n$plan")
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("props") && !rs.contains("value"),
+        s"unused columns survived to the scan: $rs")
+    }
+    // and the pruned plan still answers correctly vs the unpruned form
+    val wide = AsOfJoin(clicks, views,
+      Seq("user_id"), Seq("user_id"), "event_ts", "event_ts")
+    assert(rows(joined, "click_id", "view_id") == rows(wide, "click_id", "view_id"))
+  }
+
   test("randomized: native as-of == brute-force most-recent-at-or-before lookup") {
     import spark.implicits._
     val rnd = new scala.util.Random(58)
