@@ -327,7 +327,11 @@ object DedupQs {
       SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
       FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
       WHERE d.doc_id % 97 <> 0
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the broadcast-probe decontamination join is the
+    // corpus-shaped shape a perf regression would hit silently otherwise
+    headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69)
 }

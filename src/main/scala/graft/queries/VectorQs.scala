@@ -223,7 +223,11 @@ object VectorQs {
           row_number() OVER (PARTITION BY e.vec_id
             ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
         FROM embeddings e CROSS JOIN cent1 c) t WHERE rn = 1
-      ORDER BY vec_id"""))
+      ORDER BY vec_id"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the iterative broadcast-argmax assignment loop is
+    // join-heavy and was previously gate-invisible
+    headline = true)
 
   /** IVF-PQ — the memory-scale ANN path: the probed-cell candidates are
     * scored from 8 product-quantization code bytes per vector (ADC table
@@ -298,7 +302,11 @@ object VectorQs {
         .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
         .orderBy("qid", "rn")
     },
-    None)
+    None,
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the memoized PQ index + ADC scoring path is the
+    // 100-TB-resident search plan and deserves a perf gate
+    headline = true)
 
   val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66)
 }
