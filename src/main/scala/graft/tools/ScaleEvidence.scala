@@ -29,7 +29,7 @@ object ScaleEvidence {
   private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
     "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup",
-    "q64_pii_redact", "q65_group_quantiles")
+    "q64_pii_redact", "q65_group_quantiles", "q67_heavy_hitters")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -38,7 +38,15 @@ object ScaleEvidence {
     * grow, item vocabulary doesn't), measuring the edge-build window +
     * fixed-size iterations. */
   private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join",
-    "q56_auto_interval_join", "q58_asof_native", "q63_pagerank")
+    "q56_auto_interval_join", "q58_asof_native", "q63_pagerank",
+    "q76_retention_cohorts")
+
+  /** Lineitem-table queries (q68's two-pass histogram) measured against a
+    * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
+    * reads just `l_extendedprice`, so the replication is a pure 10x of
+    * the value distribution (same histogram shape, 10x the population in
+    * every bucket — the linear-growth claim under test). */
+  private val LineitemQueryNames = Seq("q68_global_quantiles")
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
@@ -110,6 +118,13 @@ object ScaleEvidence {
         col("event_type"), col("value"), col("props")))
   }
 
+  private def generateLineitem(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
+    val base = graft.Tables.read(spark, sfDir, "lineitem")
+    replicate(spark, outDir, "lineitem", base, Seq("l_orderkey"), factor, k =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(k * CopyShift)))
+  }
+
   private def medianTime(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
     val q = Queries.byName(name)
     spark.sharedState.cacheManager.clearCache()
@@ -146,10 +161,12 @@ object ScaleEvidence {
 
     generate(spark, sfDir, outDir, factor)
     generateEvents(spark, sfDir, outDir, factor)
+    generateLineitem(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = Tables.documents(spark, outDir).count()
 
-    val names = (QueryNames ++ EventQueryNames).filter(n => filter.forall(_.contains(n)))
+    val names = (QueryNames ++ EventQueryNames ++ LineitemQueryNames)
+      .filter(n => filter.forall(_.contains(n)))
     val rows = names.map { name =>
       val t1 = medianTime(spark, name, sfDir, runs = 3)
       val tX = medianTime(spark, name, outDir, runs = 3)
