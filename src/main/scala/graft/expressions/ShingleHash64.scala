@@ -61,6 +61,71 @@ case class NgramHash64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[NgramHash64]] widened to 128 bits: every overlapping token n-gram
+  * as a `struct<h1: long, h2: long>` — `h1` is byte-identical to
+  * `ngram_hash64`'s FNV-1a lane, `h2` a second FNV-1a pass from an
+  * independent offset basis, both lanes computed in the SAME byte walk.
+  * This is the adversarial-corpus variant of the multiset fingerprints
+  * q48's repetition counts group on (a single 64-bit in-doc collision
+  * would shift a multiset count, where q38's set semantics only perturb
+  * membership): grouping on the struct requires a simultaneous collision
+  * in both lanes, pushing the per-doc birthday probability from ~1e-10
+  * territory to negligible at any real document size. Same null→empty,
+  * literal-n contract as the 64-bit form.
+  */
+case class NgramHash128(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("ngram_hash128 requires a literal n")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("ngram_hash128 requires a non-null n")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"ngram_hash128 requires (string, int), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = NgramHash128.Type
+  override def nullable: Boolean = false
+  override def prettyName: String = "ngram_hash128"
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) NgramHash128.EMPTY
+    else ShingleHash64.computeAll128(t.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $javaType ${ev.value} = ${l.isNull}
+          ? graft.expressions.NgramHash128.EMPTY()
+          : graft.expressions.ShingleHash64.computeAll128(${l.value}, ${r.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramHash128 {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  val Type: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+  val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+}
+
 /** Distinct token n-gram shingles of a string as 64-bit FNV-1a
   * fingerprints, computed natively over the UTF8String's bytes.
   *
@@ -135,6 +200,12 @@ case class ShingleHash64(left: Expression, right: Expression)
 object ShingleHash64 {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
+  /** Second-lane offset basis for the 128-bit form (the 64-bit golden
+    * ratio, the standard "arbitrary odd constant" choice): two FNV-1a
+    * accumulators from different bases diverge through every multiply,
+    * so a byte sequence colliding in one lane has no structural reason
+    * to collide in the other. */
+  private val Fnv2Offset = 0x9e3779b97f4a7c15L
 
   /** Shared null-text result (referenced from generated code). */
   val EMPTY: ArrayData = new GenericArrayData(Array.empty[Long])
@@ -145,6 +216,47 @@ object ShingleHash64 {
 
   /** ALL window fingerprints, repeats included (the multiset form). */
   def computeAll(text: UTF8String, n: Int): ArrayData = hashWindows(text, n, distinct = false)
+
+  /** ALL window fingerprints as (h1, h2) structs — h1 identical to
+    * [[computeAll]]'s lane, h2 from [[Fnv2Offset]], one byte walk for
+    * both (see [[NgramHash128]]). */
+  def computeAll128(text: UTF8String, n: Int): ArrayData = {
+    require(n > 0, s"ngram hash: n must be positive, got $n")
+    val nb = text.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val numToks = spaces + 1
+    if (numToks < n) return NgramHash128.EMPTY
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(numToks) = nb + 1
+    val out = new Array[Any](numToks - n + 1)
+    var w = 0
+    while (w <= numToks - n) {
+      var h1 = FnvOffset
+      var h2 = Fnv2Offset
+      var j = starts(w)
+      val end = starts(w + n) - 1
+      while (j < end) {
+        val b = text.getByte(j) & 0xffL
+        h1 ^= b; h1 *= FnvPrime
+        h2 ^= b; h2 *= FnvPrime
+        j += 1
+      }
+      out(w) = InternalRow(h1, h2)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
 
   private def hashWindows(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     require(n > 0, s"shingle/ngram hash: n must be positive, got $n")

@@ -186,4 +186,12 @@ object TextOps {
     */
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hash64", text, lit(n))
+
+  /** 128-bit variant of [[ngramHashes]] — `struct<h1, h2>` elements with
+    * `h1` byte-identical to the 64-bit lane, for adversarial or
+    * user-supplied corpora where a single 64-bit in-doc collision
+    * shifting a multiset count is a real risk (see
+    * [[graft.expressions.NgramHash128]]). Group on the whole struct. */
+  def ngramHashes128(text: Column, n: Int): Column =
+    call_function("ngram_hash128", text, lit(n))
 }

@@ -297,10 +297,12 @@ object TextQs {
     * membership), these are MULTISET counts: a single in-doc collision
     * would shift `mx`/`dupc` and so the graded fractions. Accepted for
     * benchmark corpora (64-bit FNV-1a over ~10^5 grams/doc puts the
-    * per-doc birthday probability near 10^-10); if the corpus ever
-    * becomes adversarial or user-supplied, widen the fingerprint to
-    * 128 bits (two independent seeds packed in a struct) or grade on
-    * string grams at oracle scale.
+    * per-doc birthday probability near 10^-10); for adversarial or
+    * user-supplied corpora set `spark.graft.repetition.fingerprintBits`
+    * to `128` and the grams group on [[TextOps.ngramHashes128]]'s
+    * two-lane struct instead (both lanes from one byte walk; a count
+    * shift then needs a simultaneous collision in two independent FNV
+    * bases — `RepetitionBitsSpec` pins the two paths count-identical).
     *
     * Documents with fewer than n tokens have no n-grams: their fractions
     * (and the gate) are NULL in both engines via the left join.
@@ -308,9 +310,13 @@ object TextQs {
   val q48 = Q(
     "q48_repetition",
     (s, d) => {
+      val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
+        .contains("128")
       def gramCounts(n: Int): DataFrame =
         Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextOps.ngramHashes(col("text"), n)).as("g"))
+          .select(col("doc_id"), explode(
+            if (wide) TextOps.ngramHashes128(col("text"), n)
+            else TextOps.ngramHashes(col("text"), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val a2 = gramCounts(2).groupBy("doc_id")
         .agg(max(col("c")).as("mx"), sum(col("c")).as("tot2"))

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 128-bit fingerprint option for the multiset repetition counts
+  * (q48): the two-lane struct must reproduce the 64-bit path's counts
+  * exactly wherever the 64-bit path is collision-free, h1 must stay
+  * byte-identical to `ngram_hash64` (so the wide form is a strict
+  * widening, not a different hash), and the conf switch must flip the
+  * graded query without changing its answer on the corpus.
+  */
+class RepetitionBitsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  import spark.implicits._
+
+  /** q48's per-doc metric shape over an arbitrary gram column. */
+  private def metrics(docs: DataFrame, gram: Int => org.apache.spark.sql.Column): DataFrame = {
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"), explode(gram(n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val a2 = gramCounts(2).groupBy("doc_id")
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot2"))
+    val a3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
+        sum(col("c")).as("tot3"))
+    docs.select(col("doc_id")).join(a2, Seq("doc_id"), "left")
+      .join(a3, Seq("doc_id"), "left")
+  }
+
+  private def collected(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    df.select("doc_id", "mx", "tot2", "dupc", "tot3")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("64- and 128-bit multiset counts agree on a birthday-scale synthetic corpus") {
+    // ~1000 docs x 200 tokens from a 50k-word vocabulary with planted
+    // repetition (every 7th token repeats its predecessor) — ~200k
+    // 2-/3-gram instances, far past where a weak second lane would show
+    val rnd = new scala.util.Random(48)
+    val docs = (1L to 1000L).map { id =>
+      // a per-doc 5-token phrase repeated 3 times among random filler —
+      // its interior 2-/3-grams are genuine in-doc multiset duplicates
+      val phrase = (0 until 5).map(j => s"p${id}x$j")
+      val toks = new scala.collection.mutable.ArrayBuffer[String](215)
+      (0 until 3).foreach { _ =>
+        (0 until 60).foreach(_ => toks += s"w${rnd.nextInt(50000)}")
+        toks ++= phrase
+      }
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val narrow = collected(metrics(docs, TextOps.ngramHashes(col("text"), _)))
+    val wide = collected(metrics(docs, TextOps.ngramHashes128(col("text"), _)))
+    assert(narrow == wide)
+    // the planted repetition made the metrics non-trivial
+    assert(narrow.exists(_._4 > 0), "no duplicate 3-grams — corpus not exercising the multiset")
+  }
+
+  test("h1 lane is byte-identical to ngram_hash64; short docs yield empty arrays") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "one"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        TextOps.ngramHashes(col("text"), 2).as("n64"),
+        TextOps.ngramHashes128(col("text"), 2).as("n128"))
+      .select(col("doc_id"), col("n64"), col("n128.h1").as("h1"), col("n128.h2").as("h2"))
+      .as[(Long, Seq[Long], Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, n64, h1, h2) =>
+      assert(n64 == h1, s"doc $id: h1 lane diverged from ngram_hash64")
+      assert(n64.size == h2.size)
+      // the second lane is a different hash wherever there is content
+      if (n64.nonEmpty) assert(n64 != h2, s"doc $id: h2 lane degenerate")
+    }
+    assert(both.find(_._1 == 2L).get._2.isEmpty) // 1 token < n=2
+    assert(both.find(_._1 == 3L).get._2.isEmpty) // null text
+  }
+
+  test("q48 under fingerprintBits=128 answers identically on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    def run(): Set[String] =
+      Queries.byName("q48_repetition").fn(spark, d)
+        .select(concat_ws("|", col("doc_id"), col("top_2gram_frac"),
+          col("dup_3gram_frac"), col("keep")))
+        .as[String].collect().toSet
+    val narrow = run()
+    spark.conf.set("spark.graft.repetition.fingerprintBits", "128")
+    try assert(run() == narrow)
+    finally spark.conf.unset("spark.graft.repetition.fingerprintBits")
+  }
+}
