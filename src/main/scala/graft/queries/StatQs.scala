@@ -186,5 +186,33 @@ object StatQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68)
+  /** KLL-sketch-pruned exact global quantiles — the q67 pattern (sketch
+    * nominates, exact pass verifies) applied to rank queries, grading
+    * the approximate-summary tier end to end: the sketch's merge-tree-
+    * dependent content only PRUNES (a per-percentile value band,
+    * bracket-verified by exact counts and widened on miss), the graded
+    * answer is the exact rank-selected value — so the oracle is the
+    * same global-sort SQL q68's convention uses, on order totals in
+    * cents. See [[graft.ops.QuantileOps.sketchedQuantiles]] for the
+    * pass structure and 100-TB posture.
+    */
+  val q77 = Q(
+    "q77_kll_quantiles",
+    (s, d) => {
+      val cents = Tables.orders(s, d)
+        .filter(col("o_totalprice").isNotNull)
+        .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("cents"))
+      graft.ops.QuantileOps.sketchedQuantiles(s, cents, "cents", Seq(50, 90, 99))
+    },
+    Some("""
+      WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders WHERE o_totalprice IS NOT NULL),
+      s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+              count(*) OVER () AS n FROM c),
+      q AS (SELECT 50 AS p UNION ALL SELECT 90 UNION ALL SELECT 99)
+      SELECT q.p,
+        CAST(max(CASE WHEN s.rn = (s.n - 1) * q.p // 100 + 1 THEN s.cents END) AS BIGINT) AS value
+      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77)
 }

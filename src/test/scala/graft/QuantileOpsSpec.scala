@@ -58,4 +58,38 @@ class QuantileOpsSpec extends AnyFunSuite {
     val vs = Seq.fill(3000)(rnd.nextInt(5000).toLong)
     assert(run(vs, Seq(50, 90, 99), parts = 1) == run(vs, Seq(50, 90, 99), parts = 13))
   }
+
+  private def runSketched(vs: Seq[Long], ps: Seq[Int], k: Int = 400,
+      delta: Int = 8, parts: Int = 4): Map[Int, Long] = {
+    import spark.implicits._
+    val df = vs.toDF("v").repartition(parts)
+    QuantileOps.sketchedQuantiles(spark, df, "v", ps, k, delta)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  test("sketched quantiles: exact at every percentile, any partitioning") {
+    val rnd = new scala.util.Random(77)
+    val vs = Seq.fill(5000)(rnd.nextInt(800).toLong - 400L)
+    val ps = Seq(0, 1, 25, 50, 75, 90, 99, 100)
+    for (parts <- Seq(1, 13)) {
+      val got = runSketched(vs, ps, parts = parts)
+      ps.foreach(p => assert(got(p) == reference(vs, p), s"p$p/$parts parts"))
+    }
+  }
+
+  test("sketched quantiles: verify loop survives a deliberately undersized band") {
+    // delta=1 with a tiny k (high sketch error) forces bracket misses:
+    // the widen loop must still land on the exact answer
+    val rnd = new scala.util.Random(78)
+    val vs = Seq.fill(9000)(7L) ++ Seq.fill(1000)(rnd.nextInt(1000000).toLong)
+    val got = runSketched(vs, Seq(50, 90, 99), k = 2, delta = 1)
+    Seq(50, 90, 99).foreach(p => assert(got(p) == reference(vs, p), s"p$p"))
+  }
+
+  test("sketched == histogram exact quantiles on shared input") {
+    val rnd = new scala.util.Random(79)
+    val vs = Seq.fill(4000)(rnd.nextInt(100000).toLong)
+    val ps = Seq(50, 90, 99)
+    assert(runSketched(vs, ps) == run(vs, ps))
+  }
 }
