@@ -148,15 +148,14 @@ object QuantileOps {
 
     val v = col(valueCol)
     val vals = df.filter(v.isNotNull).select(v.as("v"))
+    // one pass for stats AND the sketch (both mergeable aggregates)
+    val sketch = udaf(new SketchOps.QuantileSketch(k))
     val stats = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-      count(lit(1)).as("n")).head()
+      count(lit(1)).as("n"), sketch(col("v").cast("double")).as("s")).head()
     require(!stats.isNullAt(0), s"$valueCol has no non-null values")
     val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val targets = percentiles.map(p => p -> ((n - 1) * p / 100 + 1)) // 1-based rank
-
-    val sketch = udaf(new SketchOps.QuantileSketch(k))
-    val summary = vals.agg(sketch(col("v").cast("double")).as("s"))
-      .head().getSeq[org.apache.spark.sql.Row](0)
+    val summary = stats.getSeq[org.apache.spark.sql.Row](3)
       .map(r => (r.getDouble(0), r.getLong(1)))
 
     // propose → verify → widen: each round is ONE conditional-sum scan

@@ -76,24 +76,34 @@ object SketchOps {
     * fold cumulative weights ([[QuantileSketch.estimate]]).
     */
   class QuantileSketch(k: Int)
-      extends Aggregator[Double, Seq[Seq[Double]], Seq[(Double, Long)]] {
+      extends Aggregator[Double, (Int, Seq[Seq[Double]]), Seq[(Double, Long)]] {
     require(k >= 2, s"need at least 2 per level, got $k")
 
-    def zero: Seq[Seq[Double]] = Seq(Seq.empty)
+    // Buffer = (level-0 size, levels). The tracked size keeps the
+    // per-row reduce at O(1): a List prepend plus an int — the previous
+    // `b.head :+ v` append copied the whole level-0 buffer (up to k
+    // elements) on EVERY input row, which dominated the sketch pass at
+    // corpus scale. Compaction (the O(k log k) sort) now runs once per k
+    // rows — O(log k) amortized — and level order within level 0 is
+    // irrelevant (compaction sorts before it splits).
+    def zero: (Int, Seq[Seq[Double]]) = (0, Seq(Seq.empty))
 
-    def reduce(b: Seq[Seq[Double]], v: Double): Seq[Seq[Double]] =
-      compactCascade(b.updated(0, b.head :+ v))
-
-    def merge(a: Seq[Seq[Double]], b: Seq[Seq[Double]]): Seq[Seq[Double]] = {
-      val depth = math.max(a.size, b.size)
-      val joined = (0 until depth).map { i =>
-        a.lift(i).getOrElse(Seq.empty) ++ b.lift(i).getOrElse(Seq.empty)
-      }
-      compactCascade(joined)
+    def reduce(b: (Int, Seq[Seq[Double]]), v: Double): (Int, Seq[Seq[Double]]) = {
+      val levels = b._2.updated(0, v +: b._2.head)
+      if (b._1 + 1 > k) (0, compactCascade(levels)) else (b._1 + 1, levels)
     }
 
-    def finish(b: Seq[Seq[Double]]): Seq[(Double, Long)] =
-      b.zipWithIndex.flatMap { case (lvl, i) => lvl.map(v => (v, 1L << i)) }
+    def merge(a: (Int, Seq[Seq[Double]]), b: (Int, Seq[Seq[Double]])): (Int, Seq[Seq[Double]]) = {
+      val depth = math.max(a._2.size, b._2.size)
+      val joined = (0 until depth).map { i =>
+        a._2.lift(i).getOrElse(Seq.empty) ++ b._2.lift(i).getOrElse(Seq.empty)
+      }
+      val compacted = compactCascade(joined)
+      (compacted.head.size, compacted)
+    }
+
+    def finish(b: (Int, Seq[Seq[Double]])): Seq[(Double, Long)] =
+      b._2.zipWithIndex.flatMap { case (lvl, i) => lvl.map(v => (v, 1L << i)) }
         .sortBy(_._1)
 
     private def compactCascade(levels0: Seq[Seq[Double]]): Seq[Seq[Double]] = {
@@ -115,7 +125,7 @@ object SketchOps {
       levels
     }
 
-    def bufferEncoder: Encoder[Seq[Seq[Double]]] = ExpressionEncoder()
+    def bufferEncoder: Encoder[(Int, Seq[Seq[Double]])] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   }
 

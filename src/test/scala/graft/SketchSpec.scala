@@ -65,8 +65,11 @@ class SketchSpec extends AnyFunSuite {
   test("quantile sketch space stays k-logarithmic, not linear") {
     val qs = new SketchOps.QuantileSketch(100)
     val b = (0 until 50000).foldLeft(qs.zero)((acc, i) => qs.reduce(acc, i.toDouble))
-    val held = b.map(_.size).sum
-    assert(held <= 100 * (b.size + 1), s"sketch held $held values over ${b.size} levels")
+    val levels = b._2
+    val held = levels.map(_.size).sum
+    assert(b._1 == levels.head.size, "tracked level-0 size out of sync")
+    assert(held <= 100 * (levels.size + 1),
+      s"sketch held $held values over ${levels.size} levels")
     assert(held < 2000, s"50k stream left $held values — compaction not engaging")
   }
 
