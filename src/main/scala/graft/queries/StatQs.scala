@@ -212,7 +212,10 @@ object StatQs {
       q AS (SELECT 50 AS p UNION ALL SELECT 90 UNION ALL SELECT 99)
       SELECT q.p,
         CAST(max(CASE WHEN s.rn = (s.n - 1) * q.p // 100 + 1 THEN s.cents END) AS BIGINT) AS value
-      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""))
+      FROM s CROSS JOIN q GROUP BY q.p ORDER BY q.p"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — gates the approximate-summary tier's one graded path
+    headline = true)
 
   val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77)
 }
