@@ -29,7 +29,8 @@ object ScaleEvidence {
   private val QueryNames = Seq("q36_minhash_lsh", "q38_ngram_jaccard",
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
     "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup",
-    "q64_pii_redact", "q65_group_quantiles", "q67_heavy_hitters")
+    "q64_pii_redact", "q65_group_quantiles", "q67_heavy_hitters",
+    "q69_decontaminate")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -47,6 +48,23 @@ object ScaleEvidence {
     * the value distribution (same histogram shape, 10x the population in
     * every bucket — the linear-growth claim under test). */
   private val LineitemQueryNames = Seq("q68_global_quantiles")
+
+  /** Orders-table queries (q77's sketch-pruned quantiles) against a 10x
+    * orders replication (o_orderkey/o_custkey shift, values verbatim —
+    * q77 reads only o_totalprice, so 10x the population at the same
+    * distribution: the sketch partials and the per-percentile bands stay
+    * fixed-size, only the scans grow).
+    *
+    * NOT measured here: the embeddings-based headliners (q41–q43, q59,
+    * q66). Their queries derive centroids/probes/codebooks from
+    * `vec_id % k` ON THE INPUT TABLE, so a 10x replication would grow
+    * the centroid sets 10x alongside the corpus and the assignment work
+    * 100x — the ratio would measure that harness artifact (k scaling
+    * with corpus), not the operators' claimed linear-in-rows-at-fixed-k
+    * shape. A vector replication preserving within-copy geometry while
+    * decorrelating copies (per-copy signed coordinate permutation) plus
+    * fixed-k query variants would be needed first. */
+  private val OrdersQueryNames = Seq("q77_kll_quantiles")
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
@@ -125,6 +143,14 @@ object ScaleEvidence {
       base.withColumn("l_orderkey", col("l_orderkey") + lit(k * CopyShift)))
   }
 
+  private def generateOrders(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
+    val base = graft.Tables.read(spark, sfDir, "orders")
+    replicate(spark, outDir, "orders", base, Seq("o_orderkey", "o_custkey"), factor, k =>
+      base.withColumn("o_orderkey", col("o_orderkey") + lit(k * CopyShift))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * CopyShift)))
+  }
+
   private def medianTime(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
     val q = Queries.byName(name)
     spark.sharedState.cacheManager.clearCache()
@@ -162,10 +188,11 @@ object ScaleEvidence {
     generate(spark, sfDir, outDir, factor)
     generateEvents(spark, sfDir, outDir, factor)
     generateLineitem(spark, sfDir, outDir, factor)
+    generateOrders(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = Tables.documents(spark, outDir).count()
 
-    val names = (QueryNames ++ EventQueryNames ++ LineitemQueryNames)
+    val names = (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames)
       .filter(n => filter.forall(_.contains(n)))
     val rows = names.map { name =>
       val t1 = medianTime(spark, name, sfDir, runs = 3)
