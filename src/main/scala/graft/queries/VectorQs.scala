@@ -53,14 +53,26 @@ object VectorQs {
       WHERE rn <= 10 ORDER BY qid, rn"""),
     headline = true)
 
+  /** The `vec_id % 50` centroid/seed/sample relations, optionally capped
+    * to ids below `idCap`. The cap exists for `tools/ScaleEvidence`'s
+    * fixed-k measurements: on an N× id-shifted replication the modulus
+    * alone would grow these relations N× with the corpus (and the
+    * broadcast-argmax work N²×), measuring harness-k growth instead of
+    * the operators' linear-in-rows-at-fixed-k claim; capping to copy 0
+    * keeps them 1×-sized. `Long.MaxValue` (every graded query) adds no
+    * filter, so graded plans are untouched. */
+  private def fifties(s: SparkSession, d: String, idCap: Long): DataFrame = {
+    val base = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    if (idCap == Long.MaxValue) base else base.filter(col("vec_id") < idCap)
+  }
+
   /** IVF approximate search: 10 deterministic centroids (every 50th
     * vector), nearest-cell assignment, probe the 3 closest cells per
     * query, exact re-rank of the candidates, top-5.
     */
-  val q42 = Q(
-    "q42_ann_ivf",
-    (s, d) => {
-      val cents = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+  private[graft] def ivfQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue): DataFrame = {
+      val cents = fifties(s, d, idCap)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val assigned = VectorOps.ivfAssign(corpus(s, d), cents)
       val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
@@ -87,7 +99,11 @@ object VectorQs {
         .filter(col("rn") <= 5)
         .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
         .orderBy("qid", "rn")
-    },
+  }
+
+  val q42 = Q(
+    "q42_ann_ivf",
+    (s, d) => ivfQuery(s, d),
     Some(s"""
       WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
       assign AS (
@@ -193,15 +209,18 @@ object VectorQs {
     * A decimal-cast mean was measured non-portable first (30 665 / 32 000
     * corpus values diverge — see KmeansQuantBits).
     */
+  private[graft] def kmeansQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue): DataFrame = {
+    val seeds = fifties(s, d, idCap)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    VectorOps.kmeans(corpus(s, d), seeds, iters = 2)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   val q59 = Q(
     "q59_kmeans_lloyd",
-    (s, d) => {
-      val seeds = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      VectorOps.kmeans(corpus(s, d), seeds, iters = 2)
-        .select(col("id").as("vec_id"), col("cell"))
-        .orderBy("vec_id")
-    },
+    (s, d) => kmeansQuery(s, d),
     Some(s"""
       WITH cent0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
       a1 AS (
@@ -247,21 +266,22 @@ object VectorQs {
     * — they are THE index; rebuild-per-query would charge every search
     * with an O(corpus) encode.
     */
-  val q66 = Q(
-    "q66_ann_ivfpq",
-    (s, d) => {
+  private[graft] def ivfpqQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
       val M = 8; val SubDim = 8
-      val cents = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      val cents = fifties(s, d, idCap)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val samples = Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+      val samplesBase = Tables.embeddings(s, d).filter(col("vec_id") % 13 === 0)
+      val samples = (if (idCap == Long.MaxValue) samplesBase
+        else samplesBase.filter(col("vec_id") < idCap))
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val codebook = graft.Memo.cached(s, d, "pq_codebook") {
+      val codebook = graft.Memo.cached(s, d, "pq_codebook" + memoSuffix) {
         VectorOps.pqCodebook(samples, M, SubDim)
       }
-      val assigned = graft.Memo.cached(s, d, "pq_cells") {
+      val assigned = graft.Memo.cached(s, d, "pq_cells" + memoSuffix) {
         VectorOps.ivfAssign(corpus(s, d), cents).drop("vec")
       }
-      val encoded = graft.Memo.cached(s, d, "pq_codes") {
+      val encoded = graft.Memo.cached(s, d, "pq_codes" + memoSuffix) {
         VectorOps.pqEncode(corpus(s, d), codebook, M, SubDim)
       }
       val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
@@ -301,7 +321,11 @@ object VectorQs {
         .filter(col("rn") <= 5)
         .select(col("qid"), col("id").as("vec_id"), col("cos"), col("rn"))
         .orderBy("qid", "rn")
-    },
+  }
+
+  val q66 = Q(
+    "q66_ann_ivfpq",
+    (s, d) => ivfpqQuery(s, d),
     None,
     // headline since round 8 (annex row in BASELINE.md; frozen table
     // untouched) — the memoized PQ index + ADC scoring path is the
