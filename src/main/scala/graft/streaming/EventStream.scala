@@ -159,4 +159,47 @@ object EventStream {
       }
       .toDF("event_type", "candidates")
   }
+
+  /** Streaming quantile estimates: a [[graft.ops.SketchOps.QuantileSketch]]
+    * buffer as KEYED STREAMING STATE — per `event_type`, each micro-batch
+    * folds its values into the sketch and emits the current percentile
+    * estimates (update mode). The unbounded-stream complement of the
+    * exact batch tiers (q65/q68) and the batch-graded sketch path (q77):
+    * state stays ≤k·⌈log₂(n/k)⌉ values per key FOREVER — compaction, not
+    * watermark eviction, bounds it — and batch-folding is exactly the
+    * sketch's deterministic reduce order, so a given file/trigger split
+    * reproduces bit-identically. Estimates carry the sketch's rank-error
+    * bound over the whole stream so far (`SketchSpec` pins ≤5% at
+    * k=200); where a window must be EXACT, run q77's sketch-then-verify
+    * over that window in batch — same split q67 uses for its streaming
+    * candidates.
+    */
+  def streamingQuantiles(spark: SparkSession, sourceDir: String,
+      k: Int, percentiles: Seq[Int], maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100]: $percentiles")
+    val qs = new graft.ops.SketchOps.QuantileSketch(k)
+    spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Double)],
+            state: GroupState[(Int, Seq[Seq[Double]])]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(qs.zero)) {
+            (b, r) => qs.reduce(b, r._2)
+          }
+          state.update(updated)
+          val summary = qs.finish(updated)
+          percentiles.iterator.map(p =>
+            (etype, p, graft.ops.SketchOps.QuantileSketch.estimate(summary, p)))
+      }
+      .toDF("event_type", "p", "est")
+  }
 }

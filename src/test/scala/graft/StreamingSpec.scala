@@ -236,6 +236,55 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KLL quantiles track the exact stream quantiles across batches") {
+    // two micro-batches of uniform values per type: after the second
+    // batch, the estimates must reflect the WHOLE stream (state carried),
+    // with rank error within the sketch's pinned bound
+    import spark.implicits._
+    val rnd = new scala.util.Random(88)
+    val dir = java.nio.file.Files.createTempDirectory("events-kll")
+    val perFile = 2000
+    def rows(file: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until 2).flatMap { t =>
+        // file 0: values 0..1999; file 1: values 2000..3999 — so the
+        // full-stream median (~2000) is visible only if state carries
+        (0 until perFile).map { i =>
+          (file * 100000L + t * 10000L + i, 1700000000000000000L + i * 1000000L,
+            i.toLong % 50, s"type$t", (file * perFile + i).toDouble, "{}")
+        }
+      }
+    Seq(0, 1).foreach { f =>
+      rnd.shuffle(rows(f)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    val q = EventStream.streamingQuantiles(spark, dir.toString,
+        k = 200, percentiles = Seq(50, 90), maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("stream_kll")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("stream_kll").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // 2 types x 2 percentiles x 2 batches
+    assert(emitted.length == 8, s"expected 8 emissions, got ${emitted.length}")
+    val n = 2L * perFile // full stream per type
+    Seq("type0", "type1").foreach { t =>
+      Seq(50, 90).foreach { p =>
+        val est = emitted.filter(e => e._1 == t && e._2 == p).last._3
+        val trueVal = ((n - 1) * p / 100).toDouble // values ARE ranks here
+        val err = math.abs(est - trueVal) / n
+        assert(err <= 0.05,
+          f"$t p$p: rank error $err%.3f (est $est, true $trueVal) — state lost across batches?")
+      }
+    }
+  }
+
   test("streaming session windows == batch session windows") {
     val q = EventStream.sessionCounts(spark, streamDir)
       .writeStream
