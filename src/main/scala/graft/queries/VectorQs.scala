@@ -158,16 +158,30 @@ object VectorQs {
       // feeds a BroadcastExchange so ReusedExchange can't fire — without
       // the cache the projection subplan runs 4x. O(vectors x tables)
       // rows, spillable.
-      val bands = graft.Memo.cached(s, d, "srp_bands") {
+      // Band width is the bucket-saturation knob (SURVEY §2.0.2's q43
+      // row): buckets per table = 2^bandBits, and per-bucket occupancy —
+      // hence candidate-pair generation — grows with corpus/2^bandBits.
+      // 8 bits suits the graded corpus; at production density widen to
+      // 16/32 (fewer, more selective tables from the same 64 packed
+      // bits — recall shifts toward higher-cosine pairs, the pairs span
+      // dedup actually targets). Conf: spark.graft.srp.bandBits.
+      val bandBits = s.conf.getOption("spark.graft.srp.bandBits")
+        .map(_.toInt).getOrElse(8)
+      require(bandBits > 0 && bandBits <= 32 && 64 % bandBits == 0,
+        s"srp.bandBits must divide 64 and be <= 32, got $bandBits")
+      val tables = 64 / bandBits
+      val mask = (1L << bandBits) - 1
+      val bands = graft.Memo.cached(s, d,
+        if (bandBits == 8) "srp_bands" else s"srp_bands_b$bandBits") {
         Tables.embeddings(s, d)
           .select(col("vec_id"),
             call_function("vec_srp_bits",
-              col("embedding"), typedlit(planes), lit(8)).as("__packed"))
+              col("embedding"), typedlit(planes), lit(bandBits)).as("__packed"))
           .select(col("vec_id"),
-            explode(array((0 until 8).map(t =>
+            explode(array((0 until tables).map(t =>
               struct(lit(t).as("table_idx"),
-                shiftrightunsigned(col("__packed"), t * 8)
-                  .bitwiseAND(lit(255L)).cast("int").as("bits"))): _*)).as("b"))
+                shiftrightunsigned(col("__packed"), t * bandBits)
+                  .bitwiseAND(lit(mask)).cast("int").as("bits"))): _*)).as("b"))
           .select(col("vec_id"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
       }

@@ -74,6 +74,36 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP band-width knob: 16-bit bands keep precision 1.0 and find extreme near-dups") {
+    // near-identical planted pairs (cos ~0.999): a 16-bit band agrees on
+    // all 16 sign bits with probability ~0.98^16 ~ 0.74 per table, and
+    // any of the 4 tables suffices — the high-cosine regime wide bands
+    // are FOR. Candidates still exact-verified, so precision stays 1.0.
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.ops.VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.srp.bandBits", "16")
+    try {
+      val wide = VectorQs.q43.fn(spark, sf)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide.subsetOf(brute), "16-bit bands broke the exact-verify precision")
+      // the corpus' extreme pairs (>= 0.9) must survive the wider bands
+      val extreme = a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", graft.ops.VectorOps.cosine(col("e_a"), col("e_b")))
+        .filter(col("cos") >= 0.9)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (extreme.nonEmpty) {
+        val got = extreme.intersect(wide).size.toDouble / extreme.size
+        info(f"16-bit-band recall at cos>=0.9: $got%.2f (of ${extreme.size})")
+        assert(got >= 0.5, "wide bands lost the extreme near-dups they exist for")
+      }
+    } finally spark.conf.unset("spark.graft.srp.bandBits")
+  }
+
   test("hash splits are exhaustive, disjoint, stable, and roughly proportional") {
     import graft.ops.SampleOps
     val docs = Tables.documents(spark, sf)
