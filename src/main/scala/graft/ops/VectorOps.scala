@@ -232,4 +232,45 @@ object VectorOps {
         // disjoint subspaces — summing this per candidate gives |x̂|²,
         // the consistent denominator for the approximate cosine
         sqNormD(col("cvec")).as("ncb"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into nearest-centroid cells,
+    * then inside each cell drop every vector that has a LOWER-id neighbor
+    * with cosine ≥ `tau`. The kept set is deterministic — "locally id-
+    * minimal within its τ-neighborhood" — one self-join, no iteration.
+    * (The policy over-drops chains a–b–c where only adjacent pairs are
+    * similar, versus a transitive-closure grouping; that is the standard
+    * parallel keep-first approximation — the CC path ([[graft.ops.DedupOps]],
+    * q39) is the transitive alternative when group structure matters.)
+    *
+    * Scale posture: this IS the published SemDeDup shape — never
+    * corpus×corpus, only cell-bounded pairs, and the centroid count grows
+    * with the corpus (SemDeDup runs 50k clusters for LAION-scale), so
+    * per-cell occupancy — hence per-task pair generation — stays bounded
+    * by index granularity. One cell-keyed exchange per self-join side
+    * (both sides scan the same cached assignment, so the second exchange
+    * reuses the first's shuffle files via ReusedExchange when the planner
+    * canonicalizes them equal); the dup-id set rides an id-keyed anti-join
+    * that AQE turns into a broadcast when it is small. Oversized skew
+    * cells at production density take the same `capBuckets` guard the LSH
+    * paths use (see q43), applied to `assigned` on `cell` — a recall
+    * trade, so it is the caller's knob, not a default.
+    *
+    * @param assigned [[ivfAssign]] output (id, vec, sq_norm, cell);
+    *                 persist/Memo it — it is scanned three times
+    * @return survivors (id, cell), one row per kept vector
+    */
+  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"cosine threshold out of range: $tau")
+    val a = assigned.select(col("cell"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("sq_norm").as("a_norm"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("sq_norm").as("b_norm"))
+    val dups = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineWithNorms(dotD(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")) >= tau)
+      .select(col("b_id").as("id")).distinct()
+    assigned.join(dups, Seq("id"), "left_anti").select(col("id"), col("cell"))
+  }
 }

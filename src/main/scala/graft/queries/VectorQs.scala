@@ -346,5 +346,49 @@ object VectorQs {
     // 100-TB-resident search plan and deserves a perf gate
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66)
+  /** SemDeDup-style semantic dedup ([[VectorOps.semanticDedup]]): the
+    * embedding-space complement of the token-level dedup family (q36–q39,
+    * q43, q57) — drops documents whose MEANING duplicates an earlier one
+    * even when no token overlaps, the curation step modern LLM corpora
+    * apply after exact/fuzzy text dedup.
+    *
+    * Hash-exact graded even though it thresholds floating-point cosines:
+    * cell assignment is q42's graded argmax, pair cosines are the same
+    * sequential-fold doubles DuckDB's `list_sum` reproduces bit-exactly
+    * (q41's verified convention), and τ=0.40 sits ≥5.6e-4 from every pair
+    * cosine at sf0.01 — no boundary coin flips even if an engine rounded
+    * differently. Keep policy (lowest id in each τ-neighborhood survives)
+    * is pure integer logic.
+    */
+  val q78 = Q(
+    "q78_semantic_dedup",
+    (s, d) => {
+      val cents = fifties(s, d, Long.MaxValue)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // cached: the assignment feeds both self-join sides and the final
+      // anti-join (three scans of one argmax pass)
+      val assigned = graft.Memo.cached(s, d, "semdedup_cells") {
+        VectorOps.ivfAssign(corpus(s, d), cents)
+      }
+      VectorOps.semanticDedup(assigned, tau = 0.40)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT vec_id, cell, embedding FROM (
+          SELECT e.vec_id, e.embedding, cent.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "cent.cvec")} DESC, cent.cid) AS crn
+          FROM embeddings e CROSS JOIN cent) t WHERE crn = 1),
+      dup AS (
+        SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40)
+      SELECT vec_id, cell FROM assign
+      WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+      ORDER BY vec_id"""))
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78)
 }

@@ -295,4 +295,39 @@ class DedupVectorSpec extends AnyFunSuite {
     // the approximate path must still be reproducible run-to-run
     assert(run() == first)
   }
+
+  test("semantic dedup equals brute-force SemDeDup policy at sf0.01") {
+    // independent oracle: recompute cells and the keep set in plain Scala
+    // with the same sequential-fold doubles, then demand set equality
+    val dir = "/root/testdata/sf0.01"
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = rows.filter(_._1 % 50 == 0)
+    val cell = rows.map { case (id, v) =>
+      // ties break on the lowest centroid id, like ivfAssign
+      id -> cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    }.toMap
+    val byCell = rows.groupBy { case (id, _) => cell(id) }
+    val dropped = (for {
+      (_, members) <- byCell.toSeq
+      (bId, bVec) <- members
+      if members.exists { case (aId, aVec) => aId < bId && cos(aVec, bVec) >= 0.40 }
+    } yield bId).toSet
+    val expected = rows.map(_._1).filterNot(dropped).map(id => (id, cell(id))).toSet
+
+    val got = VectorQs.q78.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.nonEmpty, "threshold must actually drop rows at sf0.01")
+    info(s"semantic dedup: ${dropped.size} of ${rows.length} dropped")
+    assert(got == expected)
+  }
 }
