@@ -388,7 +388,11 @@ object VectorQs {
         WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.40)
       SELECT vec_id, cell FROM assign
       WHERE vec_id NOT IN (SELECT vec_id FROM dup)
-      ORDER BY vec_id"""))
+      ORDER BY vec_id"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the semantic-dedup pass is corpus-shaped and
+    // join-heavy, exactly the profile that regresses silently
+    headline = true)
 
   val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78)
 }
