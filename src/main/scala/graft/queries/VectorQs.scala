@@ -360,20 +360,23 @@ object VectorQs {
     * differently. Keep policy (lowest id in each τ-neighborhood survives)
     * is pure integer logic.
     */
+  private[graft] def semanticDedupQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
+    val cents = fifties(s, d, idCap)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // cached: the assignment feeds both self-join sides and the final
+    // anti-join (three scans of one argmax pass)
+    val assigned = graft.Memo.cached(s, d, "semdedup_cells" + memoSuffix) {
+      VectorOps.ivfAssign(corpus(s, d), cents)
+    }
+    VectorOps.semanticDedup(assigned, tau = 0.40)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   val q78 = Q(
     "q78_semantic_dedup",
-    (s, d) => {
-      val cents = fifties(s, d, Long.MaxValue)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      // cached: the assignment feeds both self-join sides and the final
-      // anti-join (three scans of one argmax pass)
-      val assigned = graft.Memo.cached(s, d, "semdedup_cells") {
-        VectorOps.ivfAssign(corpus(s, d), cents)
-      }
-      VectorOps.semanticDedup(assigned, tau = 0.40)
-        .select(col("id").as("vec_id"), col("cell"))
-        .orderBy("vec_id")
-    },
+    (s, d) => semanticDedupQuery(s, d),
     Some(s"""
       WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
       assign AS (

@@ -77,7 +77,18 @@ object ScaleEvidence {
     "q59_kmeans_lloyd [fixed-k]" -> ((s: SparkSession, d: String) =>
       graft.queries.VectorQs.kmeansQuery(s, d, idCap = CopyShift)),
     "q66_ann_ivfpq [fixed-k]" -> ((s: SparkSession, d: String) =>
-      graft.queries.VectorQs.ivfpqQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
+      graft.queries.VectorQs.ivfpqQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")),
+    // q78 both ways: the DEFAULT form's centroid set grows with the
+    // corpus — that is SemDeDup's own posture (cells ∝ corpus keeps
+    // per-cell occupancy, hence pair work, linear; the N·k brute-force
+    // argmax is the component a production deployment hands to a coarse
+    // quantizer, as q42's IVF probe does). The fixed-k form isolates the
+    // complementary claim (assignment linear at fixed k) at the price of
+    // 10x-denser cells, i.e. ~10x the within-cell pairs per row.
+    "q78_semantic_dedup [k∝N]" -> ((s: SparkSession, d: String) =>
+      Queries.byName("q78_semantic_dedup").fn(s, d)),
+    "q78_semantic_dedup [fixed-k]" -> ((s: SparkSession, d: String) =>
+      graft.queries.VectorQs.semanticDedupQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
