@@ -142,4 +142,95 @@ object SketchOps {
       summary.find { case (_, w) => cum += w; cum >= target }.get._1
     }
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007): 2^p byte
+    * registers; register j holds the max leading-zero rank of the hashes
+    * landing in j. Unlike the compacting [[QuantileSketch]], the summary
+    * is MERGE-TREE-INDEPENDENT — per-register max is associative,
+    * commutative, and idempotent, so any partitioning, any merge order,
+    * and any duplication of inputs produce the byte-identical register
+    * array. With a deterministic hash the estimate is therefore a pure
+    * function of the input SET, which is what lets q79 grade it against
+    * an exact-distinct oracle (a thing the built-in
+    * `approx_count_distinct` path, q19, can only rows-only check).
+    *
+    * Estimator: the standard bias-corrected raw estimate with the
+    * linear-counting fallback below 2.5m when empty registers remain;
+    * the 64-bit hash makes the 32-bit large-range correction moot. All
+    * finish-side arithmetic runs in a fixed register order, so the
+    * double sum is deterministic.
+    *
+    * Hash: FNV-1a 64 over UTF-8 bytes (the repo's shingle convention)
+    * plus a splitmix64 finalizer — FNV alone avalanches its LOW bits
+    * poorly and HLL reads the TOP p bits as the register index.
+    *
+    * Scale shape: the partial per task per group is a fixed 2^p-byte
+    * array (4 KiB at p=12) regardless of input rows — the one-pass
+    * distinct tier for 100-TB group-bys whose exact sibling would
+    * shuffle every (group, value) pair.
+    */
+  class HyperLogLog(p: Int) extends Aggregator[String, Array[Byte], Long] {
+    require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
+    private val m = 1 << p
+
+    def zero: Array[Byte] = new Array[Byte](m)
+
+    def reduce(b: Array[Byte], s: String): Array[Byte] = {
+      val h = HyperLogLog.hash64(s)
+      val j = (h >>> (64 - p)).toInt
+      val w = h << p
+      // rank of the leftmost 1-bit in the remaining 64-p bits; all-zero
+      // suffix gets the max rank 64-p+1 (fits a byte for every valid p)
+      val rho =
+        (if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1).toByte
+      if (rho > b(j)) b(j) = rho
+      b
+    }
+
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Byte]): Long = {
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / m)
+      }
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        // 2^-k is exact in a double for every reachable k, and the sum
+        // runs in fixed register order — bit-deterministic
+        sum += java.lang.Math.scalb(1.0, -b(i))
+        if (b(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m * m / sum
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      math.round(est)
+    }
+
+    def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = ExpressionEncoder()
+  }
+
+  object HyperLogLog {
+    /** FNV-1a 64 over UTF-8 bytes + splitmix64 finalizer. */
+    private[graft] def hash64(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27; h *= 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+  }
 }

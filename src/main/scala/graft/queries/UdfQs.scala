@@ -132,5 +132,44 @@ object UdfQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q60, q61, q62, q67)
+  /** Sketch-then-verify distinct counts — per-event-type distinct users,
+    * the canonical HLL workload. A one-pass HyperLogLog UDAF
+    * ([[graft.ops.SketchOps.HyperLogLog]], 2^12 registers = 4 KiB per
+    * task-group partial) estimates each type's distinct-user count, and
+    * an exact distinct pass verifies every estimate to within 5% before
+    * emitting the EXACT count — a type whose estimate drifted out of
+    * bounds would drop its row and fail the oracle's row match, so the
+    * sketch's accuracy is what the grade tests, while the graded values
+    * stay engine-portable integers. Deterministic end to end:
+    * per-register max is merge-tree-independent (any partitioning yields
+    * byte-identical registers) and the FNV-1a+splitmix hash is fixed,
+    * unlike the built-in `approx_count_distinct` (q19, rows-only).
+    * The graded cardinalities (150–1500 per type across SFs) sit in the
+    * linear-counting range; `SketchSpec` pins the raw-estimator regime
+    * at 100k distinct. At 100 TB the sketch relation is the product:
+    * fixed 4 KiB partials per group where the exact sibling shuffles
+    * every (type, user) pair; the exact pass here is the VERIFIER the
+    * grading needs, and runs at the oracle's cost, not the operator's.
+    */
+  val q79 = Q(
+    "q79_hll_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val hll = udaf(new graft.ops.SketchOps.HyperLogLog(12))
+      val est = ev.groupBy("event_type")
+        .agg(hll(col("user_id").cast("string")).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("distinct_users"))
+      // |est - exact| * 100 <= exact * 5  — integer compare, no division
+      exact.join(est, "event_type")
+        .filter(abs(col("est") - col("distinct_users")) * 100
+          <= col("distinct_users") * 5)
+        .select(col("event_type"), col("distinct_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79)
 }

@@ -88,4 +88,37 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(got == exact)
   }
+
+  private def hllEstimate(values: Seq[String], parts: Int): Long = {
+    import spark.implicits._
+    val hll = udaf(new SketchOps.HyperLogLog(12))
+    values.toDF("v").repartition(parts)
+      .agg(hll(col("v")).as("est")).collect().head.getLong(0)
+  }
+
+  test("HLL: raw-regime accuracy at 100k distinct, merge-tree-independent") {
+    // 100k distinct values, each duplicated 1-3x, shuffled: well above
+    // the 2.5m linear-counting ceiling (m=4096), so this exercises the
+    // bias-corrected raw estimator. p=12 -> sigma ~ 1.04/64 ~ 1.6%.
+    val rnd = new scala.util.Random(79)
+    val vals = rnd.shuffle((0 until 100000).flatMap(i =>
+      Seq.fill(1 + rnd.nextInt(3))(s"user$i")))
+    val first = hllEstimate(vals, 1)
+    val err = math.abs(first - 100000.0) / 100000.0
+    info(f"HLL @100k distinct: est=$first err=${err * 100}%.2f%%")
+    assert(err <= 0.05, s"estimate $first off by ${err * 100}%")
+    // identical registers regardless of partitioning / merge tree —
+    // the property that makes q79's graded estimate deterministic
+    for (parts <- Seq(4, 13, 32))
+      assert(hllEstimate(vals, parts) == first, s"estimate drifted at $parts parts")
+  }
+
+  test("HLL: linear-counting regime is near-exact and duplicates are absorbed") {
+    val small = (0 until 150).map(i => s"u$i")
+    val est = hllEstimate(small, 3)
+    assert(math.abs(est - 150) <= 2, s"linear-counting estimate $est far from 150")
+    // feeding every value 50x must not move a single register
+    val dup = hllEstimate((0 until 50).flatMap(_ => small), 7)
+    assert(dup == est, "duplicates changed the estimate")
+  }
 }
