@@ -53,6 +53,28 @@ object SampleOps {
   def sampleByHash(df: DataFrame, key: Column, percent: Int): DataFrame =
     df.filter(hashBucket(key, 100) < percent)
 
+  /** Mixture sampling: per-source keep rates — the training-data mixing
+    * step (Pile/LLaMA-style source weights) expressed as deterministic
+    * membership. Each row keeps iff its key's [[hashBucket]] falls under
+    * its source's percent (sources absent from `rates` take
+    * `defaultPct`), so membership is stable across runs, engines, and
+    * partitionings, and a rate CHANGE only adds or removes the marginal
+    * hash slice — rows kept at 25% remain kept at 50% (nested samples,
+    * the property that makes mixture re-weighting reproducible without
+    * re-materializing every source). Pure codegen'd projection+filter,
+    * no shuffle; up-weighting (>100%) is epoch repetition, a `explode`
+    * of `sequence` upstream, deliberately out of scope here.
+    */
+  def mixtureSample(df: DataFrame, source: Column, key: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"rate out of [0,100]: $p"))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct): Column) {
+      case (acc, (s, p)) => when(source === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100) < rate)
+  }
+
   /** Rebalancing cap: keep at most `cap` rows per stratum, chosen in
     * md5-of-key order — a deterministic pseudo-random pick (downsampling
     * a dominant language never selects "the first N in file order").

@@ -282,6 +282,32 @@ object TextQs {
       WHERE rk <= 50 ORDER BY lang, doc_id"""),
     headline = true)
 
+  /** Mixture sampling ([[graft.ops.SampleOps.mixtureSample]]): per-source
+    * keep rates — the training-data mixing step (source weights à la
+    * Pile/LLaMA data recipes) as deterministic hash membership, graded
+    * on the EXACT kept set. Nested-sample property (a row kept at 25%
+    * stays kept at 50%) makes recipe re-weights reproducible without
+    * re-materializing the corpus; pure projection+filter, no shuffle.
+    */
+  val q81 = Q(
+    "q81_mixture_sample",
+    (s, d) => {
+      graft.ops.SampleOps.mixtureSample(
+          Tables.documents(s, d).select("doc_id", "source"),
+          col("source"), col("doc_id"),
+          rates = Map("src0" -> 100, "src1" -> 50, "src2" -> 25, "src3" -> 10),
+          defaultPct = 75)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS b
+        FROM documents) t
+      WHERE b < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                            WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE 75 END
+      ORDER BY doc_id"""))
+
   /** Repetition quality signals (the Gopher/C4 pretraining filters q31's
     * surface metrics don't see): per document, the most-frequent-2-gram
     * fraction and the duplicate-3-gram fraction, plus the keep-gate a
@@ -478,7 +504,7 @@ object TextQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64)
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

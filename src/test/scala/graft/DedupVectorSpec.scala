@@ -104,6 +104,28 @@ class DedupVectorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.srp.bandBits")
   }
 
+  test("mixture sampling: nested rates, default fallthrough, partition-stable") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, s"src${i % 5}")).toDF("id", "src")
+    def kept(rates: Map[String, Int], default: Int, parts: Int): Set[Long] =
+      graft.ops.SampleOps.mixtureSample(df.repartition(parts),
+          col("src"), col("id"), rates, default)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val at25 = kept(Map("src0" -> 25), 75, 4)
+    val at50 = kept(Map("src0" -> 50), 75, 4)
+    // nested-sample property: raising one source's rate only ADDS rows
+    assert(at25.subsetOf(at50))
+    assert(at50.size > at25.size)
+    // membership is partitioning-independent
+    assert(kept(Map("src0" -> 25), 75, 13) == at25)
+    // unmapped sources take the default; rate 0 and 100 are exact
+    val all = kept(Map("src1" -> 0), 100, 4)
+    assert(!all.exists(_ % 5 == 1) && all.count(_ % 5 == 2) == 400)
+    // rates land near their percent (hash-mod uniformity)
+    val n0 = at25.count(_ % 5 == 0)
+    assert(n0 >= 60 && n0 <= 140, s"src0@25% kept $n0 of 400")
+  }
+
   test("hash splits are exhaustive, disjoint, stable, and roughly proportional") {
     import graft.ops.SampleOps
     val docs = Tables.documents(spark, sf)
