@@ -72,6 +72,49 @@ object TextQs {
           AND len(list_distinct(string_split(text, ' '))) >= 25) AS keep
       FROM documents ORDER BY doc_id"""))
 
+  /** Quality-filter cascade (C4/Gopher/RefinedWeb shape): every gate
+    * evaluated on every document with PER-RULE attribution packed into
+    * an integer bitmask — the form ablation studies need (which rule
+    * fired, not just keep/drop; `fail_mask == 0` IS the keep decision).
+    * All gates are integer comparisons (the token-length band uses
+    * cross-multiplied integer bounds, no ratio floats), so the mask is
+    * engine-portable by construction. One narrow codegen'd projection,
+    * no shuffle — at 100 TB this runs at scan speed next to the
+    * heavier signals (q48's repetition gate joins in the same way when
+    * a recipe includes it).
+    */
+  val q82 = Q(
+    "q82_filter_cascade",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val nTypes = size(array_distinct(toks))
+      val nStop = size(filter(toks, t => t === "the" || t === "a"))
+      // chars excluding the single-space separators
+      val chars = length(col("text")) - (nTok - lit(1))
+      val r1 = !(nTok >= 40 && nTok <= 110)          // length band
+      val r2 = nTypes < 25                           // type diversity
+      val r3 = nStop === 0                           // stopword presence
+      val r4 = chars < nTok * 3 || chars > nTok * 10 // mean token length in [3,10]
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (r1.cast("int") + r2.cast("int") * 2 + r3.cast("int") * 4 +
+            r4.cast("int") * 8).as("fail_mask"))
+        .withColumn("keep", col("fail_mask") === 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM (
+        SELECT doc_id,
+          CAST(NOT (len(toks) BETWEEN 40 AND 110) AS INT)
+          + CAST(len(list_distinct(toks)) < 25 AS INT) * 2
+          + CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) = 0 AS INT) * 4
+          + CAST(length(text) - (len(toks) - 1) < len(toks) * 3
+              OR length(text) - (len(toks) - 1) > len(toks) * 10 AS INT) * 8
+          AS fail_mask
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t0
+      ) t ORDER BY doc_id"""))
+
   /** Language ID by marker-trigram occurrence scoring (argmax over the
     * built-in profiles, ties to the alphabetically first language).
     * Occurrences via length/replace, so the oracle reproduces it exactly.
@@ -504,7 +547,7 @@ object TextQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81)
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81, q82)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
