@@ -113,19 +113,24 @@ object DedupQs {
     * signature → 16x4 banding → capped bucket self-join → exact-Jaccard
     * verify >= 0.8. Returns (doc_a, doc_b, jaccard).
     */
-  private def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    // cache the band relation: the bucket-cap semi-join and both sides
-    // of the self-join consume it, and one side feeds a
-    // BroadcastExchange, so ReusedExchange cannot fire — without the
-    // cache the whole minhash subplan runs 3x (measured ~2x for the
-    // uncapped 2-consumer form). At scale this relation is
-    // O(docs x bands), spillable.
-    val bands = graft.Memo.cached(s, d, "minhash_bands") {
+  /** The memoized 16x4 minhash band relation (q36/q39/q83's shared
+    * index): caching it matters because the bucket-cap semi-join and
+    * both sides of the candidate join consume it, and one side feeds a
+    * BroadcastExchange, so ReusedExchange cannot fire — without the
+    * cache the whole minhash subplan runs 3x (measured ~2x for the
+    * uncapped 2-consumer form). At scale this relation is
+    * O(docs x bands), spillable — and for q83 it IS the resident index
+    * an incremental ingest joins against. */
+  private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "minhash_bands") {
       DedupOps.minhashBands(
         shingled(s, d).filter(size(col("shingles")) > 0),
         "doc_id", numPerm = 64, bands = 16)
     }
-    val capped = DedupOps.capBuckets(bands, Seq("band_idx", "band_hash"), MaxBucket)
+
+  private def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val capped = DedupOps.capBuckets(minhashBandsCached(s, d),
+      Seq("band_idx", "band_hash"), MaxBucket)
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
     val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
@@ -333,5 +338,75 @@ object DedupQs {
     // corpus-shaped shape a perf regression would hit silently otherwise
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69)
+  /** Incremental near-dup admission — the production dedup shape: an
+    * incoming batch (doc_id % 3 == 0 plays the part) is admitted against
+    * the RESIDENT corpus band index ([[minhashBandsCached]]) instead of
+    * re-pairing the whole corpus. Each batch doc is classified:
+    * `dup_corpus` (Jaccard ≥ 0.8 vs any corpus doc — corpus precedence),
+    * else `dup_batch` (vs a lower-id batch doc, the same keep-first
+    * policy as q78's semantic pass), else `new`. Candidates come from
+    * the shared 16x4 banding (LSH ≡ exact at J ≥ 0.8 — miss probability
+    * ~1e-15, the q36 spec's pin), then exact-Jaccard verify, so the
+    * grade is deterministic.
+    *
+    * Scale posture: only batch-sized data is shingled/banded fresh; the
+    * batch↔corpus candidate join keys on (band_idx, band_hash) against
+    * the resident index with the same `capBuckets` straggler guard, and
+    * the within-batch self-join is batch×batch-bounded. Nothing ever
+    * re-pairs corpus×corpus — that cost was paid once, at ingest.
+    */
+  val q83 = Q(
+    "q83_incremental_dedup",
+    (s, d) => {
+      val isBatch = col("doc_id") % 3 === 0
+      val capped = DedupOps.capBuckets(minhashBandsCached(s, d),
+        Seq("band_idx", "band_hash"), MaxBucket)
+      def side(n: String, batch: Boolean): DataFrame =
+        capped.filter(if (batch) isBatch else !isBatch)
+          .select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
+      // batch vs resident corpus: corpus id rides doc_a, batch id doc_b
+      val candsCorpus = side("a", batch = false)
+        .join(side("b", batch = true), Seq("band_idx", "band_hash"))
+        .select("doc_a", "doc_b").distinct()
+      val candsBatch = side("a", batch = true)
+        .join(side("b", batch = true), Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val dupCorpus = verified(s, d, candsCorpus, 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__dc", lit(true))
+      val dupBatch = verified(s, d, candsBatch, 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__db", lit(true))
+      Tables.documents(s, d).filter(isBatch).select("doc_id")
+        .join(dupCorpus, Seq("doc_id"), "left")
+        .join(dupBatch, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__dc"), "dup_corpus")
+            .when(col("__db"), "dup_batch")
+            .otherwise("new").as("status"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      batch AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+      corpus AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+      dupc AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c
+               ON CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE)
+                  / (len(b.shingles) + len(c.shingles) - len(list_intersect(b.shingles, c.shingles))) >= 0.8),
+      dupb AS (SELECT DISTINCT b.doc_id FROM batch b JOIN batch a
+               ON a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8)
+      SELECT doc_id,
+        CASE WHEN doc_id IN (SELECT doc_id FROM dupc) THEN 'dup_corpus'
+             WHEN doc_id IN (SELECT doc_id FROM dupb) THEN 'dup_batch'
+             ELSE 'new' END AS status
+      FROM batch ORDER BY doc_id"""))
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83)
 }
