@@ -406,7 +406,11 @@ object DedupQs {
         CASE WHEN doc_id IN (SELECT doc_id FROM dupc) THEN 'dup_corpus'
              WHEN doc_id IN (SELECT doc_id FROM dupb) THEN 'dup_batch'
              ELSE 'new' END AS status
-      FROM batch ORDER BY doc_id"""))
+      FROM batch ORDER BY doc_id"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the incremental-admission joins are the dedup
+    // family's production path and deserve their own perf gate
+    headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83)
 }

@@ -169,7 +169,11 @@ object UdfQs {
     },
     Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    // headline since round 8 (annex row in BASELINE.md; frozen table
+    // untouched) — the sketch pass + exact-distinct verify pair is the
+    // approximate-distinct tier's one graded path
+    headline = true)
 
   val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79)
 }
