@@ -30,7 +30,12 @@ object ScaleEvidence {
     "q39_dup_clusters", "q45_vocab_encode", "q46_sequence_pack",
     "q48_repetition", "q49_tfidf_keywords", "q57_span_dedup",
     "q64_pii_redact", "q65_group_quantiles", "q67_heavy_hitters",
-    "q69_decontaminate")
+    "q69_decontaminate",
+    // round-8 late additions: the batch and the resident index both grow
+    // 10x in q83 (the %3 split rides the replicated ids); q80/q81/q82
+    // are scan-shaped (profile Expand, hash filter, gate projection)
+    "q80_data_profile", "q81_mixture_sample", "q82_filter_cascade",
+    "q83_incremental_dedup")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -40,7 +45,10 @@ object ScaleEvidence {
     * fixed-size iterations. */
   private val EventQueryNames = Seq("q54_asof_join", "q55_interval_join",
     "q56_auto_interval_join", "q58_asof_native", "q63_pagerank",
-    "q76_retention_cohorts")
+    "q76_retention_cohorts",
+    // 10x the events at 10x the users: both the HLL sketch pass (fixed
+    // 4 KiB partials) and the exact-distinct verify grow linearly
+    "q79_hll_distinct")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
