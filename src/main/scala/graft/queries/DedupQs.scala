@@ -128,9 +128,17 @@ object DedupQs {
         "doc_id", numPerm = 64, bands = 16)
     }
 
+  /** The CAPPED band relation, memoized too: the cap's bucket-count
+    * aggregate + semi-join re-derive once per consumer otherwise, and
+    * q83 consumes four sides (q36/q39 two). Bands-sized, spillable. */
+  private def cappedBandsCached(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "minhash_bands_capped") {
+      DedupOps.capBuckets(minhashBandsCached(s, d),
+        Seq("band_idx", "band_hash"), MaxBucket)
+    }
+
   private def minhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val capped = DedupOps.capBuckets(minhashBandsCached(s, d),
-      Seq("band_idx", "band_hash"), MaxBucket)
+    val capped = cappedBandsCached(s, d)
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
     val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
@@ -359,8 +367,7 @@ object DedupQs {
     "q83_incremental_dedup",
     (s, d) => {
       val isBatch = col("doc_id") % 3 === 0
-      val capped = DedupOps.capBuckets(minhashBandsCached(s, d),
-        Seq("band_idx", "band_hash"), MaxBucket)
+      val capped = cappedBandsCached(s, d)
       def side(n: String, batch: Boolean): DataFrame =
         capped.filter(if (batch) isBatch else !isBatch)
           .select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
