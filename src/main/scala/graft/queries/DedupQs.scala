@@ -162,13 +162,17 @@ object DedupQs {
   val q37 = Q(
     "q37_simhash",
     (s, d) => {
-      val bands = graft.Memo.cached(s, d, "simhash_bands") {
-        DedupOps.simhashBands(
-          Tables.documents(s, d)
-            .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
-          "doc_id", bitsPerBand = 8)
+      // capped form memoized directly (same rationale as
+      // cappedBandsCached: the cap subplan re-derives per consumed side)
+      val capped = graft.Memo.cached(s, d, "simhash_bands_capped") {
+        DedupOps.capBuckets(
+          graft.Memo.cached(s, d, "simhash_bands") {
+            DedupOps.simhashBands(
+              Tables.documents(s, d)
+                .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
+              "doc_id", bitsPerBand = 8)
+          }, Seq("band_idx", "band_hash"), MaxBucket)
       }
-      val capped = DedupOps.capBuckets(bands, Seq("band_idx", "band_hash"), MaxBucket)
       def side(n: String): DataFrame =
         capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
       val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))

@@ -186,9 +186,12 @@ object VectorQs {
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
       }
       // same oversized-bucket guard as the text LSH paths (inert at test
-      // scales, bounds per-task pair generation at 100 TB)
-      val cappedBands =
+      // scales, bounds per-task pair generation at 100 TB); memoized so
+      // the cap's bucket-count subplan runs once, not once per join side
+      val cappedBands = graft.Memo.cached(s, d,
+        (if (bandBits == 8) "srp_bands" else s"srp_bands_b$bandBits") + "_capped") {
         graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
+      }
       def capped(side: String): DataFrame =
         cappedBands.select(col("vec_id").as(s"vec_$side"),
           col("table_idx"), col("bits"))
