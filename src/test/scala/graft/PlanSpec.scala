@@ -93,6 +93,17 @@ class PlanSpec extends AnyFunSuite {
       "q43 plan contains an all-pairs join")
   }
 
+  test("q79/q81: scans prune to the consumed columns (text never read)") {
+    // the text column is the corpus' bulk — a lost projection pushdown
+    // here costs a full-corpus decode at 100 TB
+    val p81 = plan("q81_mixture_sample")
+    assert(p81.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "q81 scan reads more than doc_id+source")
+    val p79 = plan("q79_hll_distinct")
+    assert(p79.contains("ReadSchema: struct<user_id:bigint,event_type:string>"),
+      "q79 scan reads more than user_id+event_type")
+  }
+
   test("q36: band relation is served from cache, not recomputed per consumer") {
     // force the memoized relations to exist, then check the plan reads them
     Queries.byName("q36_minhash_lsh").fn(spark, sf)
