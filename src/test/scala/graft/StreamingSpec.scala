@@ -236,6 +236,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming admission dedups against a growing resident index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("doc-admit")
+    val (streamDir, indexDir, outDir) =
+      (s"$root/stream", s"$root/index", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
+
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again"
+    val freshA = "purple monkeys deliver seventeen umbrellas to the northern lighthouse keeper"
+    val freshB = "quantum turbines hum beneath the ancient observatory during winter storms"
+    graft.streaming.DocStream.seedIndex(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), indexDir)
+
+    def runBatch(file: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/$file")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/$file"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$streamDir/$file.parquet"))
+      val q = graft.streaming.DocStream.start(spark, streamDir, indexDir, outDir,
+        maxFilesPerTrigger = 10)
+      q.awaitTermination(120000)
+    }
+
+    // batch 0: a corpus dup, a fresh doc, and a within-batch dup of it
+    runBatch("b0", Seq((9001L, corpusText), (9002L, freshA), (9005L, freshA)))
+    // batch 1: a dup of the batch-0 ADMITTED doc (the index must have
+    // grown for this to classify as dup_corpus), plus another fresh doc
+    runBatch("b1", Seq((9103L, freshA), (9104L, freshB)))
+
+    val got = spark.read.parquet(s"$outDir/admissions")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(
+      9001L -> ("dup_corpus", 0L),  // vs the seeded corpus
+      9002L -> ("new", 0L),         // admitted, joins the index
+      9005L -> ("dup_batch", 0L),   // keep-first: 9002 < 9005, same batch
+      9103L -> ("dup_corpus", 1L),  // vs 9002 — proof the index grew
+      9104L -> ("new", 1L)))
+  }
+
   test("streaming KLL quantiles track the exact stream quantiles across batches") {
     // two micro-batches of uniform values per type: after the second
     // batch, the estimates must reflect the WHOLE stream (state carried),
