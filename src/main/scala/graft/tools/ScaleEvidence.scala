@@ -245,13 +245,18 @@ object ScaleEvidence {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    generate(spark, sfDir, outDir, factor)
-    generateEvents(spark, sfDir, outDir, factor)
-    generateLineitem(spark, sfDir, outDir, factor)
-    generateOrders(spark, sfDir, outDir, factor)
-    generateEmbeddings(spark, sfDir, outDir, factor)
+    // generate only the tables the selected queries read — the 100×
+    // deep tier replicates documents alone without paying for a 100×
+    // events/lineitem/orders/embeddings write it never scans
+    def wants(names: Seq[String]): Boolean =
+      names.exists(n => filter.forall(_.contains(n.split(' ').head)))
+    if (wants(QueryNames)) generate(spark, sfDir, outDir, factor)
+    if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
+    if (wants(LineitemQueryNames)) generateLineitem(spark, sfDir, outDir, factor)
+    if (wants(OrdersQueryNames)) generateOrders(spark, sfDir, outDir, factor)
+    if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
-    val nX = Tables.documents(spark, outDir).count()
+    val nX = if (wants(QueryNames)) Tables.documents(spark, outDir).count() else -1L
 
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames)
