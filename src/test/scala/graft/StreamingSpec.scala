@@ -266,8 +266,11 @@ class StreamingSpec extends AnyFunSuite {
     // grown for this to classify as dup_corpus), plus another fresh doc
     runBatch("b1", Seq((9103L, freshA), (9104L, freshB)))
 
-    val got = spark.read.parquet(s"$outDir/admissions")
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = spark.read.parquet(s"$outDir/admissions").collect()
+    // exactly-once: the second invocation must NOT reprocess batch 0
+    // (a duplicate admission row would vanish in the Map compare)
+    assert(rows.length == 5, s"expected 5 admission rows, got ${rows.length}")
+    val got = rows.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got == Map(
       9001L -> ("dup_corpus", 0L),  // vs the seeded corpus
       9002L -> ("new", 0L),         // admitted, joins the index
