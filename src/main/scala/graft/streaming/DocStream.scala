@@ -72,7 +72,13 @@ object DocStream {
     val bands = DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
       .persist()
     try {
-      val idxBands = spark.read.parquet(s"$indexDir/bands")
+      // the index is the relation that grows without bound as admissions
+      // accumulate — the same oversized-bucket straggler guard the batch
+      // paths apply (inert below the cap, bounds per-trigger pair
+      // generation when a band bucket goes hot)
+      val idxBands = DedupOps.capBuckets(
+        spark.read.parquet(s"$indexDir/bands"),
+        Seq("band_idx", "band_hash"), 1000)
       val idxSh = spark.read.parquet(s"$indexDir/shingles")
 
       def verify(cands: DataFrame, aSh: DataFrame): DataFrame =
