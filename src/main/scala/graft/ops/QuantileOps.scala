@@ -144,6 +144,9 @@ object QuantileOps {
     import spark.implicits._
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
       s"percentiles must be in [0,100]: $percentiles")
+    require(percentiles.distinct.size == percentiles.size,
+      s"percentiles must be distinct: $percentiles") // verified is keyed by
+      // p, so a duplicate could never satisfy `verified.size == size`
     require(delta >= 1, s"band half-width must be >= 1, got $delta")
 
     val v = col(valueCol)
@@ -169,7 +172,9 @@ object QuantileOps {
         (math.max(math.floor(lb).toLong - 1, lo), math.min(math.ceil(ub).toLong + 1, hi))
       }
     var d = delta
-    var bands = targets.map { case (p, _) => (p, propose(p, d)._1, propose(p, d)._2) }
+    var bands = targets.map { case (p, _) =>
+      val (lob, hib) = propose(p, d); (p, lob, hib)
+    }
     var verified: Map[Int, (Long, Long, Long)] = Map.empty // p -> (lob, hib, below)
     while (verified.size < percentiles.size) {
       val counts = vals.crossJoin(broadcast(bands.toDF("p", "lob", "hib")))
@@ -187,7 +192,7 @@ object QuantileOps {
       }
       d = d * 2
       bands = targets.collect { case (p, _) if !verified.contains(p) =>
-        (p, propose(p, d)._1, propose(p, d)._2)
+        val (lob, hib) = propose(p, d); (p, lob, hib)
       }
     }
 

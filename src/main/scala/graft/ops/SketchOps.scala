@@ -176,6 +176,7 @@ object SketchOps {
     def zero: Array[Byte] = new Array[Byte](m)
 
     def reduce(b: Array[Byte], s: String): Array[Byte] = {
+      if (s == null) return b // count_distinct null semantics: ignore
       val h = HyperLogLog.hash64(s)
       val j = (h >>> (64 - p)).toInt
       val w = h << p

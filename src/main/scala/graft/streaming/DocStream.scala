@@ -17,29 +17,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * `foreachBatch` is the engine's sanctioned form for exactly this
   * read-classify-append transaction (the classification needs per-batch
   * joins and aggregations that streaming-native operators would hold as
-  * unbounded state); the checkpoint makes batch delivery exactly-once,
-  * so a crash between runs resumes at the unprocessed file, mirroring
-  * `Backfill`'s write-then-mark batch loop. At 100 TB the index appends
-  * become table-format transactions (Delta/Iceberg append) and the
-  * index relation takes the same `capBuckets` straggler guard the batch
-  * paths apply — here they are plain parquet dirs at test scale.
+  * unbounded state). foreachBatch delivery is AT-LEAST-once — a crash
+  * after any write but before the checkpoint commit re-runs the same
+  * batchId on restart — so every write here is made idempotent per
+  * batchId: all three outputs (admissions, index shingles, index bands)
+  * are PARTITIONED by batch_id and written with dynamic partition
+  * overwrite, so a replay replaces its own partition instead of
+  * appending beside a partial first attempt; and classification reads
+  * the index at `batch_id < batchId`, so a replayed batch never sees
+  * its own half-written index rows (a doc cannot classify itself
+  * `dup_corpus`). At-least-once delivery + per-batch idempotent writes
+  * = effectively-exactly-once, the same discipline as `Backfill`'s
+  * idempotent per-month overwrite. At 100 TB the partition overwrites
+  * become table-format transactions (Delta/Iceberg replaceWhere) and
+  * the index relation takes the same `capBuckets` straggler guard the
+  * batch paths apply — here they are plain parquet dirs at test scale.
   *
   * Layout: `indexDir/bands`, `indexDir/shingles` (seeded by
-  * [[seedIndex]]); admissions appended to `outDir/admissions` as
-  * (doc_id, status, batch_id).
+  * [[seedIndex]] into the `batch_id=-1` partition); admissions written
+  * to `outDir/admissions` as (doc_id, status) under `batch_id=N`
+  * partitions.
   */
 object DocStream {
 
   private val Threshold = 0.8
 
-  /** Seed the resident index from an existing corpus (doc_id, text). */
+  /** Seed the resident index from an existing corpus (doc_id, text).
+    * Seed rows land in the `batch_id=-1` partition so every streamed
+    * batch (batchId >= 0) sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
     val sh = corpus
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles")
+    sh.withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$indexDir/shingles")
     DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$indexDir/bands")
   }
 
   /** Start the admission stream over parquet files of (doc_id, text).
@@ -60,8 +76,11 @@ object DocStream {
   }
 
   /** One admission transaction: classify the micro-batch against the
-    * resident index, append the verdicts, append the admitted docs'
-    * bands+shingles. Package-visible so specs can drive it directly. */
+    * resident index, write the verdicts, write the admitted docs'
+    * bands+shingles — every write an idempotent overwrite of this
+    * batch's own `batch_id` partition, so foreachBatch replaying the
+    * same batchId (at-least-once delivery) converges to the same state.
+    * Package-visible so specs can drive it directly. */
   private[graft] def admitBatch(docs: DataFrame, indexDir: String,
       outDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
@@ -75,11 +94,16 @@ object DocStream {
       // the index is the relation that grows without bound as admissions
       // accumulate — the same oversized-bucket straggler guard the batch
       // paths apply (inert below the cap, bounds per-trigger pair
-      // generation when a band bucket goes hot)
+      // generation when a band bucket goes hot). Partition pruning on
+      // batch_id < batchId excludes any half-written rows a crashed
+      // first attempt of THIS batch left behind — replay classifies
+      // against exactly the pre-batch index.
       val idxBands = DedupOps.capBuckets(
-        spark.read.parquet(s"$indexDir/bands"),
+        spark.read.parquet(s"$indexDir/bands")
+          .filter(col("batch_id") < batchId).drop("batch_id"),
         Seq("band_idx", "band_hash"), 1000)
       val idxSh = spark.read.parquet(s"$indexDir/shingles")
+        .filter(col("batch_id") < batchId).drop("batch_id")
 
       def verify(cands: DataFrame, aSh: DataFrame): DataFrame =
         cands
@@ -104,7 +128,7 @@ object DocStream {
       val dupCorpus = verify(candsCorpus, idxSh).withColumn("__dc", lit(true))
       val dupBatch = verify(candsBatch, sh).withColumn("__db", lit(true))
 
-      val admissions = docs.select("doc_id")
+      docs.select("doc_id")
         .join(dupCorpus, Seq("doc_id"), "left")
         .join(dupBatch, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -112,13 +136,26 @@ object DocStream {
             .when(col("__db"), "dup_batch")
             .otherwise("new").as("status"),
           lit(batchId).as("batch_id"))
-        .persist()
-      admissions.write.mode("append").parquet(s"$outDir/admissions")
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$outDir/admissions")
 
-      val admitted = admissions.filter(col("status") === "new").select("doc_id")
-      sh.join(admitted, "doc_id").write.mode("append").parquet(s"$indexDir/shingles")
-      bands.join(admitted, "doc_id").write.mode("append").parquet(s"$indexDir/bands")
-      admissions.unpersist()
+      // re-read the just-committed verdicts: breaks the plan lineage to
+      // indexDir (Spark refuses to overwrite a path its plan reads) and
+      // makes the index writes a pure function of on-disk state
+      val admitted = spark.read.parquet(s"$outDir/admissions")
+        .filter(col("batch_id") === batchId && col("status") === "new")
+        .select("doc_id")
+      sh.join(admitted, "doc_id")
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexDir/shingles")
+      bands.join(admitted, "doc_id")
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexDir/bands")
     } finally {
       sh.unpersist()
       bands.unpersist()

@@ -86,6 +86,15 @@ class QuantileOpsSpec extends AnyFunSuite {
     Seq(50, 90, 99).foreach(p => assert(got(p) == reference(vs, p), s"p$p"))
   }
 
+  test("sketched quantiles: duplicate percentiles are rejected up front") {
+    // verified is keyed by p — a duplicate could never satisfy the
+    // termination condition, so the loop would spin on empty bands
+    val e = intercept[IllegalArgumentException] {
+      runSketched(Seq(1L, 2L, 3L), Seq(50, 90, 50))
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
   test("sketched == histogram exact quantiles on shared input") {
     val rnd = new scala.util.Random(79)
     val vs = Seq.fill(4000)(rnd.nextInt(100000).toLong)

@@ -113,6 +113,15 @@ class SketchSpec extends AnyFunSuite {
       assert(hllEstimate(vals, parts) == first, s"estimate drifted at $parts parts")
   }
 
+  test("HLL: null inputs are ignored like count_distinct, not crashed on") {
+    import spark.implicits._
+    val hll = udaf(new SketchOps.HyperLogLog(12))
+    val withNulls = (0 until 150).map(i => Some(s"u$i")) ++ Seq.fill(40)(None)
+    val est = withNulls.toDF("v").repartition(5)
+      .agg(hll(col("v")).as("est")).collect().head.getLong(0)
+    assert(math.abs(est - 150) <= 2, s"null rows perturbed the estimate: $est")
+  }
+
   test("HLL: linear-counting regime is near-exact and duplicates are absorbed") {
     val small = (0 until 150).map(i => s"u$i")
     val est = hllEstimate(small, 3)

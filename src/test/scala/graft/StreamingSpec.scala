@@ -266,7 +266,9 @@ class StreamingSpec extends AnyFunSuite {
     // grown for this to classify as dup_corpus), plus another fresh doc
     runBatch("b1", Seq((9103L, freshA), (9104L, freshB)))
 
-    val rows = spark.read.parquet(s"$outDir/admissions").collect()
+    val rows = spark.read.parquet(s"$outDir/admissions")
+      .select(col("doc_id"), col("status"), col("batch_id").cast("long"))
+      .collect()
     // exactly-once: the second invocation must NOT reprocess batch 0
     // (a duplicate admission row would vanish in the Map compare)
     assert(rows.length == 5, s"expected 5 admission rows, got ${rows.length}")
@@ -277,6 +279,47 @@ class StreamingSpec extends AnyFunSuite {
       9005L -> ("dup_batch", 0L),   // keep-first: 9002 < 9005, same batch
       9103L -> ("dup_corpus", 1L),  // vs 9002 — proof the index grew
       9104L -> ("new", 1L)))
+  }
+
+  test("admission replay with the same batch_id is idempotent") {
+    // foreachBatch is at-least-once: a crash after the writes but before
+    // the checkpoint commit re-delivers the SAME batchId. Drive
+    // admitBatch twice with one batchId and assert the on-disk state is
+    // byte-for-byte the same outcome — same verdicts (the admitted doc
+    // must NOT classify itself dup_corpus on replay), same row counts in
+    // admissions, index shingles, and index bands.
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("doc-admit-replay")
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    val corpusText = "the quick brown fox jumps over the lazy dog again and again"
+    val freshA = "purple monkeys deliver seventeen umbrellas to the northern lighthouse keeper"
+    graft.streaming.DocStream.seedIndex(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), indexDir)
+
+    val batch = Seq((9001L, corpusText), (9002L, freshA), (9005L, freshA))
+      .toDF("doc_id", "text")
+    def counts() = (
+      spark.read.parquet(s"$outDir/admissions").count(),
+      spark.read.parquet(s"$indexDir/shingles").count(),
+      spark.read.parquet(s"$indexDir/bands").count())
+    def verdicts() = spark.read.parquet(s"$outDir/admissions")
+      .select(col("doc_id"), col("status"), col("batch_id").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    graft.streaming.DocStream.admitBatch(batch, indexDir, outDir, batchId = 0L)
+    val (first, firstVerdicts) = (counts(), verdicts())
+    graft.streaming.DocStream.admitBatch(batch, indexDir, outDir, batchId = 0L)
+    assert(counts() == first,
+      s"replay changed on-disk row counts: $first -> ${counts()}")
+    assert(verdicts() == firstVerdicts && firstVerdicts == Map(
+      9001L -> ("dup_corpus", 0L),
+      9002L -> ("new", 0L),       // still new on replay — no self-dup
+      9005L -> ("dup_batch", 0L)))
+    // and the next batch still dedups against the grown (not doubled) index
+    graft.streaming.DocStream.admitBatch(
+      Seq((9103L, freshA)).toDF("doc_id", "text"), indexDir, outDir, batchId = 1L)
+    assert(verdicts()(9103L) == ("dup_corpus", 1L))
   }
 
   test("streaming KLL quantiles track the exact stream quantiles across batches") {
