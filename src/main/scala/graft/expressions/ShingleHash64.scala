@@ -197,6 +197,61 @@ case class ShingleHash64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One FNV-1a fingerprint per NON-OVERLAPPING `k`-token chunk (stride
+  * k, short tail chunk included) — the span-dedup chunking of
+  * `DedupOps.spanDedup`, fingerprinted without ever materializing the
+  * chunk strings. Because tokens split on single spaces re-join to the
+  * original byte span, each hash is byte-identical to FNV-1a over
+  * `array_join(slice(tokens, c*k+1, k), " ")` — so keying a dedup on
+  * these equals keying on the chunk text, modulo 64-bit collisions
+  * (the accepted shingle-convention risk class). Same null→empty,
+  * literal-k contract as the sibling expressions.
+  */
+case class ChunkHash64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure("chunk_hash64 requires a literal k")
+        else if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure("chunk_hash64 requires a non-null k")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"chunk_hash64 requires (string, int), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "chunk_hash64"
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) ShingleHash64.EMPTY
+    else ShingleHash64.computeChunks(t.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        $javaType ${ev.value} = ${l.isNull}
+          ? graft.expressions.ShingleHash64.EMPTY()
+          : graft.expressions.ShingleHash64.computeChunks(${l.value}, ${r.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleHash64 {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
@@ -216,6 +271,46 @@ object ShingleHash64 {
 
   /** ALL window fingerprints, repeats included (the multiset form). */
   def computeAll(text: UTF8String, n: Int): ArrayData = hashWindows(text, n, distinct = false)
+
+  /** Stride-k non-overlapping chunk fingerprints (see [[ChunkHash64]]):
+    * chunk c covers tokens [c·k, min((c+1)·k, numToks)), hashed over the
+    * contiguous byte span — identical to FNV-1a of the re-joined chunk
+    * string, including the `split("") = [""]` single-empty-chunk edge. */
+  def computeChunks(text: UTF8String, k: Int): ArrayData = {
+    require(k > 0, s"chunk hash: k must be positive, got $k")
+    val nb = text.numBytes()
+    var spaces = 0
+    var i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) spaces += 1
+      i += 1
+    }
+    val numToks = spaces + 1
+    val starts = new Array[Int](numToks + 1)
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (text.getByte(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(numToks) = nb + 1
+    val nChunks = (numToks + k - 1) / k
+    val out = new Array[Long](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      var h = FnvOffset
+      var j = starts(c * k)
+      val end = starts(math.min((c + 1) * k, numToks)) - 1
+      while (j < end) {
+        h ^= text.getByte(j) & 0xffL
+        h *= FnvPrime
+        j += 1
+      }
+      out(c) = h
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** ALL window fingerprints as (h1, h2) structs — h1 identical to
     * [[computeAll]]'s lane, h2 from [[Fnv2Offset]], one byte walk for

@@ -98,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ngram_hash128"),
       new ExpressionInfo(classOf[NgramHash128].getName, "ngram_hash128"),
       (children: Seq[Expression]) => NgramHash128(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("chunk_hash64"),
+      new ExpressionInfo(classOf[ChunkHash64].getName, "chunk_hash64"),
+      (children: Seq[Expression]) => ChunkHash64(children(0), children(1))))
     // the Rule[LogicalPlan] rung: naive key+band interval joins rewrite
     // to the binned form automatically (see plans/BinnedIntervalJoin)
     ext.injectOptimizerRule(_ => graft.plans.BinnedIntervalJoin)

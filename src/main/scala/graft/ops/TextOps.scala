@@ -184,6 +184,12 @@ object TextOps {
     * contiguous byte slice, so `ngram_hash64(t, n)`'s distinct set ==
     * `shingle_hash64(t, n)`.
     */
+  /** One FNV-1a fingerprint per non-overlapping k-token chunk
+    * ([[graft.expressions.ChunkHash64]]) — span-dedup's chunk identity
+    * without materializing chunk strings. */
+  def chunkHashes(text: Column, k: Int): Column =
+    call_function("chunk_hash64", text, lit(k))
+
   def ngramHashes(text: Column, n: Int): Column =
     call_function("ngram_hash64", text, lit(n))
 

@@ -89,6 +89,27 @@ class VecDotSpec extends AnyFunSuite {
     assert(n.getSeq[Long](0) == n.getSeq[Long](1), "null-text result diverges from the UDF")
   }
 
+  test("chunk_hash64 equals FNV of the re-joined chunk strings, count == ceil(toks/k)") {
+    import spark.implicits._
+    // reference: build the chunk STRINGS the spanDedup window form used,
+    // hash each with the plain-JVM FNV-1a fold the shingle reference uses
+    val fnvRef = udf((text: String, k: Int) =>
+      if (text == null) Array.empty[Long]
+      else text.split(" ", -1).grouped(k).map { chunk =>
+        chunk.mkString(" ").getBytes("UTF-8")
+          .foldLeft(0xcbf29ce484222325L)((h, b) => (h ^ (b & 0xffL)) * 0x100000001b3L)
+      }.toArray)
+    val docs = Tables.documents(spark, sf).select(col("text"))
+      .union(Seq("", "a", "a  b c", " a b", "один два три", null).toDF("text"))
+    for (k <- Seq(1, 3, 8)) {
+      val bad = docs.select(
+          graft.ops.TextOps.chunkHashes(col("text"), k).as("a"),
+          fnvRef(col("text"), lit(k)).as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(bad == 0, s"chunk_hash64 diverges from the string reference at k=$k")
+    }
+  }
+
   test("ngram_hash64 is the multiset form: distinct == shingle set, counts == windows") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select(col("text"))
@@ -122,8 +143,9 @@ class VecDotSpec extends AnyFunSuite {
       val docs = Seq("a b c d", null.asInstanceOf[String], "x y").toDF("text")
       val shingled = docs.select(
         graft.ops.TextOps.shingleHashes(col("text")).as("sh"),
-        graft.ops.TextOps.ngramHashes(col("text"), 2).as("ng")).collect()
-      assert(shingled.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+        graft.ops.TextOps.ngramHashes(col("text"), 2).as("ng"),
+        graft.ops.TextOps.chunkHashes(col("text"), 2).as("ch")).collect()
+      assert(shingled.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
       val vecs = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
       assert(vecs.select(call_function("vec_dot", col("a"), col("b")))
         .head().getDouble(0) == 11.0)
