@@ -115,6 +115,66 @@ object TextQs {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t0
       ) t ORDER BY doc_id"""))
 
+  /** The COMPOSED cascade a production pretraining recipe runs: q82's
+    * four surface gates plus q48's repetition gate as a fifth rule
+    * (bit 16) in the same attribution mask. Exercises the
+    * narrow-projection × aggregated-signal join under one grade: the
+    * surface mask is a pure codegen'd projection, the repetition
+    * fractions are the two map-side-combined n-gram aggregations of
+    * [[repetitionFractions]], and the doc-keyed join lines them up.
+    * The repetition rule fires only on a MEASURED failure — a doc too
+    * short to have n-grams (NULL fractions) passes the gate, matching
+    * q48's left-join NULL convention under `coalesce(..., false)`.
+    */
+  val q84 = Q(
+    "q84_cascade_repetition",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val nTypes = size(array_distinct(toks))
+      val nStop = size(filter(toks, t => t === "the" || t === "a"))
+      val chars = length(col("text")) - (nTok - lit(1))
+      val r1 = !(nTok >= 40 && nTok <= 110)
+      val r2 = nTypes < 25
+      val r3 = nStop === 0
+      val r4 = chars < nTok * 3 || chars > nTok * 10
+      val surface = Tables.documents(s, d)
+        .select(col("doc_id"),
+          (r1.cast("int") + r2.cast("int") * 2 + r3.cast("int") * 4 +
+            r4.cast("int") * 8).as("surface"))
+      val r5 = coalesce(col("top2") > 0.2 || col("dup3") > 0.4, lit(false))
+      surface.join(repetitionFractions(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("surface") + r5.cast("int") * 16).as("fail_mask"))
+        .withColumn("keep", col("fail_mask") === 0)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+            for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS g FROM w) t
+        GROUP BY doc_id, g),
+      a2 AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot2 FROM g2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS g FROM w) t
+        GROUP BY doc_id, g),
+      a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc,
+               sum(c) AS tot3 FROM g3 GROUP BY doc_id),
+      m AS (SELECT w.doc_id,
+          CAST(NOT (len(toks) BETWEEN 40 AND 110) AS INT)
+          + CAST(len(list_distinct(toks)) < 25 AS INT) * 2
+          + CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) = 0 AS INT) * 4
+          + CAST(length(text) - (len(toks) - 1) < len(toks) * 3
+              OR length(text) - (len(toks) - 1) > len(toks) * 10 AS INT) * 8
+          + CAST(COALESCE(CAST(a2.mx AS DOUBLE) / a2.tot2 > 0.2
+              OR CAST(a3.dupc AS DOUBLE) / a3.tot3 > 0.4, FALSE) AS INT) * 16
+          AS fail_mask
+        FROM w LEFT JOIN a2 ON w.doc_id = a2.doc_id
+               LEFT JOIN a3 ON w.doc_id = a3.doc_id)
+      SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM m ORDER BY doc_id"""))
+
   /** Language ID by marker-trigram occurrence scoring (argmax over the
     * built-in profiles, ties to the alphabetically first language).
     * Occurrences via length/replace, so the oracle reproduces it exactly.
@@ -353,8 +413,10 @@ object TextQs {
 
   /** Repetition quality signals (the Gopher/C4 pretraining filters q31's
     * surface metrics don't see): per document, the most-frequent-2-gram
-    * fraction and the duplicate-3-gram fraction, plus the keep-gate a
-    * repetition filter would apply. Shape: one `ngram_hash64` explode per
+    * fraction (`top2`) and the duplicate-3-gram fraction (`dup3`), NULL
+    * where the doc has no n-grams. Shared by q48 (which grades the raw
+    * fractions plus the keep-gate) and q84 (which folds the gate into
+    * the cascade's attribution mask). Shape: one `ngram_hash64` explode per
     * n → partial-aggregated count keyed (doc_id, gram) → per-doc
     * aggregate — corpus rows only ever carry 8-byte fingerprints, and
     * both aggregations map-side-combine before their exchange. The
@@ -376,33 +438,38 @@ object TextQs {
     * Documents with fewer than n tokens have no n-grams: their fractions
     * (and the gate) are NULL in both engines via the left join.
     */
+  private def repetitionFractions(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
+      .contains("128")
+    def gramCounts(n: Int): DataFrame =
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(
+          if (wide) TextOps.ngramHashes128(col("text"), n)
+          else TextOps.ngramHashes(col("text"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val a2 = gramCounts(2).groupBy("doc_id")
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot2"))
+    val a3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
+        sum(col("c")).as("tot3"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(a2, Seq("doc_id"), "left")
+      .join(a3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("tot2").cast("double")).as("top2"),
+        (col("dupc").cast("double") / col("tot3").cast("double")).as("dup3"))
+  }
+
   val q48 = Q(
     "q48_repetition",
-    (s, d) => {
-      val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
-        .contains("128")
-      def gramCounts(n: Int): DataFrame =
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode(
-            if (wide) TextOps.ngramHashes128(col("text"), n)
-            else TextOps.ngramHashes(col("text"), n)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val a2 = gramCounts(2).groupBy("doc_id")
-        .agg(max(col("c")).as("mx"), sum(col("c")).as("tot2"))
-      val a3 = gramCounts(3).groupBy("doc_id")
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
-          sum(col("c")).as("tot3"))
-      val top2 = col("mx").cast("double") / col("tot2").cast("double")
-      val dup3 = col("dupc").cast("double") / col("tot3").cast("double")
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(a2, Seq("doc_id"), "left")
-        .join(a3, Seq("doc_id"), "left")
+    (s, d) =>
+      repetitionFractions(s, d)
         .select(col("doc_id"),
-          top2.as("top_2gram_frac"),
-          dup3.as("dup_3gram_frac"),
-          (top2 <= 0.2 && dup3 <= 0.4).as("keep"))
-        .orderBy("doc_id")
-    },
+          col("top2").as("top_2gram_frac"),
+          col("dup3").as("dup_3gram_frac"),
+          (col("top2") <= 0.2 && col("dup3") <= 0.4).as("keep"))
+        .orderBy("doc_id"),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       g2 AS (
@@ -547,7 +614,7 @@ object TextQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81, q82)
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81, q82, q84)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -75,6 +75,37 @@ class RepetitionBitsSpec extends AnyFunSuite {
     assert(both.find(_._1 == 3L).get._2.isEmpty) // null text
   }
 
+  test("q84 composed cascade: every rule fires ALONE on a constructed doc, combos attribute") {
+    import spark.implicits._
+    val fill = (i: Int) => f"tok$i%02d" // 5-char filler tokens
+    val docs = Seq(
+      // all five gates pass
+      1L -> ((1 to 49).map(fill) :+ "the").mkString(" "),
+      // r1 alone: 30 tokens (under the band), everything else clean
+      2L -> ((1 to 29).map(fill) :+ "the").mkString(" "),
+      // r2 alone: 24 types over 48 tokens, forward+reverse order so no
+      // bigram/trigram repeats (top2 = 1/47)
+      3L -> { val ts = (1 to 23).map(fill) :+ "the"; (ts ++ ts.reverse).mkString(" ") },
+      // r3 alone: no stopword
+      4L -> (1 to 50).map(fill).mkString(" "),
+      // r4 alone: 2-char tokens, mean length ~2 < 3
+      5L -> ((10 to 58).map(_.toString) :+ "the").mkString(" "),
+      // r5 alone: clean surface but one bigram dominates (13/55 > 0.2)
+      6L -> (((1 to 29).map(fill) :+ "the") ++ Seq.fill(13)(Seq("xx", "yy")).flatten).mkString(" "),
+      // r1+r2+r5 combined
+      7L -> Seq.fill(15)("the cat").mkString(" "),
+      // 1 token: r1+r2+r3+r4; NO n-grams, so the repetition rule must
+      // NOT fire on the NULL fractions
+      8L -> "hi")
+    val dir = java.nio.file.Files.createTempDirectory("cascade-docs")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQs.q84.fn(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 4, 5L -> 8,
+      6L -> 16, 7L -> 19, 8L -> 15), s"mask attribution diverged: $got")
+  }
+
   test("q48 under fingerprintBits=128 answers identically on the corpus") {
     val d = "/root/testdata/sf0.001"
     def run(): Set[String] =
