@@ -77,8 +77,17 @@ object DedupOps {
     * naturally through the per-row contribution). Bands of `bitsPerBand`
     * sign bits hash to bucket keys. One shuffle, on doc_id.
     *
+    * The packed 64-bit signature rides along (`sig`) so a consumer can
+    * apply the cheap Hamming post-filter `bit_count(sig_a ^ sig_b) <=
+    * 64/bitsPerBand - 1` between the band join and any expensive verify:
+    * banding only guarantees recall WITHIN that Hamming radius
+    * (pigeonhole), but at dense corpus scales most band collisions are
+    * random `bitsPerBand`-bit coincidences far outside it — the filter
+    * restores the canonical SimHash candidate set (exactly the
+    * within-radius pairs) at one popcount per joined row.
+    *
     * @param docTokens (id: long, tokens: array<string>) — with repeats
-    * @return (id, band_idx, band_hash) — 64/bitsPerBand rows per doc
+    * @return (id, sig, band_idx, band_hash) — 64/bitsPerBand rows per doc
     */
   def simhashBands(docTokens: DataFrame, idCol: String, bitsPerBand: Int): DataFrame = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
@@ -87,6 +96,9 @@ object DedupOps {
       sum(when(shiftrightunsigned(col("__h"), k).bitwiseAND(lit(1L)) === lit(1L), lit(1))
         .otherwise(lit(-1))).as(s"__s$k")
     }
+    val sigCol = (0 until 64).map { k =>
+      when(col(s"__s$k") >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     val bandCols = (0 until nBands).map { j =>
       val bits = (0 until bitsPerBand).map(r =>
         when(col(s"__s${j * bitsPerBand + r}") >= 0, lit(1)).otherwise(lit(0)))
@@ -97,8 +109,9 @@ object DedupOps {
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
       .groupBy(idCol)
       .agg(sumCols.head, sumCols.tail: _*)
-      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+      .select(col(idCol), sigCol.as("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("sig"),
+        col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
   }
 
   /** Exact Jaccard between two distinct-element arrays, as an IEEE double

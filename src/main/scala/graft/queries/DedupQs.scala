@@ -71,21 +71,44 @@ object DedupQs {
   private val MaxDf = 100
 
   /** Exact verification of candidate pairs: join shingle sets back, keep
-    * pairs with true Jaccard >= thr. Candidates are tiny post-LSH, so both
-    * joins broadcast the candidate side at scale. The intersection size is
-    * bound to its own column before the Jaccard division/filter so
-    * `array_intersect` — the expensive part — runs once per pair.
+    * pairs with true Jaccard >= thrNum/thrDen. Candidates are tiny
+    * post-LSH, so both joins broadcast the candidate side at scale.
+    *
+    * The threshold test is the INTEGER-EXACT rational form
+    * `(den+num)·|A∩B| >= num·(|A|+|B|)` (algebraically J >= num/den,
+    * no IEEE division at the boundary) with `array_intersect` appearing
+    * exactly ONCE. The once-ness is load-bearing: Catalyst inlines any
+    * bound alias into the join condition when it pushes the filter
+    * there, so a `jaccard >= thr` filter written over an `n_inter`
+    * column comes back as a join condition evaluating the intersect
+    * THREE times per candidate row (measured: the round-9 pre-fix q37
+    * spent ~3 s of its ~5.5 s exactly here). The output `jaccard`
+    * (division form, matching the DuckDB oracles bit-for-bit) is
+    * recomputed on survivors only — tens of rows.
+    *
+    * `broadcastDocs = true` flips the join direction: the doc-shingle
+    * relation is broadcast and the CANDIDATE stream stays in place. Use
+    * when the candidate set is the big side (q37's saturated-band
+    * regime) — otherwise both joins go sort-merge and every candidate
+    * row drags two shingle arrays through two shuffles. Only valid
+    * while the shingle relation fits executor memory; the saturated
+    * generator is itself bounded to test scales, so the two limits
+    * coincide.
     */
-  private def verified(s: SparkSession, d: String, cands: DataFrame, thr: Double): DataFrame = {
-    val sa = shingled(s, d).select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = shingled(s, d).select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+  private def verified(s: SparkSession, d: String, cands: DataFrame,
+      thrNum: Long, thrDen: Long, broadcastDocs: Boolean = false): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame = if (broadcastDocs) broadcast(df) else df
+    val sa = maybeB(shingled(s, d).select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")))
+    val sb = maybeB(shingled(s, d).select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")))
+    val nInter = size(array_intersect(col("sh_a"), col("sh_b")))
     cands
       .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(lit(thrDen + thrNum) * nInter >=
+        lit(thrNum) * (size(col("sh_a")) + size(col("sh_b"))))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+        nInter.as("n_inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard", DedupOps.jaccardFromSizes(col("n_inter"), col("n_a"), col("n_b")))
-      .filter(col("jaccard") >= thr)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -144,7 +167,7 @@ object DedupQs {
     val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verified(s, d, cands, 0.8)
+    verified(s, d, cands, 4, 5)
   }
 
   /** MinHash-LSH near-dup detection (the headline dedup path). */
@@ -154,10 +177,32 @@ object DedupQs {
     Some(jaccardOracleSql(0.8)),
     headline = true)
 
+  /** Hamming cutoff for q37's post-band filter. Banding guarantees
+    * recall only for Hamming <= nBands-1 = 7 (pigeonhole); measured
+    * true J>=0.8 pairs sit at Hamming <= 9 on this corpus family
+    * (`tools/SimhashProbe`, max 9 vs the random-collision mode of ~16),
+    * so 12 keeps every banding-reachable true pair with margin while
+    * killing ~5/6 of the random-collision mass before the verify. */
+  private val SimHamMax = 12
+
   /** SimHash near-dup detection: 64-bit sign-hash of the token stream,
-    * 8x8-bit banding (deterministic recall for Hamming <= 7), exact verify.
-    * Same oracle as q36 — two independent candidate generators must
-    * converge on the same exact answer.
+    * 8x8-bit banding (deterministic recall for Hamming <= 7), Hamming
+    * post-filter at [[SimHamMax]], exact verify. Same oracle as q36 —
+    * two independent candidate generators must converge on the same
+    * exact answer.
+    *
+    * The band join PROPOSES and the popcount DISPOSES: an 8-bit band
+    * collision is a 1/256 coincidence for unrelated docs, so at dense
+    * corpus scales the raw collision set grows ~quadratically (measured
+    * ~390k pairs at sf0.1 for 25 true ones) — and because unrelated
+    * natural-text signatures are themselves correlated (collision
+    * Hamming modes at ~16 of 64, not 32), no banding scheme can
+    * separate them structurally; the popcount does it for one codegen'd
+    * `bit_count(xor)` per joined row, BEFORE the distinct exchange and
+    * the `array_intersect` verify, so the random bulk dies in-stage.
+    * Recall above Hamming 7 is unchanged by the filter: such pairs were
+    * only ever reachable through a lucky band collision, and every
+    * banding-reachable pair up to [[SimHamMax]] still verifies.
     */
   val q37 = Q(
     "q37_simhash",
@@ -174,13 +219,17 @@ object DedupQs {
           }, Seq("band_idx", "band_hash"), MaxBucket)
       }
       def side(n: String): DataFrame =
-        capped.select(col("doc_id").as(s"doc_$n"), col("band_idx"), col("band_hash"))
+        capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
+          col("band_idx"), col("band_hash"))
       val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
+        .filter(col("doc_a") < col("doc_b") &&
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= SimHamMax)
         .select("doc_a", "doc_b").distinct()
-      verified(s, d, cands, 0.8)
+      verified(s, d, cands, 4, 5, broadcastDocs = true)
     },
-    Some(jaccardOracleSql(0.8)))
+    Some(jaccardOracleSql(0.8)),
+    // headline since round 9 (annex row in BASELINE.md)
+    headline = true)
 
   /** Exact n-gram Jaccard pairs (J >= 0.5) via inverted-index join:
     * explode shingles, shuffle on the SHINGLE (the standard exact path —
@@ -224,7 +273,11 @@ object DedupQs {
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     },
-    Some(jaccardOracleSql(0.5)))
+    Some(jaccardOracleSql(0.5)),
+    // headline since round 9 (annex row in BASELINE.md): the most
+    // expensive measured corpus query and the one deliberately
+    // shuffle-heavy exact path — exactly what regresses silently
+    headline = true)
 
   /** Near-dup CLUSTERING — the pipeline stage after pair detection:
     * pairs → connected components ([[DedupOps.connectedComponents]],
@@ -383,10 +436,10 @@ object DedupQs {
         .join(side("b", batch = true), Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val dupCorpus = verified(s, d, candsCorpus, 0.8)
+      val dupCorpus = verified(s, d, candsCorpus, 4, 5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("__dc", lit(true))
-      val dupBatch = verified(s, d, candsBatch, 0.8)
+      val dupBatch = verified(s, d, candsBatch, 4, 5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("__db", lit(true))
       Tables.documents(s, d).filter(isBatch).select("doc_id")

@@ -40,8 +40,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object DocStream {
 
-  private val Threshold = 0.8
-
   /** Seed the resident index from an existing corpus (doc_id, text).
     * Seed rows land in the `batch_id=-1` partition so every streamed
     * batch (batchId >= 0) sees them through the `< batchId` read. */
@@ -105,13 +103,15 @@ object DocStream {
       val idxSh = spark.read.parquet(s"$indexDir/shingles")
         .filter(col("batch_id") < batchId).drop("batch_id")
 
+      // integer-exact J >= 4/5 with array_intersect appearing ONCE (the
+      // division form expands the intersect into both numerator and
+      // denominator of the join-time condition — see DedupQs.verified)
       def verify(cands: DataFrame, aSh: DataFrame): DataFrame =
         cands
           .join(aSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-          .filter(DedupOps.jaccardFromSizes(
-            size(array_intersect(col("sh_a"), col("sh_b"))),
-            size(col("sh_a")), size(col("sh_b"))) >= Threshold)
+          .filter(lit(9L) * size(array_intersect(col("sh_a"), col("sh_b"))) >=
+            lit(4L) * (size(col("sh_a")) + size(col("sh_b"))))
           .select(col("doc_b").as("doc_id")).distinct()
 
       val streamSide = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
