@@ -41,7 +41,7 @@ object VectorOps {
     * per PAIR — same doubles (identical subexpressions, just hoisted),
     * so oracle parity is untouched.
     */
-  private def cosineWithNorms(dot: Column, sqA: Column, sqB: Column): Column =
+  def cosineWithNorms(dot: Column, sqA: Column, sqB: Column): Column =
     dot / (sqrt(sqA) * sqrt(sqB))
 
   /** Brute-force exact top-k: broadcast the query set, scan the corpus

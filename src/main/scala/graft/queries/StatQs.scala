@@ -230,16 +230,34 @@ object StatQs {
     * completeness = n_nulls == 0) are row-local arithmetic on this
     * output; the profile is the operator.
     */
+  /** Numeric columns additionally get min/max/mean (what a Deequ user
+    * actually gates on), riding the SAME agg — still one scan, one
+    * exchange. The mean is engine-portable despite being a double: both
+    * engines take an exact integer sum and perform ONE IEEE division by
+    * the row count, so the bits agree. Non-numeric columns carry typed
+    * NULLs. */
   private[graft] def profile(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-      count_distinct(col(c)).as(s"${c}__nd")))
+    import org.apache.spark.sql.types.NumericType
+    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd")) ++
+      (if (isNum(c)) Seq(
+        min(col(c)).cast("long").as(s"${c}__mn"),
+        max(col(c)).cast("long").as(s"${c}__mx"),
+        avg(col(c)).as(s"${c}__avg"))
+      else Nil)
+    }
     df.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(expr(
         s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', __n, ${c}__nn, ${c}__nd").mkString(", ") +
-          ") as (col_name, n_rows, n_nulls, n_distinct)"))
+          s"'$c', __n, ${c}__nn, ${c}__nd, " + (if (isNum(c))
+            s"${c}__mn, ${c}__mx, ${c}__avg"
+          else "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)"))
+          .mkString(", ") +
+          ") as (col_name, n_rows, n_nulls, n_distinct, num_min, num_max, num_mean)"))
       .orderBy("col_name")
   }
 
@@ -247,11 +265,15 @@ object StatQs {
     "q80_data_profile",
     (s, d) => profile(Tables.documents(s, d),
       Seq("doc_id", "text", "lang", "source", "n_chars")),
-    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map(c => s"""
+    Some(Seq("doc_id" -> true, "text" -> false, "lang" -> false,
+        "source" -> false, "n_chars" -> true).map { case (c, num) => s"""
       SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
-      FROM documents""").mkString(" UNION ALL ") + " ORDER BY col_name"))
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        ${if (num) s"CAST(min($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"} AS num_min,
+        ${if (num) s"CAST(max($c) AS BIGINT)" else "CAST(NULL AS BIGINT)"} AS num_max,
+        ${if (num) s"avg($c)" else "CAST(NULL AS DOUBLE)"} AS num_mean
+      FROM documents"""}.mkString(" UNION ALL ") + " ORDER BY col_name"))
 
   val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80)
 }

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.ops.{DedupOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming SEMANTIC admission — q78's cell-keyed SemDeDup as a
+  * Structured Streaming loop, the embedding-tier twin of [[DocStream]]
+  * (which covers the minhash/token tier). Each micro-batch of incoming
+  * (vec_id, embedding) rows is classified against a RESIDENT
+  * (cell, vec) index — `dup_corpus` / `dup_batch` / `new` with q78's
+  * keep-first (lowest id) policy — and the admitted vectors join the
+  * index before the next trigger, so every batch deduplicates against
+  * the corpus PLUS everything admitted before it.
+  *
+  * Same idempotence discipline as [[DocStream]]: foreachBatch delivery
+  * is AT-LEAST-once, so every write is an idempotent overwrite of this
+  * batch's own `batch_id` partition (dynamic partition overwrite), and
+  * classification reads the index at `batch_id < batchId` — a replayed
+  * batch never sees its own half-written rows, and a vector can never
+  * classify ITSELF `dup_corpus`. At 100 TB the partition overwrites
+  * become table-format transactions and the per-cell cap below bounds
+  * the join work when a cell goes hot.
+  *
+  * Centroids are FROZEN at seed time (written once by [[seedIndex]],
+  * read per batch): cell identity must be stable across the stream's
+  * lifetime or yesterday's admissions would sit in cells today's
+  * assignment never probes. Re-centering is a batch-side rebuild
+  * (re-seed + replay), not a streaming concern — the same posture as
+  * SemDeDup's published fixed-clustering pass.
+  *
+  * Layout: `indexDir/centroids` (cid, cvec), `indexDir/vectors`
+  * (id, vec, sq_norm, cell) partitioned by batch_id (seed rows at
+  * `batch_id=-1`); admissions to `outDir/admissions` as
+  * (vec_id, status) under `batch_id=N` partitions.
+  */
+object VecStream {
+
+  /** q78's threshold: a pair within one cell at cosine >= Tau is a
+    * semantic duplicate. */
+  private val Tau = 0.40
+
+  /** Per-cell resident cap ([[DedupOps.capBuckets]] on the cell key):
+    * inert at test scales, bounds per-trigger pair generation when a
+    * cell goes hot — the cell-keyed analog of DocStream's band-bucket
+    * guard. */
+  private val MaxCell = 1000
+
+  /** Seed the centroid set (q78's every-50th policy over the seed
+    * corpus) and the resident index. Seed rows land in the
+    * `batch_id=-1` partition so every streamed batch (batchId >= 0)
+    * sees them through the `< batchId` read. */
+  def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    VectorOps.ivfAssign(
+        corpus.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        spark.read.parquet(s"$indexDir/centroids"))
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Start the admission stream over parquet files of
+    * (vec_id, embedding). AvailableNow + checkpoint: run-to-completion
+    * per invocation, resume-exactly-once across invocations. */
+  def start(spark: SparkSession, streamDir: String, indexDir: String,
+      outDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: java.lang.Long) =>
+        admitBatch(batch, indexDir, outDir, batchId))
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One admission transaction: assign the micro-batch to its frozen
+    * cells, classify within-cell against the resident index and the
+    * batch itself, write the verdicts, index the admitted vectors —
+    * every write an idempotent overwrite of this batch's `batch_id`
+    * partition. Package-visible so specs can drive it directly.
+    *
+    * Vectors with a NULL embedding are admitted `new` but never
+    * indexed (nothing to compare) — the same convention as DocStream's
+    * empty-shingle docs. */
+  private[graft] def admitBatch(vecs: DataFrame, indexDir: String,
+      outDir: String, batchId: Long): Unit = {
+    val spark = vecs.sparkSession
+    val assigned = VectorOps.ivfAssign(
+        vecs.filter(col("embedding").isNotNull)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        spark.read.parquet(s"$indexDir/centroids"))
+      .persist()
+    try {
+      val idx = DedupOps.capBuckets(
+        spark.read.parquet(s"$indexDir/vectors")
+          .filter(col("batch_id") < batchId).drop("batch_id"),
+        Seq("cell"), MaxCell)
+
+      def sideA(df: DataFrame): DataFrame = df.select(col("cell"),
+        col("id").as("a_id"), col("vec").as("a_vec"), col("sq_norm").as("a_norm"))
+      val b = assigned.select(col("cell"),
+        col("id").as("b_id"), col("vec").as("b_vec"), col("sq_norm").as("b_norm"))
+      def close: org.apache.spark.sql.Column =
+        VectorOps.cosineWithNorms(VectorOps.dotD(col("a_vec"), col("b_vec")),
+          col("a_norm"), col("b_norm")) >= Tau
+
+      val dupCorpus = sideA(idx).join(b, "cell")
+        .filter(close)
+        .select(col("b_id").as("id")).distinct()
+        .withColumn("__dc", lit(true))
+      // q78's keep-first: a LOWER-id batch neighbor marks this one, the
+      // neighbor's own verdict notwithstanding (DocStream's precedence)
+      val dupBatch = sideA(assigned).join(b, "cell")
+        .filter(col("a_id") < col("b_id") && close)
+        .select(col("b_id").as("id")).distinct()
+        .withColumn("__db", lit(true))
+
+      vecs.select(col("vec_id").as("id"))
+        .join(dupCorpus, Seq("id"), "left")
+        .join(dupBatch, Seq("id"), "left")
+        .select(col("id").as("vec_id"),
+          when(col("__dc"), "dup_corpus")
+            .when(col("__db"), "dup_batch")
+            .otherwise("new").as("status"),
+          lit(batchId).as("batch_id"))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$outDir/admissions")
+
+      // re-read the committed verdicts: breaks plan lineage to indexDir
+      // and makes the index write a pure function of on-disk state
+      val admitted = spark.read.parquet(s"$outDir/admissions")
+        .filter(col("batch_id") === batchId && col("status") === "new")
+        .select(col("vec_id").as("id"))
+      assigned.join(admitted, "id")
+        .withColumn("batch_id", lit(batchId))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexDir/vectors")
+    } finally {
+      assigned.unpersist()
+    }
+  }
+}

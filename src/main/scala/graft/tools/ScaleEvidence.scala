@@ -225,6 +225,25 @@ object ScaleEvidence {
     ts.sorted.apply(runs / 2)
   }
 
+  /** recall@5 of an ANN variant against exact brute-force top-5 on the
+    * same dir (the probe set is fixed to copy 0, so ground truth at N×
+    * ranks the probes against the full N× corpus — index-quality
+    * evidence that a time ratio alone can't give: densified cells could
+    * keep the RUNTIME linear while recall quietly collapsed). */
+  private def recallAt5(spark: SparkSession, dir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
+    val e = graft.Tables.read(spark, dir, "embeddings")
+    val exact = graft.ops.VectorOps.bruteForceTopK(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 5)
+      .select(col("qid"), col("id").as("vec_id"))
+    val got = fn(spark, dir).filter(col("rn") <= 5).select("qid", "vec_id")
+    val hits = got.join(exact, Seq("qid", "vec_id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
   private def ccRounds(spark: SparkSession, dir: String): Int = {
     val edges = Queries.byName("q36_minhash_lsh").fn(spark, dir)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -248,8 +267,13 @@ object ScaleEvidence {
     // generate only the tables the selected queries read — the 100×
     // deep tier replicates documents alone without paying for a 100×
     // events/lineitem/orders/embeddings write it never scans
+    // a CSV entry selects a query by bare name ("q42_ann_ivf", every
+    // variant) or by space-stripped variant name
+    // ("q78_semantic_dedup[k∝N]", that variant alone)
+    def selects(fs: Set[String], n: String): Boolean =
+      fs.contains(n.split(' ').head) || fs.contains(n.replace(" ", ""))
     def wants(names: Seq[String]): Boolean =
-      names.exists(n => filter.forall(_.contains(n.split(' ').head)))
+      names.exists(n => filter.forall(selects(_, n)))
     if (wants(QueryNames)) generate(spark, sfDir, outDir, factor)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
     if (wants(LineitemQueryNames)) generateLineitem(spark, sfDir, outDir, factor)
@@ -261,10 +285,7 @@ object ScaleEvidence {
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames)
         .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants
-    // filter matches on the query name with any " [variant]" tag stripped
-    val selected = work.filter { case (n, _) =>
-      filter.forall(_.contains(n.split(' ').head))
-    }
+    val selected = work.filter { case (n, _) => filter.forall(selects(_, n)) }
     val rows = selected.map { case (name, fn) =>
       val t1 = medianTime(spark, name, sfDir, runs = 3, fn)
       val tX = medianTime(spark, name, outDir, runs = 3, fn)
@@ -273,6 +294,16 @@ object ScaleEvidence {
     val measureCc = filter.forall(_.contains("q39_dup_clusters"))
     val ccPair = if (measureCc) Some((ccRounds(spark, sfDir), ccRounds(spark, outDir))) else None
 
+    // recall@5 for the ANN rows (exact brute force is feasible at every
+    // replication size — one linear scan per measurement)
+    val annRecall = Seq(
+      "q42_ann_ivf [fixed-k]" -> EmbeddingVariants.toMap.apply("q42_ann_ivf [fixed-k]"),
+      "q66_ann_ivfpq [fixed-k]" -> EmbeddingVariants.toMap.apply("q66_ann_ivfpq [fixed-k]"))
+      .filter { case (n, _) => filter.forall(selects(_, n)) }
+      .map { case (n, fn) =>
+        (n, recallAt5(spark, sfDir, fn), recallAt5(spark, outDir, fn))
+      }
+
     println(s"\ndocs: 1x=$n1  ${factor}x=$nX")
     println(s"| query | 1x (s) | ${factor}x (s) | ${factor}x/1x |")
     println("|---|---|---|---|")
@@ -280,6 +311,13 @@ object ScaleEvidence {
       println(f"| $n | $t1%.2f | $tX%.2f | ${tX / t1}%.1fx |")
     }
     ccPair.foreach { case (r1, rX) => println(s"| q39 CC rounds | $r1 | $rX | — |") }
+    if (annRecall.nonEmpty) {
+      println(s"| query | recall@5 1x | recall@5 ${factor}x |")
+      println("|---|---|---|")
+      annRecall.foreach { case (n, r1, rX) =>
+        println(f"| $n | $r1%.2f | $rX%.2f |")
+      }
+    }
     spark.stop()
   }
 }

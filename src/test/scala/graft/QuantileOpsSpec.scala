@@ -117,5 +117,13 @@ class QuantileOpsSpec extends AnyFunSuite {
       ("ghost", 4L, 4L, 0L),   // all-null: distinct ignores nulls
       ("id", 4L, 1L, 2L),      // dup 1L collapses, null excluded
       ("name", 4L, 1L, 2L)))
+    // numeric stats ride the same agg: present for numeric cols (nulls
+    // excluded, like SQL min/max/avg), typed-NULL for the rest
+    val stats = graft.queries.StatQs.profile(df, Seq("id", "name", "ghost"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(stats("id") === ((Some(1L), Some(2L), Some((1L + 1L + 2L) / 3.0))))
+    assert(stats("name") === ((None, None, None)))
+    assert(stats("ghost") === ((None, None, None)))
   }
 }
