@@ -52,11 +52,14 @@ object VectorOps {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (qid, id, cos) only — the ranking window sorts whole rows within
+    // per-qid partitions, so the vectors must NOT ride into the sort
+    // (see ivfQuery's projection note; same 100×-scale measurement)
     val scored = corpus.withColumn("__nc", sqNormD(col("vec")))
       .join(broadcast(queries.withColumn("__nq", sqNormD(col("qvec")))),
         col("id") =!= col("qid"))
-      .withColumn("cos",
-        cosineWithNorms(dotD(col("qvec"), col("vec")), col("__nq"), col("__nc")))
+      .select(col("qid"), col("id"),
+        cosineWithNorms(dotD(col("qvec"), col("vec")), col("__nq"), col("__nc")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored
       .withColumn("rn", row_number().over(w))

@@ -268,10 +268,12 @@ object ScaleEvidence {
     // deep tier replicates documents alone without paying for a 100×
     // events/lineitem/orders/embeddings write it never scans
     // a CSV entry selects a query by bare name ("q42_ann_ivf", every
-    // variant) or by space-stripped variant name
-    // ("q78_semantic_dedup[k∝N]", that variant alone)
+    // variant) or by variant name with spaces and non-ASCII stripped
+    // ("q78_semantic_dedup[kN]" for the [k∝N] form — ∝ doesn't survive
+    // every shell/sbt arg hop, so matching is ASCII-normalized)
+    def norm(x: String): String = x.replaceAll("[^\\x21-\\x7E]", "")
     def selects(fs: Set[String], n: String): Boolean =
-      fs.contains(n.split(' ').head) || fs.contains(n.replace(" ", ""))
+      fs.contains(n.split(' ').head) || fs.map(norm).contains(norm(n))
     def wants(names: Seq[String]): Boolean =
       names.exists(n => filter.forall(selects(_, n)))
     if (wants(QueryNames)) generate(spark, sfDir, outDir, factor)
