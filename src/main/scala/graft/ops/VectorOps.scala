@@ -95,6 +95,45 @@ object VectorOps {
         col("__best.sq_norm").as("sq_norm"), col("__best.cid").as("cell"))
   }
 
+  /** Two-level (coarse-quantized) IVF assignment — the scale path for
+    * centroid sets too large to brute-force against every vector (the
+    * k∝N regime, e.g. SemDeDup's cells-grow-with-corpus posture, where
+    * flat [[ivfAssign]] is N·k work: measured OOM at 500k vectors ×
+    * 10k centroids on the 100× deep tier).
+    *
+    * Level 1: every CENTROID assigns to its nearest super-centroid
+    * (k·s work, one [[ivfAssign]]) — the membership relation is
+    * centroid-set-sized and broadcasts. Level 2: every VECTOR assigns
+    * to its nearest super (N·s), then argmaxes over only that super's
+    * member centroids via the broadcast join (N·k/s average). Total
+    * N·(s + k/s) vs N·k — minimized at s ≈ √k. Same output schema and
+    * tie-breaks as [[ivfAssign]]; APPROXIMATE by construction (a
+    * vector whose true cell lives under a different super lands in
+    * that cell's best same-super rival — IVF probe-1 semantics at the
+    * centroid level; `DedupVectorSpec` pins exactness on separable
+    * cells and measures agreement on the replicated corpus).
+    */
+  def ivfAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
+      superCentroids: DataFrame): DataFrame = {
+    val members = broadcast(
+      ivfAssign(
+        centroids.select(col("cid").as("id"), col("cvec").as("vec")),
+        superCentroids)
+      .select(col("cell").as("__super"), col("id").as("cid"),
+        col("vec").as("cvec"), col("sq_norm").as("__ncv")))
+    ivfAssign(corpus, superCentroids)
+      .select(col("id"), col("vec"), col("sq_norm"), col("cell").as("__super"))
+      .join(members, "__super")
+      .withColumn("ccos",
+        cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ncv"), col("sq_norm")))
+      .groupBy("id")
+      .agg(max_by(
+        struct(col("vec"), col("sq_norm"), col("cid")),
+        struct(col("ccos"), negate(col("cid")))).as("__best"))
+      .select(col("id"), col("__best.vec").as("vec"),
+        col("__best.sq_norm").as("sq_norm"), col("__best.cid").as("cell"))
+  }
+
   /** Quantization grid for [[kmeansUpdate]]: 2^40. Scaling a double by a
     * power of two is EXACT (an exponent shift), and `floor` is tie-free,
     * so `floor(v * 2^40)` is a deterministic, engine-portable integer

@@ -368,19 +368,46 @@ object VectorQs {
     * differently. Keep policy (lowest id in each τ-neighborhood survives)
     * is pure integer logic.
     */
-  private[graft] def semanticDedupQuery(s: SparkSession, d: String,
+  /** q78's memoized cell assignment (cached: it feeds both self-join
+    * sides and the final anti-join — three scans of one argmax pass). */
+  private[graft] def semanticCells(s: SparkSession, d: String,
       idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
     val cents = fifties(s, d, idCap)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // cached: the assignment feeds both self-join sides and the final
-    // anti-join (three scans of one argmax pass)
-    val assigned = graft.Memo.cached(s, d, "semdedup_cells" + memoSuffix) {
+    graft.Memo.cached(s, d, "semdedup_cells" + memoSuffix) {
       VectorOps.ivfAssign(corpus(s, d), cents)
     }
-    VectorOps.semanticDedup(assigned, tau = 0.40)
+  }
+
+  /** The same assignment through the two-level coarse quantizer
+    * ([[VectorOps.ivfAssignTwoLevel]], supers = every `superMod`-th
+    * vector — a deterministic subset of the %50 centroid policy). The
+    * k∝N scale path: flat assignment is N·k and measured-infeasible at
+    * the 100× deep tier (500k × 10k); two-level is N·(s + k/s). */
+  private[graft] def semanticCellsCoarse(s: SparkSession, d: String,
+      superMod: Long = 2500L, memoSuffix: String = ""): DataFrame = {
+    val cents = fifties(s, d, Long.MaxValue)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.Memo.cached(s, d, "semdedup_cells_coarse" + memoSuffix) {
+      VectorOps.ivfAssignTwoLevel(corpus(s, d), cents,
+        cents.filter(col("cid") % superMod === 0))
+    }
+  }
+
+  private[graft] def semanticDedupQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame =
+    VectorOps.semanticDedup(semanticCells(s, d, idCap, memoSuffix), tau = 0.40)
       .select(col("id").as("vec_id"), col("cell"))
       .orderBy("vec_id")
-  }
+
+  /** q78 over the coarse-quantized assignment — the deep-tier scale
+    * form; approximate exactly where the quantizer is (cell routing),
+    * identical dedup semantics within cells. */
+  private[graft] def semanticDedupCoarseQuery(s: SparkSession, d: String,
+      superMod: Long = 2500L, memoSuffix: String = ""): DataFrame =
+    VectorOps.semanticDedup(semanticCellsCoarse(s, d, superMod, memoSuffix), tau = 0.40)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
 
   val q78 = Q(
     "q78_semantic_dedup",

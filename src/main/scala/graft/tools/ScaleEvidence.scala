@@ -96,7 +96,11 @@ object ScaleEvidence {
     "q78_semantic_dedup [k∝N]" -> ((s: SparkSession, d: String) =>
       Queries.byName("q78_semantic_dedup").fn(s, d)),
     "q78_semantic_dedup [fixed-k]" -> ((s: SparkSession, d: String) =>
-      graft.queries.VectorQs.semanticDedupQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
+      graft.queries.VectorQs.semanticDedupQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")),
+    // the k∝N regime through the two-level coarse quantizer — the form
+    // that stays feasible when N·k flat assignment doesn't (100× tier)
+    "q78_semantic_dedup [coarse]" -> ((s: SparkSession, d: String) =>
+      graft.queries.VectorQs.semanticDedupCoarseQuery(s, d, memoSuffix = "_sx")))
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
@@ -319,6 +323,23 @@ object ScaleEvidence {
       annRecall.foreach { case (n, r1, rX) =>
         println(f"| $n | $r1%.2f | $rX%.2f |")
       }
+    }
+    // coarse-vs-flat cell agreement (flat is the ground truth and is
+    // N·k — only measured where that is feasible: always at 1x, at the
+    // replicated dir only for factor <= 10)
+    if (filter.forall(selects(_, "q78_semantic_dedup [coarse]"))) {
+      def agreement(dir: String): Double = {
+        val flat = graft.queries.VectorQs.semanticCells(spark, dir, memoSuffix = "_agx")
+          .select(col("id"), col("cell").as("flat_cell"))
+        val coarse = graft.queries.VectorQs.semanticCellsCoarse(spark, dir, memoSuffix = "_agx")
+          .select(col("id"), col("cell").as("coarse_cell"))
+        val joined = flat.join(coarse, "id")
+        joined.filter(col("flat_cell") === col("coarse_cell")).count().toDouble /
+          joined.count()
+      }
+      val a1 = agreement(sfDir)
+      val aX = if (factor <= 10) f"${agreement(outDir)}%.3f" else "n/a (flat infeasible)"
+      println(f"| q78 coarse-vs-flat cell agreement | $a1%.3f | $aX |")
     }
     spark.stop()
   }

@@ -104,6 +104,39 @@ class DedupVectorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.srp.bandBits")
   }
 
+  test("two-level IVF assignment: exact on separable super-groups, exact with one super") {
+    import spark.implicits._
+    def v(mix: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      mix.foreach { case (i, w) => a(i) = w.toFloat }
+      a.toSeq
+    }
+    // 4 centroids in 2 well-separated super-groups (axes 0/1 vs 32/33);
+    // supers = the %2500 policy subset (cids 0 and 2500)
+    val cents = Seq(
+      (0L, v(0 -> 1.0)), (100L, v(0 -> 0.9, 1 -> 0.45)),
+      (2500L, v(32 -> 1.0)), (2600L, v(32 -> 0.9, 33 -> 0.45)))
+      .toDF("cid", "cvec")
+    val supers = cents.filter(col("cid") % 2500 === 0)
+    val corpus = Seq(
+      (1L, v(0 -> 1.0, 1 -> 0.05)),    // cent 0's orbit
+      (2L, v(0 -> 0.8, 1 -> 0.5)),     // cent 100's orbit
+      (3L, v(32 -> 1.0, 33 -> 0.02)),  // cent 2500's orbit
+      (4L, v(32 -> 0.7, 33 -> 0.6)),   // cent 2600's orbit
+      (5L, v(0 -> 0.95, 1 -> 0.4)))    // between 0 and 100, same super
+      .toDF("id", "vec")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = cells(graft.ops.VectorOps.ivfAssign(corpus, cents))
+    val two = cells(graft.ops.VectorOps.ivfAssignTwoLevel(corpus, cents, supers))
+    assert(two == flat, s"separable two-level diverged: $two vs $flat")
+    // degenerate single super: every centroid is a member, so two-level
+    // IS flat — on any data, not just separable
+    val one = cells(graft.ops.VectorOps.ivfAssignTwoLevel(
+      corpus, cents, cents.filter(col("cid") === 0)))
+    assert(one == flat, s"single-super two-level diverged: $one vs $flat")
+  }
+
   test("mixture sampling: nested rates, default fallthrough, partition-stable") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, s"src${i % 5}")).toDF("id", "src")
