@@ -173,7 +173,10 @@ object TextQs {
           AS fail_mask
         FROM w LEFT JOIN a2 ON w.doc_id = a2.doc_id
                LEFT JOIN a3 ON w.doc_id = a3.doc_id)
-      SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM m ORDER BY doc_id"""))
+      SELECT doc_id, fail_mask, fail_mask = 0 AS keep FROM m ORDER BY doc_id"""),
+    // headline since round 9 (annex row in BASELINE.md) — corpus-shaped
+    // projection × aggregation join, the profile that regresses silently
+    headline = true)
 
   /** Language ID by marker-trigram occurrence scoring (argmax over the
     * built-in profiles, ties to the alphabetically first language).

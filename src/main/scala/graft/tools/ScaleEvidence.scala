@@ -35,7 +35,11 @@ object ScaleEvidence {
     // 10x in q83 (the %3 split rides the replicated ids); q80/q81/q82
     // are scan-shaped (profile Expand, hash filter, gate projection)
     "q80_data_profile", "q81_mixture_sample", "q82_filter_cascade",
-    "q83_incremental_dedup")
+    "q83_incremental_dedup",
+    // round 9: the composed cascade joins q82's projection with q48's
+    // two n-gram aggregations — both components' growth already
+    // measured alone, this row measures their doc-keyed join
+    "q84_cascade_repetition")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
