@@ -112,17 +112,44 @@ object VectorOps {
     * that cell's best same-super rival — IVF probe-1 semantics at the
     * centroid level; `DedupVectorSpec` pins exactness on separable
     * cells and measures agreement on the replicated corpus).
+    *
+    * `probes > 1` is the standard routing-margin knob (q42's probe-3
+    * shape lifted to the super level): each vector argmaxes over its
+    * `probes` nearest supers' members — N·(s + P·k/s) work. The probe
+    * ranking window runs over NARROW (id, pcos, super) rows (the
+    * vectors must never ride a per-id sort — the q42 deep-tier
+    * lesson), at the price of one extra keyed exchange to reattach
+    * vectors. probes = 1 keeps the exchange-free max_by routing.
     */
   def ivfAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
-      superCentroids: DataFrame): DataFrame = {
+      superCentroids: DataFrame, probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1: $probes")
     val members = broadcast(
       ivfAssign(
         centroids.select(col("cid").as("id"), col("cvec").as("vec")),
         superCentroids)
       .select(col("cell").as("__super"), col("id").as("cid"),
         col("vec").as("cvec"), col("sq_norm").as("__ncv")))
-    ivfAssign(corpus, superCentroids)
-      .select(col("id"), col("vec"), col("sq_norm"), col("cell").as("__super"))
+    val routed =
+      if (probes == 1)
+        ivfAssign(corpus, superCentroids)
+          .select(col("id"), col("vec"), col("sq_norm"), col("cell").as("__super"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val withNorm = corpus.withColumn("sq_norm", sqNormD(col("vec")))
+        val w = Window.partitionBy("id").orderBy(col("pcos").desc, col("__super"))
+        val probed = withNorm
+          .crossJoin(broadcast(superCentroids.withColumn("__ns", sqNormD(col("cvec")))))
+          .select(col("id"),
+            cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ns"), col("sq_norm"))
+              .as("pcos"),
+            col("cid").as("__super"))
+          .withColumn("prn", row_number().over(w))
+          .filter(col("prn") <= probes)
+          .select("id", "__super")
+        probed.join(withNorm, "id")
+      }
+    routed
       .join(members, "__super")
       .withColumn("ccos",
         cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ncv"), col("sq_norm")))

@@ -385,12 +385,12 @@ object VectorQs {
     * k∝N scale path: flat assignment is N·k and measured-infeasible at
     * the 100× deep tier (500k × 10k); two-level is N·(s + k/s). */
   private[graft] def semanticCellsCoarse(s: SparkSession, d: String,
-      superMod: Long = 2500L, memoSuffix: String = ""): DataFrame = {
+      superMod: Long = 2500L, memoSuffix: String = "", probes: Int = 1): DataFrame = {
     val cents = fifties(s, d, Long.MaxValue)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    graft.Memo.cached(s, d, "semdedup_cells_coarse" + memoSuffix) {
+    graft.Memo.cached(s, d, "semdedup_cells_coarse" + memoSuffix + s"_p$probes") {
       VectorOps.ivfAssignTwoLevel(corpus(s, d), cents,
-        cents.filter(col("cid") % superMod === 0))
+        cents.filter(col("cid") % superMod === 0), probes)
     }
   }
 

@@ -332,18 +332,21 @@ object ScaleEvidence {
     // N·k — only measured where that is feasible: always at 1x, at the
     // replicated dir only for factor <= 10)
     if (filter.forall(selects(_, "q78_semantic_dedup [coarse]"))) {
-      def agreement(dir: String): Double = {
+      def agreement(dir: String, probes: Int): Double = {
         val flat = graft.queries.VectorQs.semanticCells(spark, dir, memoSuffix = "_agx")
           .select(col("id"), col("cell").as("flat_cell"))
-        val coarse = graft.queries.VectorQs.semanticCellsCoarse(spark, dir, memoSuffix = "_agx")
+        val coarse = graft.queries.VectorQs.semanticCellsCoarse(spark, dir,
+            memoSuffix = "_agx", probes = probes)
           .select(col("id"), col("cell").as("coarse_cell"))
         val joined = flat.join(coarse, "id")
         joined.filter(col("flat_cell") === col("coarse_cell")).count().toDouble /
           joined.count()
       }
-      val a1 = agreement(sfDir)
-      val aX = if (factor <= 10) f"${agreement(outDir)}%.3f" else "n/a (flat infeasible)"
-      println(f"| q78 coarse-vs-flat cell agreement | $a1%.3f | $aX |")
+      Seq(1, 3).foreach { p =>
+        val a1 = agreement(sfDir, p)
+        val aX = if (factor <= 10) f"${agreement(outDir, p)}%.3f" else "n/a (flat infeasible)"
+        println(f"| q78 coarse(probe-$p)-vs-flat cell agreement | $a1%.3f | $aX |")
+      }
     }
     spark.stop()
   }

@@ -135,6 +135,14 @@ class DedupVectorSpec extends AnyFunSuite {
     val one = cells(graft.ops.VectorOps.ivfAssignTwoLevel(
       corpus, cents, cents.filter(col("cid") === 0)))
     assert(one == flat, s"single-super two-level diverged: $one vs $flat")
+    // multi-probe: probing BOTH supers covers every centroid, so the
+    // result is exactly flat on any data (and the probed path's window
+    // routing + vector reattach join must agree with the probe-1 path
+    // where probe-1 was already exact)
+    val p2 = cells(graft.ops.VectorOps.ivfAssignTwoLevel(corpus, cents, supers, probes = 2))
+    assert(p2 == flat, s"probe-2 two-level diverged: $p2 vs $flat")
+    val p1Again = cells(graft.ops.VectorOps.ivfAssignTwoLevel(corpus, cents, supers, probes = 1))
+    assert(p1Again == flat)
   }
 
   test("mixture sampling: nested rates, default fallthrough, partition-stable") {
