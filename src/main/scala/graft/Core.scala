@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** One engine query: a Spark plan builder plus (optionally) the ANSI-SQL
   * oracle the driver runs in DuckDB over the same parquet tables.
@@ -24,9 +24,10 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Session settings every entry point (Verify/Bench/tests) must share.
-    * `nanosAsLong`: the corpus' `events.ts` is parquet TIMESTAMP(NANOS),
-    * which vanilla Spark rejects; read it as epoch-nanos BIGINT and let
-    * [[events]] expose a derived µs timestamp. */
+    * `nanosAsLong`: earlier corpus generations wrote `events.ts` as parquet
+    * TIMESTAMP(NANOS), which vanilla Spark rejects; the flag reads that as
+    * epoch-nanos BIGINT (it is a no-op on the current TIMESTAMP_MICROS
+    * corpus) and [[events]] branches on whichever type arrives. */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
     b.master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,19 +44,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `ts` arrives as epoch-nanos BIGINT (see [[configure]]); expose a
-    * µs-truncated proper timestamp as `event_ts` alongside it. DuckDB
-    * mirror: its parquet reader itself TRUNCATES TIMESTAMP(NANOS) to µs
-    * TIMESTAMP at scan (verified: `CAST(ts AS TIMESTAMP)` equals
-    * `make_timestamp(epoch_ns(ts) // 1000)` on the corpus and the read
-    * type is already µs) — identical to the `ts div 1000` truncation
-    * here, so oracles may use `ts` / `CAST(ts AS TIMESTAMP)` directly. */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events").withColumn(
-      "event_ts",
-      // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
-      // would silently round the microsecond
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** The events reader is the one place that absorbs corpus `ts` encoding
+    * changes (the corpus has shipped both TIMESTAMP(NANOS) — read as
+    * epoch-nanos BIGINT under [[configure]]'s `nanosAsLong` — and
+    * TIMESTAMP_MICROS, which Spark reads as TIMESTAMP_NTZ). Branch on the
+    * type that actually arrived and expose TWO normalized derivations every
+    * downstream query consumes instead of raw `ts`:
+    *   - `event_ts`: µs-precision TimestampType (session is pinned UTC, so
+    *     the NTZ→TZ cast is a wall-clock no-op, and the nanos path's
+    *     `div 1000` truncation lands on the identical µs value);
+    *   - `ts_us`:    epoch-microseconds BIGINT, for integer-domain math
+    *     (day bucketing, PageRank's total order).
+    * DuckDB oracle mirror: `CAST(ts AS TIMESTAMP)` — DuckDB's own parquet
+    * reader truncates TIMESTAMP(NANOS) to µs at scan and reads MICROS
+    * as-is, so both encodings land on the same µs values there too. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
+        // would silently round the microsecond
+        df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts_us", expr("ts div 1000"))
+      case TimestampNTZType | TimestampType =>
+        val ets = col("ts").cast(TimestampType)
+        df.withColumn("event_ts", ets)
+          .withColumn("ts_us", unix_micros(ets))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts arrived as unsupported type $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -313,7 +313,7 @@ object EventQs {
     "q76_retention_cohorts",
     (s, d) => {
       val activity = Tables.events(s, d)
-        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("di"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("di"))
         .distinct()
       val cohorts = activity.groupBy("user_id").agg(min(col("di")).as("cd"))
       activity.join(cohorts, "user_id")

@@ -33,7 +33,7 @@ object GraphQs {
     (s, d) => {
       val ev = Tables.events(s, d).select(
         col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"),
+        col("ts_us").as("us"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
       val edges = ev

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of `events` (ts read as epoch-nanos BIGINT under
-    * the `nanosAsLong` session flag — see `Tables.configure`). */
+  /** Events schema with `ts` as epoch-nanos BIGINT — the shape the
+    * synthetic test streams write. The real corpus has shipped `ts` as
+    * both TIMESTAMP(NANOS) and TIMESTAMP_MICROS; a file stream needs an
+    * explicit schema, so [[schemaFor]] reads it off the actual files and
+    * [[withEventTs]] branches exactly like `Tables.events` does. */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,14 +30,25 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The streaming source requires a user-supplied schema; take it from a
+    * one-off batch read of the directory (one footer read — cheap) so the
+    * stream always matches the files' actual `ts` encoding. */
+  def schemaFor(spark: SparkSession, sourceDir: String): StructType =
+    spark.read.parquet(sourceDir).schema
+
   private def withEventTs(df: DataFrame): DataFrame =
-    df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("event_ts", col("ts").cast(TimestampType))
+    }
 
   /** Streaming tumbling 1-hour counts per event type with a 1-hour
     * watermark — the streaming twin of q50.
     */
   def tumblingCounts(spark: SparkSession, sourceDir: String): DataFrame =
-    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    withEventTs(spark.readStream.schema(schemaFor(spark, sourceDir)).parquet(sourceDir))
       .withWatermark("event_ts", "1 hour")
       .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -42,7 +56,7 @@ object EventStream {
 
   /** Streaming per-user session windows (10-minute gap) — q52's twin. */
   def sessionCounts(spark: SparkSession, sourceDir: String): DataFrame =
-    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    withEventTs(spark.readStream.schema(schemaFor(spark, sourceDir)).parquet(sourceDir))
       .withWatermark("event_ts", "30 minutes")
       .groupBy(session_window(col("event_ts"), "10 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -55,7 +69,7 @@ object EventStream {
     * forever). Batch twin: `DedupOps.exactDedup` on `event_id`.
     */
   def dedupedEvents(spark: SparkSession, sourceDir: String): DataFrame =
-    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    withEventTs(spark.readStream.schema(schemaFor(spark, sourceDir)).parquet(sourceDir))
       .withWatermark("event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -66,7 +80,7 @@ object EventStream {
     * watermark needed: the static side is not a stream.
     */
   def enrichedCounts(spark: SparkSession, sourceDir: String, dim: DataFrame): DataFrame =
-    withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    withEventTs(spark.readStream.schema(schemaFor(spark, sourceDir)).parquet(sourceDir))
       .join(broadcast(dim), "event_type")
       .groupBy(col("category"))
       .agg(count(lit(1)).as("n_events"))
@@ -81,7 +95,7 @@ object EventStream {
     * bounded-state argument. Inner join: unmatched rows simply expire.
     */
   def viewClickFunnel(spark: SparkSession, sourceDir: String): DataFrame = {
-    val base = withEventTs(spark.readStream.schema(EventsSchema).parquet(sourceDir))
+    val base = withEventTs(spark.readStream.schema(schemaFor(spark, sourceDir)).parquet(sourceDir))
     val views = base.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("event_ts").as("view_ts"))
@@ -108,7 +122,7 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.readStream
-      .schema(EventsSchema)
+      .schema(schemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .select(col("user_id")).as[Long]
@@ -140,7 +154,7 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val mg = new graft.ops.SketchOps.MisraGries(k)
     spark.readStream
-      .schema(EventsSchema)
+      .schema(schemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .select(col("event_type"),
@@ -182,7 +196,7 @@ object EventStream {
       s"percentiles must be in [0,100]: $percentiles")
     val qs = new graft.ops.SketchOps.QuantileSketch(k)
     spark.readStream
-      .schema(EventsSchema)
+      .schema(schemaFor(spark, sourceDir))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .select(col("event_type"), col("value"))

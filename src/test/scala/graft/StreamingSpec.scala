@@ -167,7 +167,7 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
     def run(): Unit = {
-      val q = spark.readStream.schema(EventStream.EventsSchema)
+      val q = spark.readStream.schema(EventStream.schemaFor(spark, dir.toString))
         .parquet(dir.toString)
         .select(col("event_id"))
         .writeStream
