@@ -120,6 +120,15 @@ object VectorOps {
     * vectors must never ride a per-id sort — the q42 deep-tier
     * lesson), at the price of one extra keyed exchange to reattach
     * vectors. probes = 1 keeps the exchange-free max_by routing.
+    *
+    * Every-vector-emitted guarantee: a super that wins ZERO centroids in
+    * level 1 (reachable via the public API — e.g. disjoint super/centroid
+    * sets, or duplicate centroid vectors tie-broken away) is dropped from
+    * the ROUTING set, so vectors route to their best NON-empty super and
+    * the member join can never orphan a row — without the guard an
+    * empty-super vector would silently vanish, where flat [[ivfAssign]]
+    * emits every vector. The usual supers ⊆ centroids construction makes
+    * every super self-assign, so the filter is a no-op there.
     */
   def ivfAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
       superCentroids: DataFrame, probes: Int = 1): DataFrame = {
@@ -130,16 +139,20 @@ object VectorOps {
         superCentroids)
       .select(col("cell").as("__super"), col("id").as("cid"),
         col("vec").as("cvec"), col("sq_norm").as("__ncv")))
+    // supers that won >= 1 member centroid; both relations are the small,
+    // already-broadcast side, so the semi-join is executor-local work
+    val liveSupers = superCentroids.join(
+      members.select(col("__super").as("cid")).distinct(), Seq("cid"), "left_semi")
     val routed =
       if (probes == 1)
-        ivfAssign(corpus, superCentroids)
+        ivfAssign(corpus, liveSupers)
           .select(col("id"), col("vec"), col("sq_norm"), col("cell").as("__super"))
       else {
         import org.apache.spark.sql.expressions.Window
         val withNorm = corpus.withColumn("sq_norm", sqNormD(col("vec")))
         val w = Window.partitionBy("id").orderBy(col("pcos").desc, col("__super"))
         val probed = withNorm
-          .crossJoin(broadcast(superCentroids.withColumn("__ns", sqNormD(col("cvec")))))
+          .crossJoin(broadcast(liveSupers.withColumn("__ns", sqNormD(col("cvec")))))
           .select(col("id"),
             cosineWithNorms(dotD(col("cvec"), col("vec")), col("__ns"), col("sq_norm"))
               .as("pcos"),

@@ -230,16 +230,29 @@ object StatQs {
     * completeness = n_nulls == 0) are row-local arithmetic on this
     * output; the profile is the operator.
     */
-  /** Numeric columns additionally get min/max/mean (what a Deequ user
+  /** INTEGRAL columns additionally get min/max/mean (what a Deequ user
     * actually gates on), riding the SAME agg — still one scan, one
-    * exchange. The mean is engine-portable despite being a double: both
-    * engines take an exact integer sum and perform ONE IEEE division by
-    * the row count, so the bits agree. Non-numeric columns carry typed
-    * NULLs. */
+    * exchange. The mean is engine-portable despite being a double, but
+    * only for integral inputs: both engines accumulate avg in an IEEE
+    * double, and as long as every intermediate sum is an integer with
+    * magnitude < 2^53 each addition is EXACT, hence order-independent —
+    * any partial-aggregation tree (Spark) and any scan order (DuckDB)
+    * land on the same bits before the single division by the count.
+    * That argument (and the lossless `cast('long')` on min/max) breaks
+    * for fractional numerics — double sums of fractional values are
+    * order-dependent, and BIGINT casts truncate in Spark but round in
+    * DuckDB — so FractionalType columns get typed NULLs like non-numeric
+    * ones. Precondition on the caller: integral column sums must stay
+    * under 2^53 (at 2^53 the corpus-sum of a 32-bit column needs ~2M
+    * rows per unit value — re-check before profiling 64-bit id columns
+    * over trillion-row tables). */
   private[graft] def profile(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.NumericType
-    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def isNum(c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),

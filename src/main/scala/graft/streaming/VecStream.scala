@@ -53,7 +53,10 @@ object VecStream {
     * sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
     val spark = corpus.sparkSession
-    corpus.filter(col("vec_id") % 50 === 0)
+    // null embeddings are legal stream input (dropped at assignment), so
+    // they must also be barred from becoming centroids: a null cvec would
+    // cosine to NULL against every vector and silently degrade routing
+    corpus.filter(col("vec_id") % 50 === 0 && col("embedding").isNotNull)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     VectorOps.ivfAssign(

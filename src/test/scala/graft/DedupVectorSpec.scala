@@ -145,6 +145,36 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(p1Again == flat)
   }
 
+  test("two-level IVF: a super with zero member centroids drops no vectors") {
+    import spark.implicits._
+    def v(mix: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      mix.foreach { case (i, w) => a(i) = w.toFloat }
+      a.toSeq
+    }
+    // supers are DISJOINT from the centroid set and one of them (id 11,
+    // on axis 48) is far from every centroid, so it wins zero members in
+    // level 1 — the reachable empty-super edge. Vectors nearest that
+    // super must re-route to their best live super, not vanish.
+    val cents = Seq((0L, v(0 -> 1.0)), (1L, v(32 -> 1.0))).toDF("cid", "cvec")
+    val supers = Seq(
+      (10L, v(0 -> 0.9, 32 -> 0.1)), (11L, v(48 -> 1.0))).toDF("cid", "cvec")
+    val corpus = Seq(
+      (1L, v(0 -> 1.0)),               // plainly centroid 0's
+      (2L, v(32 -> 1.0)),              // plainly centroid 1's
+      (3L, v(48 -> 1.0, 0 -> 0.01)))   // routes to EMPTY super 11 unguarded
+      .toDF("id", "vec")
+    Seq(1, 2).foreach { p =>
+      val out = graft.ops.VectorOps.ivfAssignTwoLevel(corpus, cents, supers, probes = p)
+        .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet == Set(1L, 2L, 3L),
+        s"probes=$p: empty super dropped rows — got ${out.keySet}")
+      assert(out(1L) == 0L && out(2L) == 1L, s"probes=$p: routing broke: $out")
+      assert(out(3L) == 0L, // its best member under the only live super
+        s"probes=$p: empty-super vector landed at ${out(3L)}")
+    }
+  }
+
   test("mixture sampling: nested rates, default fallthrough, partition-stable") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, s"src${i % 5}")).toDF("id", "src")
