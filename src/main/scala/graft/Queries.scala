@@ -16,6 +16,7 @@ object Queries {
       VectorQs.defs ++
       EventQs.defs ++
       GraphQs.defs ++
+      MultimodalQs.defs ++
       UdfQs.defs ++
       StatQs.defs
 

@@ -432,5 +432,48 @@ object VectorQs {
     // join-heavy, exactly the profile that regresses silently
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78)
+  /** Oracle-graded two-level coarse quantizer (the k∝N scale path that
+    * routes q78's 100× deep tier) in its probe-ALL configuration: each
+    * vector ranks every super (the probed-routing window + vector
+    * reattach join) and argmaxes over every super's member centroids.
+    * Level 1 partitions the centroid set across supers — every centroid
+    * lands in exactly one member list — so probing all supers unions the
+    * member lists back into exactly the centroid set and the result
+    * equals FLAT assignment by construction, at any scale, with the same
+    * (ccos, lowest-cid) tie-break. That identity is what lets a DuckDB
+    * flat-assignment mirror grade the two-level plan hash-exact while the
+    * graded path still exercises the real machinery: level-1 member
+    * assignment, the routing window over narrow (id, pcos, super) rows,
+    * the reattach join, the broadcast member join, and the final argmax.
+    * (`DedupVectorSpec` separately pins probe-1 exactness on separable
+    * supers and the empty-super fallback; this entry puts the operator
+    * under the driver's hash gate.)
+    *
+    * The super count is read off the tiny centroid relation (a
+    * driver-side scalar over ≤k rows — the same bounded-action posture as
+    * q68's histogram locate); `max 1` guards the degenerate no-super
+    * corpus, where probes=1 routing over zero supers is vacuous anyway.
+    */
+  val q85 = Q(
+    "q85_twolevel_assign",
+    (s, d) => {
+      val cents = fifties(s, d, Long.MaxValue)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val supers = cents.filter(col("cid") % 2500 === 0)
+      val nSupers = supers.count().toInt
+      VectorOps.ivfAssignTwoLevel(corpus(s, d), cents, supers,
+          probes = nSupers max 1)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0)
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, cent.cid AS cell,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.embedding", "cent.cvec")} DESC, cent.cid) AS crn
+        FROM embeddings e CROSS JOIN cent) t
+      WHERE crn = 1 ORDER BY vec_id"""))
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85)
 }
