@@ -70,6 +70,20 @@ object VectorQs {
     * vector), nearest-cell assignment, probe the 3 closest cells per
     * query, exact re-rank of the candidates, top-5.
     */
+  /** Probe count for the IVF searches (q42/q66) — the standard
+    * recall/cost lever: candidates (and search time) grow linearly with
+    * it, recall approaches the exhaustive bound as it nears the cell
+    * count. Default 3 = the graded/benched plan; raise per-session for
+    * recall-critical searches (measured at the 100× fixed-k tier:
+    * probes=5 lifts recall@5 beyond the probe-3 ceiling at ~5/3 the
+    * candidate volume — SURVEY §2.0.2). Same opt-in-knob posture as
+    * q43's `spark.graft.srp.bandBits`. */
+  private def probeCount(s: SparkSession): Int = {
+    val p = s.conf.getOption("spark.graft.ivf.probes").map(_.toInt).getOrElse(3)
+    require(p > 0, s"spark.graft.ivf.probes must be > 0: $p")
+    p
+  }
+
   private[graft] def ivfQuery(s: SparkSession, d: String,
       idCap: Long = Long.MaxValue): DataFrame = {
       val cents = fifties(s, d, idCap)
@@ -81,7 +95,7 @@ object VectorQs {
         .crossJoin(broadcast(cents))
         .withColumn("pcos", VectorOps.cosine(col("qvec"), col("cvec")))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 3)
+        .filter(col("prn") <= probeCount(s))
         .select("qid", "qvec", "q_norm", "cid")
       val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
       // probes is 3 rows per query — broadcast it against the corpus-sized
@@ -307,11 +321,12 @@ object VectorQs {
         VectorOps.pqEncode(corpus(s, d), codebook, M, SubDim)
       }
       val wProbe = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+      val nProbes = probeCount(s)
       val probes = queries(s, d)
         .crossJoin(broadcast(cents))
         .withColumn("pcos", VectorOps.cosine(col("qvec"), col("cvec")))
         .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 3)
+        .filter(col("prn") <= nProbes)
         .select("qid", "cid")
       val qtab = VectorOps.pqQueryTable(queries(s, d), codebook, M, SubDim)
       val cand = assigned
@@ -326,11 +341,27 @@ object VectorQs {
         .agg(Det.dsum(col("pdot")).as("adc"), Det.dsum(col("ncb")).as("recon"))
       // approximate cosine = dot(q, x̂) / (|q| |x̂|): |q| is constant per
       // query (rank-neutral) and |x̂|² sums exactly from the codebook
+      //
+      // Re-rank depth scales with the PROBED CANDIDATE POOL, not a fixed
+      // 100: at fixed k the pool is probes·N/k, and a constant shortlist
+      // shrinks to a sliver of it under densification — measured recall@5
+      // 0.48 → 0.28 from 10× to 100× (SURVEY §2.0.2) because the 8-byte
+      // ADC ranking cannot separate the near-tied code classes replication
+      // creates, so the true top-5 fell outside a fixed top-100. Half the
+      // expected pool keeps the ADC stage a real 2× prune while covering
+      // the tie classes; both counts are driver-side scalars over
+      // Memo-persisted relations (assigned) / the tiny centroid set, the
+      // q68 bounded-action posture. At the graded (sf0.01: 150-row pool)
+      // and benched (sf0.1: 150-row pool) scales the floor of 100 is the
+      // binding term, so this changes nothing there by construction.
+      val nCorpus = assigned.count()
+      val kCents = math.max(cents.count(), 1L)
+      val shortlistK = math.max(100L, (nProbes.toLong * nCorpus) / (2L * kCents)).toInt
       val wShort = Window.partitionBy("qid").orderBy(
         (col("adc") / sqrt(col("recon"))).desc, col("id"))
       val shortlist = adc
         .withColumn("srn", row_number().over(wShort))
-        .filter(col("srn") <= 100)
+        .filter(col("srn") <= shortlistK)
         .select("qid", "id")
       val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
       shortlist

@@ -271,6 +271,11 @@ object ScaleEvidence {
     val spark = Tables.configure(SparkSession.builder().appName("scale-evidence"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // opt-in knobs for variant measurements (e.g. the multi-probe recall
+    // evidence in SURVEY §2.0.2): forwarded into the session so the
+    // graded query builders pick them up
+    sys.env.get("SPARK_GRAFT_IVF_PROBES")
+      .foreach(p => spark.conf.set("spark.graft.ivf.probes", p))
 
     // generate only the tables the selected queries read — the 100×
     // deep tier replicates documents alone without paying for a 100×
