@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.ops.{DedupOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{DedupOps, Fs, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -33,27 +33,92 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the index relation takes the same `capBuckets` straggler guard the
   * batch paths apply — here they are plain parquet dirs at test scale.
   *
-  * Layout: `indexDir/bands`, `indexDir/shingles` (seeded by
-  * [[seedIndex]] into the `batch_id=-1` partition); admissions written
-  * to `outDir/admissions` as (doc_id, status) under `batch_id=N`
+  * BUCKETED LAYOUT — the index is the relation that grows without
+  * bound, and an unbucketed layout makes every micro-batch SCAN the
+  * whole of it just to classify a trickle. Both index relations are
+  * therefore hash-bucketed into a fixed number of partition directories
+  * (bands on `pmod(band_hash, nb)`, shingles on
+  * `pmod(xxhash64(doc_id), nb)`), and each batch reads ONLY the bucket
+  * directories its own probe keys land in: the band lookup prunes to
+  * the batch's band-hash buckets, the shingle verify prunes to the
+  * candidate docs' id buckets. Both bucket sets are bounded driver-side
+  * scalars (≤ nb distinct ints each, the q68-style bounded-collect
+  * posture), and the pruning happens at FILE LISTING time via partition
+  * pruning on the `bucket=` directory level — per-batch I/O tracks the
+  * batch's bucket contents, not the index's total size. The win is
+  * largest exactly where streaming admission lives (small batches
+  * against a huge resident corpus: a 1-doc batch touches ≤16 of `nb`
+  * band buckets); a batch big enough to touch every bucket degrades
+  * gracefully to the full scan its join needs anyway. The bucket COUNT
+  * is a layout property, not a query knob: it is fixed at seed time
+  * (conf `spark.graft.stream.indexBuckets`, default 64), persisted in
+  * `indexDir/_buckets`, and read back on every admit — changing the
+  * conf mid-stream cannot desynchronize writers and readers. At 100 TB
+  * the same layout is a Delta/Iceberg table partitioned (or bucketed)
+  * on the same keys, and nb scales with corpus size the way any
+  * bucketed table's does.
+  *
+  * Layout: `indexDir/bands`, `indexDir/shingles` — partition dirs
+  * `bucket=B/batch_id=N` (seeded by [[seedIndex]] into `batch_id=-1`);
+  * `indexDir/_buckets` holds nb. Admissions are written to
+  * `outDir/admissions` as (doc_id, status) under `batch_id=N`
   * partitions.
   */
 object DocStream {
+
+  /** Conf key for the index bucket count — consulted ONCE, at seed
+    * time; thereafter the value persisted in `indexDir/_buckets` is
+    * authoritative for that index. */
+  val BucketsConfKey = "spark.graft.stream.indexBuckets"
+  private val DefaultBuckets = 64
+
+  private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
+  private def docBucket(nb: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(nb.toLong)).cast("int")
+
+  /** The bucket count this index was seeded with. */
+  private[graft] def numBuckets(spark: SparkSession, indexDir: String): Int =
+    Fs.readBytes(s"$indexDir/_buckets", spark.sparkContext.hadoopConfiguration)
+      .map(b => new String(b, "UTF-8").trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexDir/_buckets missing — index not seeded by DocStream.seedIndex"))
 
   /** Seed the resident index from an existing corpus (doc_id, text).
     * Seed rows land in the `batch_id=-1` partition so every streamed
     * batch (batchId >= 0) sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
+    val spark = corpus.sparkSession
+    val nb = spark.conf.getOption(BucketsConfKey).map(_.toInt)
+      .getOrElse(DefaultBuckets)
+    require(nb > 0, s"$BucketsConfKey must be > 0: $nb")
+    Fs.writeAtomic(s"$indexDir/_buckets", nb.toString.getBytes("UTF-8"),
+      spark.sparkContext.hadoopConfiguration)
     val sh = corpus
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    sh.withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").mode("overwrite")
+    sh.withColumn("bucket", docBucket(nb))
+      .withColumn("batch_id", lit(-1L))
+      .write.partitionBy("bucket", "batch_id").mode("overwrite")
       .parquet(s"$indexDir/shingles")
     DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
+      .withColumn("bucket", bandBucket(nb))
       .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").mode("overwrite")
+      .write.partitionBy("bucket", "batch_id").mode("overwrite")
       .parquet(s"$indexDir/bands")
+  }
+
+  /** Pre-batch index rows from ONLY the named bucket directories —
+    * `bucket isin(...)` and `batch_id < batchId` are both partition-dir
+    * filters, so pruning happens at file listing, before a byte of
+    * parquet is opened. Package-visible so the spec can pin the
+    * files-actually-read count. */
+  private[graft] def residentSlice(spark: SparkSession, dir: String,
+      batchId: Long, buckets: Seq[Int]): DataFrame = {
+    val hit = if (buckets.isEmpty) lit(false)
+              else col("bucket").isin(buckets: _*)
+    spark.read.parquet(dir)
+      .filter(hit && col("batch_id") < batchId)
+      .drop("bucket", "batch_id")
   }
 
   /** Start the admission stream over parquet files of (doc_id, text).
@@ -76,19 +141,31 @@ object DocStream {
   /** One admission transaction: classify the micro-batch against the
     * resident index, write the verdicts, write the admitted docs'
     * bands+shingles — every write an idempotent overwrite of this
-    * batch's own `batch_id` partition, so foreachBatch replaying the
-    * same batchId (at-least-once delivery) converges to the same state.
-    * Package-visible so specs can drive it directly. */
+    * batch's own partitions, so foreachBatch replaying the same batchId
+    * (at-least-once delivery) converges to the same state. The batch's
+    * band/candidate bucket sets are deterministic functions of its
+    * data, so a replay selects — and dynamically overwrites — exactly
+    * the partitions of the first attempt. Package-visible so specs can
+    * drive it directly. */
   private[graft] def admitBatch(docs: DataFrame, indexDir: String,
       outDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
+    val nb = numBuckets(spark, indexDir)
     val sh = docs
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
     val bands = DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
       .persist()
+    var candsCorpus: DataFrame = null
     try {
+      // which index buckets can this batch's band lookups possibly hit?
+      // A bounded driver-side scalar (≤ nb ints) off the persisted batch
+      // bands — the price of turning the index read from O(index) into
+      // O(batch's buckets).
+      val streamBuckets = bands.select(bandBucket(nb).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+
       // the index is the relation that grows without bound as admissions
       // accumulate — the same oversized-bucket straggler guard the batch
       // paths apply (inert below the cap, bounds per-trigger pair
@@ -97,11 +174,27 @@ object DocStream {
       // first attempt of THIS batch left behind — replay classifies
       // against exactly the pre-batch index.
       val idxBands = DedupOps.capBuckets(
-        spark.read.parquet(s"$indexDir/bands")
-          .filter(col("batch_id") < batchId).drop("batch_id"),
+        residentSlice(spark, s"$indexDir/bands", batchId, streamBuckets),
         Seq("band_idx", "band_hash"), 1000)
-      val idxSh = spark.read.parquet(s"$indexDir/shingles")
-        .filter(col("batch_id") < batchId).drop("batch_id")
+
+      val streamSide = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+      candsCorpus = streamSide
+        .join(idxBands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash")),
+          Seq("band_idx", "band_hash"))
+        .select("doc_a", "doc_b").distinct()
+        .persist()
+      val candsBatch = bands
+        .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+        .join(streamSide, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+
+      // shingle verify reads only the candidate docs' id buckets —
+      // second bounded collect, off the persisted candidate relation
+      val candBuckets = candsCorpus
+        .select(pmod(xxhash64(col("doc_a")), lit(nb.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val idxSh = residentSlice(spark, s"$indexDir/shingles", batchId, candBuckets)
 
       // integer-exact J >= 4/5 with array_intersect appearing ONCE (the
       // division form expands the intersect into both numerator and
@@ -113,17 +206,6 @@ object DocStream {
           .filter(lit(9L) * size(array_intersect(col("sh_a"), col("sh_b"))) >=
             lit(4L) * (size(col("sh_a")) + size(col("sh_b"))))
           .select(col("doc_b").as("doc_id")).distinct()
-
-      val streamSide = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-      val candsCorpus = streamSide
-        .join(idxBands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash")),
-          Seq("band_idx", "band_hash"))
-        .select("doc_a", "doc_b").distinct()
-      val candsBatch = bands
-        .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-        .join(streamSide, Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
 
       val dupCorpus = verify(candsCorpus, idxSh).withColumn("__dc", lit(true))
       val dupBatch = verify(candsBatch, sh).withColumn("__db", lit(true))
@@ -147,18 +229,21 @@ object DocStream {
         .filter(col("batch_id") === batchId && col("status") === "new")
         .select("doc_id")
       sh.join(admitted, "doc_id")
+        .withColumn("bucket", docBucket(nb))
         .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id").mode("overwrite")
+        .write.partitionBy("bucket", "batch_id").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexDir/shingles")
       bands.join(admitted, "doc_id")
+        .withColumn("bucket", bandBucket(nb))
         .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id").mode("overwrite")
+        .write.partitionBy("bucket", "batch_id").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexDir/bands")
     } finally {
       sh.unpersist()
       bands.unpersist()
+      if (candsCorpus != null) candsCorpus.unpersist()
     }
   }
 }

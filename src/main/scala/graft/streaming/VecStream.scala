@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.ops.{DedupOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{DedupOps, Fs, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -23,6 +23,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * become table-format transactions and the per-cell cap below bounds
   * the join work when a cell goes hot.
   *
+  * Same BUCKETED LAYOUT as [[DocStream]], keyed on the cell id: the
+  * resident vector index grows without bound, but a batch can only
+  * collide within the cells its own vectors are assigned to — so index
+  * rows live under `bucket=pmod(cell, nb)/batch_id=N` partition dirs
+  * and each admit reads only the bucket dirs of its assigned cells
+  * (bounded driver-side scalar, ≤ nb ints). Per-batch I/O tracks the
+  * probed cells' contents, not total index size. nb is a LAYOUT
+  * property fixed at seed time (conf `spark.graft.stream.indexBuckets`,
+  * default 64, persisted in `indexDir/_buckets`), like the frozen
+  * centroid set itself.
+  *
   * Centroids are FROZEN at seed time (written once by [[seedIndex]],
   * read per batch): cell identity must be stable across the stream's
   * lifetime or yesterday's admissions would sit in cells today's
@@ -31,9 +42,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * SemDeDup's published fixed-clustering pass.
   *
   * Layout: `indexDir/centroids` (cid, cvec), `indexDir/vectors`
-  * (id, vec, sq_norm, cell) partitioned by batch_id (seed rows at
-  * `batch_id=-1`); admissions to `outDir/admissions` as
-  * (vec_id, status) under `batch_id=N` partitions.
+  * (id, vec, sq_norm, cell) under `bucket=B/batch_id=N` partitions
+  * (seed rows at `batch_id=-1`); `indexDir/_buckets` holds nb;
+  * admissions to `outDir/admissions` as (vec_id, status) under
+  * `batch_id=N` partitions.
   */
 object VecStream {
 
@@ -47,12 +59,28 @@ object VecStream {
     * guard. */
   private val MaxCell = 1000
 
+  private val DefaultBuckets = 64
+
+  private def cellBucket(nb: Int): Column = pmod(col("cell"), lit(nb))
+
+  /** The bucket count this index was seeded with. */
+  private[graft] def numBuckets(spark: SparkSession, indexDir: String): Int =
+    Fs.readBytes(s"$indexDir/_buckets", spark.sparkContext.hadoopConfiguration)
+      .map(b => new String(b, "UTF-8").trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexDir/_buckets missing — index not seeded by VecStream.seedIndex"))
+
   /** Seed the centroid set (q78's every-50th policy over the seed
     * corpus) and the resident index. Seed rows land in the
     * `batch_id=-1` partition so every streamed batch (batchId >= 0)
     * sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
     val spark = corpus.sparkSession
+    val nb = spark.conf.getOption(DocStream.BucketsConfKey).map(_.toInt)
+      .getOrElse(DefaultBuckets)
+    require(nb > 0, s"${DocStream.BucketsConfKey} must be > 0: $nb")
+    Fs.writeAtomic(s"$indexDir/_buckets", nb.toString.getBytes("UTF-8"),
+      spark.sparkContext.hadoopConfiguration)
     // null embeddings are legal stream input (dropped at assignment), so
     // they must also be barred from becoming centroids: a null cvec would
     // cosine to NULL against every vector and silently degrade routing
@@ -63,8 +91,9 @@ object VecStream {
         corpus.filter(col("embedding").isNotNull)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         spark.read.parquet(s"$indexDir/centroids"))
+      .withColumn("bucket", cellBucket(nb))
       .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("batch_id").mode("overwrite")
+      .write.partitionBy("bucket", "batch_id").mode("overwrite")
       .parquet(s"$indexDir/vectors")
   }
 
@@ -97,15 +126,20 @@ object VecStream {
   private[graft] def admitBatch(vecs: DataFrame, indexDir: String,
       outDir: String, batchId: Long): Unit = {
     val spark = vecs.sparkSession
+    val nb = numBuckets(spark, indexDir)
     val assigned = VectorOps.ivfAssign(
         vecs.filter(col("embedding").isNotNull)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         spark.read.parquet(s"$indexDir/centroids"))
       .persist()
     try {
+      // the batch can only collide inside its own assigned cells — read
+      // only those cells' bucket dirs (bounded driver-side scalar off
+      // the persisted assignment, ≤ nb ints; DocStream's posture)
+      val batchBuckets = assigned.select(cellBucket(nb).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
       val idx = DedupOps.capBuckets(
-        spark.read.parquet(s"$indexDir/vectors")
-          .filter(col("batch_id") < batchId).drop("batch_id"),
+        DocStream.residentSlice(spark, s"$indexDir/vectors", batchId, batchBuckets),
         Seq("cell"), MaxCell)
 
       def sideA(df: DataFrame): DataFrame = df.select(col("cell"),
@@ -145,8 +179,9 @@ object VecStream {
         .filter(col("batch_id") === batchId && col("status") === "new")
         .select(col("vec_id").as("id"))
       assigned.join(admitted, "id")
+        .withColumn("bucket", cellBucket(nb))
         .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("batch_id").mode("overwrite")
+        .write.partitionBy("bucket", "batch_id").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexDir/vectors")
     } finally {
