@@ -262,32 +262,39 @@ object DedupQs {
     * (standard df-capped Jaccard: hyper-frequent shingles carry no
     * dedup signal), never fabricate a pair.
     */
+  /** q38's body with the df cap as a parameter — the graded query runs
+    * it at [[MaxDf]]; `tools.DfCapSensitivity` sweeps the cap over a
+    * constructed high-df corpus to document the pairs-lost-vs-cost
+    * curve (SURVEY §2.0.2). `Long.MaxValue` = uncapped exact. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String,
+      maxDf: Long): DataFrame = {
+    val postings = shingled(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val rare = postings.groupBy("sh")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val capped = postings.join(rare, Seq("sh"), "left_semi")
+    def inv(side: String): DataFrame =
+      capped.select(col("doc_id").as(s"doc_$side"), col("sh"))
+    val inter = inv("a").join(inv("b"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = shingled(s, d).select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val q38 = Q(
     "q38_ngram_jaccard",
-    (s, d) => {
-      val postings = shingled(s, d)
-        .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      val rare = postings.groupBy("sh")
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= MaxDf)
-        .drop("__df")
-      val capped = postings.join(rare, Seq("sh"), "left_semi")
-      def inv(side: String): DataFrame =
-        capped.select(col("doc_id").as(s"doc_$side"), col("sh"))
-      val inter = inv("a").join(inv("b"), "sh")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_inter"))
-      val sizes = shingled(s, d).select(col("doc_id"), size(col("shingles")).as("n_sh"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => ngramJaccardPairs(s, d, MaxDf),
     Some(jaccardOracleSql(0.5)),
     // headline since round 9 (annex row in BASELINE.md): the most
     // expensive measured corpus query and the one deliberately

@@ -423,4 +423,42 @@ class DedupVectorSpec extends AnyFunSuite {
     info(s"semantic dedup: ${dropped.size} of ${rows.length} dropped")
     assert(got == expected)
   }
+
+  test("q38 df-cap loses ONLY boilerplate-margin pairs, never rare-shingle signal") {
+    // miniature of tools/DfCapSensitivity (the full curve is in SURVEY
+    // §2.0.2): one boilerplate template stamped on 120 docs; a STRONG
+    // pair whose overlap is rare shingles, and a MARGIN pair that only
+    // clears J >= 0.5 when the template's shingles are counted
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def words(n: Int): Seq[String] = Seq.fill(n)(s"w${rnd.nextInt(20000)}")
+    val template = (0 until 14).map(i => s"bp$i")
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    (1L to 120L).foreach(i => docs += i -> (words(60) ++ template).mkString(" "))
+    val strongBase = words(60)
+    docs += 1001L -> strongBase.mkString(" ")
+    docs += 1002L -> strongBase.updated(10, "mutA").updated(30, "mutB").mkString(" ")
+    val shared = words(30)
+    docs += 2001L -> (shared ++ words(14) ++ template).mkString(" ")
+    docs += 2002L -> (shared ++ words(14) ++ template).mkString(" ")
+
+    val dir = java.nio.file.Files.createTempDirectory("dfcap-spec").toString
+    docs.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def pairs(cap: Long): Set[(Long, Long)] =
+      DedupQs.ngramJaccardPairs(spark, dir, cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // template df = 122 > 100: the graded cap drops the margin pair but
+    // must keep the strong pair; cap >= df recovers the margin pair
+    val capped = pairs(100L)
+    assert(capped.contains((1001L, 1002L)), "df-cap lost a rare-shingle pair")
+    assert(!capped.contains((2001L, 2002L)),
+      "boilerplate-margin pair survived a cap below the template df")
+    val uncapped = pairs(Long.MaxValue)
+    assert(uncapped.contains((1001L, 1002L)) && uncapped.contains((2001L, 2002L)))
+  }
 }
