@@ -58,68 +58,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * on the same keys, and nb scales with corpus size the way any
   * bucketed table's does.
   *
-  * Layout: `indexDir/bands`, `indexDir/shingles` — partition dirs
-  * `bucket=B/batch_id=N` (seeded by [[seedIndex]] into `batch_id=-1`);
-  * `indexDir/_buckets` holds nb. Admissions are written to
-  * `outDir/admissions` as (doc_id, status) under `batch_id=N`
-  * partitions.
+  * Layout (see [[IndexLayout]]): `indexDir/{bands,shingles}/gen=G/
+  * bucket=B/batch_id=N` (seeded by [[seedIndex]] into `batch_id=-1` of
+  * generation 0); `indexDir/_buckets` holds nb, `indexDir/_gen` the
+  * live generation. [[compactIndex]] folds the accumulated batch
+  * partitions into one file per bucket under the next generation and
+  * atomically swaps the pointer — the maintenance job that keeps
+  * per-bucket file counts from growing with trigger count. Admissions
+  * are written to `outDir/admissions` as (doc_id, status) under
+  * `batch_id=N` partitions.
   */
 object DocStream {
 
-  /** Conf key for the index bucket count — consulted ONCE, at seed
-    * time; thereafter the value persisted in `indexDir/_buckets` is
-    * authoritative for that index. */
-  val BucketsConfKey = "spark.graft.stream.indexBuckets"
-  private val DefaultBuckets = 64
+  /** Conf key for the index bucket count (see [[IndexLayout]]). */
+  val BucketsConfKey: String = IndexLayout.BucketsConfKey
 
   private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
   private def docBucket(nb: Int): Column =
     pmod(xxhash64(col("doc_id")), lit(nb.toLong)).cast("int")
-
-  /** The bucket count this index was seeded with. */
-  private[graft] def numBuckets(spark: SparkSession, indexDir: String): Int =
-    Fs.readBytes(s"$indexDir/_buckets", spark.sparkContext.hadoopConfiguration)
-      .map(b => new String(b, "UTF-8").trim.toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"$indexDir/_buckets missing — index not seeded by DocStream.seedIndex"))
 
   /** Seed the resident index from an existing corpus (doc_id, text).
     * Seed rows land in the `batch_id=-1` partition so every streamed
     * batch (batchId >= 0) sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
     val spark = corpus.sparkSession
-    val nb = spark.conf.getOption(BucketsConfKey).map(_.toInt)
-      .getOrElse(DefaultBuckets)
-    require(nb > 0, s"$BucketsConfKey must be > 0: $nb")
-    Fs.writeAtomic(s"$indexDir/_buckets", nb.toString.getBytes("UTF-8"),
-      spark.sparkContext.hadoopConfiguration)
+    // re-seed is a full rebuild: clear any prior generations first
+    Seq("bands", "shingles").foreach(rel =>
+      Fs.delete(s"$indexDir/$rel", spark.sparkContext.hadoopConfiguration))
+    val nb = IndexLayout.initMeta(spark, indexDir)
     val sh = corpus
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    sh.withColumn("bucket", docBucket(nb))
-      .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("bucket", "batch_id").mode("overwrite")
-      .parquet(s"$indexDir/shingles")
-    DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
-      .withColumn("bucket", bandBucket(nb))
-      .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("bucket", "batch_id").mode("overwrite")
-      .parquet(s"$indexDir/bands")
+    IndexLayout.writeSlice(
+      sh.withColumn("bucket", docBucket(nb)).withColumn("batch_id", lit(-1L)),
+      indexDir, "shingles", dynamic = false)
+    IndexLayout.writeSlice(
+      DedupOps.minhashBands(sh, "doc_id", numPerm = 64, bands = 16)
+        .withColumn("bucket", bandBucket(nb)).withColumn("batch_id", lit(-1L)),
+      indexDir, "bands", dynamic = false)
   }
 
-  /** Pre-batch index rows from ONLY the named bucket directories —
-    * `bucket isin(...)` and `batch_id < batchId` are both partition-dir
-    * filters, so pruning happens at file listing, before a byte of
-    * parquet is opened. Package-visible so the spec can pin the
-    * files-actually-read count. */
-  private[graft] def residentSlice(spark: SparkSession, dir: String,
-      batchId: Long, buckets: Seq[Int]): DataFrame = {
-    val hit = if (buckets.isEmpty) lit(false)
-              else col("bucket").isin(buckets: _*)
-    spark.read.parquet(dir)
-      .filter(hit && col("batch_id") < batchId)
-      .drop("bucket", "batch_id")
-  }
+  /** Fold the accumulated per-batch partitions into one file per bucket
+    * (see [[IndexLayout.compact]] for the contract: only between
+    * successful stream invocations). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexLayout.compact(spark, indexDir, Seq("bands", "shingles"))
 
   /** Start the admission stream over parquet files of (doc_id, text).
     * AvailableNow + checkpoint: run-to-completion per invocation,
@@ -150,7 +133,7 @@ object DocStream {
   private[graft] def admitBatch(docs: DataFrame, indexDir: String,
       outDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
-    val nb = numBuckets(spark, indexDir)
+    val nb = IndexLayout.numBuckets(spark, indexDir)
     val sh = docs
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -174,7 +157,7 @@ object DocStream {
       // first attempt of THIS batch left behind — replay classifies
       // against exactly the pre-batch index.
       val idxBands = DedupOps.capBuckets(
-        residentSlice(spark, s"$indexDir/bands", batchId, streamBuckets),
+        IndexLayout.residentSlice(spark, indexDir, "bands", batchId, streamBuckets),
         Seq("band_idx", "band_hash"), 1000)
 
       val streamSide = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
@@ -194,7 +177,7 @@ object DocStream {
       val candBuckets = candsCorpus
         .select(pmod(xxhash64(col("doc_a")), lit(nb.toLong)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val idxSh = residentSlice(spark, s"$indexDir/shingles", batchId, candBuckets)
+      val idxSh = IndexLayout.residentSlice(spark, indexDir, "shingles", batchId, candBuckets)
 
       // integer-exact J >= 4/5 with array_intersect appearing ONCE (the
       // division form expands the intersect into both numerator and
@@ -228,18 +211,16 @@ object DocStream {
       val admitted = spark.read.parquet(s"$outDir/admissions")
         .filter(col("batch_id") === batchId && col("status") === "new")
         .select("doc_id")
-      sh.join(admitted, "doc_id")
-        .withColumn("bucket", docBucket(nb))
-        .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("bucket", "batch_id").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$indexDir/shingles")
-      bands.join(admitted, "doc_id")
-        .withColumn("bucket", bandBucket(nb))
-        .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("bucket", "batch_id").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$indexDir/bands")
+      IndexLayout.writeSlice(
+        sh.join(admitted, "doc_id")
+          .withColumn("bucket", docBucket(nb))
+          .withColumn("batch_id", lit(batchId)),
+        indexDir, "shingles", dynamic = true)
+      IndexLayout.writeSlice(
+        bands.join(admitted, "doc_id")
+          .withColumn("bucket", bandBucket(nb))
+          .withColumn("batch_id", lit(batchId)),
+        indexDir, "bands", dynamic = true)
     } finally {
       sh.unpersist()
       bands.unpersist()

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.ops.Fs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** On-disk layout shared by the resident streaming indexes ([[DocStream]]
+  * bands+shingles, [[VecStream]] vectors): hash-bucketed partition dirs
+  * under a GENERATION root with an atomic-pointer swap — a minimal form
+  * of the metadata transaction a table format (Delta/Iceberg) provides,
+  * which is exactly what these dirs become at 100 TB.
+  *
+  * {{{
+  * indexDir/_buckets                              bucket count nb (seed-time)
+  * indexDir/_gen                                  live generation G (absent = 0)
+  * indexDir/<rel>/gen=G/bucket=B/batch_id=N/  (parquet data files)
+  * }}}
+  *
+  * Readers resolve `_gen` per query and list only the live generation;
+  * [[compact]] writes generation G+1 COMPLETELY, swaps the pointer with
+  * an atomic rename ([[Fs.writeAtomic]]), and only then deletes old
+  * generations — a crash at any point leaves either the old or the new
+  * generation fully live, never a mix (a half-written G+1 is simply
+  * unreachable and truncated by the next compaction's overwrite).
+  */
+private[graft] object IndexLayout {
+
+  /** Conf key for the index bucket count — consulted ONCE, at seed
+    * time; thereafter the value persisted in `indexDir/_buckets` is
+    * authoritative for that index. */
+  val BucketsConfKey = "spark.graft.stream.indexBuckets"
+  val DefaultBuckets = 64
+
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Seed-time metadata: fix nb from the conf (layout property, not a
+    * query knob) and reset the generation pointer. Returns nb. */
+  def initMeta(spark: SparkSession, indexDir: String): Int = {
+    val nb = spark.conf.getOption(BucketsConfKey).map(_.toInt)
+      .getOrElse(DefaultBuckets)
+    require(nb > 0, s"$BucketsConfKey must be > 0: $nb")
+    Fs.writeAtomic(s"$indexDir/_buckets", nb.toString.getBytes("UTF-8"), hconf(spark))
+    Fs.writeAtomic(s"$indexDir/_gen", "0".getBytes("UTF-8"), hconf(spark))
+    nb
+  }
+
+  /** The bucket count this index was seeded with. */
+  def numBuckets(spark: SparkSession, indexDir: String): Int =
+    Fs.readBytes(s"$indexDir/_buckets", hconf(spark))
+      .map(b => new String(b, "UTF-8").trim.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexDir/_buckets missing — index not seeded"))
+
+  /** Live generation (absent marker = 0). */
+  def gen(spark: SparkSession, indexDir: String): Long =
+    Fs.readBytes(s"$indexDir/_gen", hconf(spark))
+      .map(b => new String(b, "UTF-8").trim.toLong).getOrElse(0L)
+
+  /** Root of `rel`'s live generation. */
+  def dataDir(spark: SparkSession, indexDir: String, rel: String): String =
+    s"$indexDir/$rel/gen=${gen(spark, indexDir)}"
+
+  /** Write rows (carrying `bucket` and `batch_id` columns) into `rel`'s
+    * live generation. `dynamic = true` overwrites exactly the partitions
+    * present in the data (the per-batch idempotent form); `false`
+    * truncates the whole generation first (the seed form). */
+  def writeSlice(rows: DataFrame, indexDir: String, rel: String,
+      dynamic: Boolean): Unit = {
+    val spark = rows.sparkSession
+    val w = rows.write.partitionBy("bucket", "batch_id").mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .parquet(dataDir(spark, indexDir, rel))
+  }
+
+  /** Pre-batch index rows from ONLY the named bucket directories of the
+    * live generation — `bucket isin(...)` and `batch_id < batchId` are
+    * both partition-dir filters, so pruning happens at file listing,
+    * before a byte of parquet is opened. */
+  def residentSlice(spark: SparkSession, indexDir: String, rel: String,
+      batchId: Long, buckets: Seq[Int]): DataFrame = {
+    val hit = if (buckets.isEmpty) lit(false)
+              else col("bucket").isin(buckets: _*)
+    spark.read.parquet(dataDir(spark, indexDir, rel))
+      .filter(hit && col("batch_id") < batchId)
+      .drop("bucket", "batch_id")
+  }
+
+  /** Fold every batch partition of `rels` into ONE file per bucket dir
+    * of generation G+1, then atomically swap the `_gen` pointer and GC
+    * the old generations. Fixes the small-files growth the per-batch
+    * layout accrues (a bucket gains one `batch_id=N` dir per admitting
+    * batch; a year of triggers = thousands of tiny files per bucket).
+    *
+    * SINGLE-WRITER contract: run only between SUCCESSFUL stream
+    * invocations (`Trigger.AvailableNow` run-to-completion — every
+    * delivered batch is committed and will never be re-delivered).
+    * Compacting while a batch is in flight — or after a crashed
+    * invocation whose last batch will replay — would fold that batch's
+    * half-written rows into `batch_id=-1`, where the replay's
+    * `batch_id < batchId` read could see them. This is the same
+    * maintenance-window discipline as a table format's OPTIMIZE job.
+    *
+    * Compacted rows land in `batch_id=-1`, which every future batch
+    * reads; the bucket assignment is untouched, so reader pruning is
+    * unchanged. */
+  def compact(spark: SparkSession, indexDir: String, rels: Seq[String]): Unit = {
+    val g = gen(spark, indexDir)
+    rels.foreach { rel =>
+      spark.read.parquet(s"$indexDir/$rel/gen=$g")
+        .withColumn("batch_id", lit(-1L))
+        // every row of a bucket into one task → one file per bucket dir
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket", "batch_id").mode("overwrite")
+        .parquet(s"$indexDir/$rel/gen=${g + 1}")
+    }
+    Fs.writeAtomic(s"$indexDir/_gen", (g + 1).toString.getBytes("UTF-8"),
+      hconf(spark))
+    // old generations are unreachable after the swap — best-effort GC
+    rels.foreach { rel =>
+      Fs.list(s"$indexDir/$rel", hconf(spark))
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("gen=") && n.stripPrefix("gen=").toLong <= g
+        }
+        .foreach(st => Fs.delete(st.getPath.toString, hconf(spark)))
+    }
+  }
+}

@@ -41,10 +41,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (re-seed + replay), not a streaming concern — the same posture as
   * SemDeDup's published fixed-clustering pass.
   *
-  * Layout: `indexDir/centroids` (cid, cvec), `indexDir/vectors`
-  * (id, vec, sq_norm, cell) under `bucket=B/batch_id=N` partitions
-  * (seed rows at `batch_id=-1`); `indexDir/_buckets` holds nb;
-  * admissions to `outDir/admissions` as (vec_id, status) under
+  * Layout (see [[IndexLayout]]): `indexDir/centroids` (cid, cvec),
+  * `indexDir/vectors/gen=G/bucket=B/batch_id=N` with (id, vec, sq_norm,
+  * cell) rows (seed rows at `batch_id=-1` of generation 0);
+  * `indexDir/_buckets` holds nb, `indexDir/_gen` the live generation;
+  * [[compactIndex]] is the same maintenance job as DocStream's.
+  * Admissions go to `outDir/admissions` as (vec_id, status) under
   * `batch_id=N` partitions.
   */
 object VecStream {
@@ -59,16 +61,7 @@ object VecStream {
     * guard. */
   private val MaxCell = 1000
 
-  private val DefaultBuckets = 64
-
   private def cellBucket(nb: Int): Column = pmod(col("cell"), lit(nb))
-
-  /** The bucket count this index was seeded with. */
-  private[graft] def numBuckets(spark: SparkSession, indexDir: String): Int =
-    Fs.readBytes(s"$indexDir/_buckets", spark.sparkContext.hadoopConfiguration)
-      .map(b => new String(b, "UTF-8").trim.toInt)
-      .getOrElse(throw new IllegalStateException(
-        s"$indexDir/_buckets missing — index not seeded by VecStream.seedIndex"))
 
   /** Seed the centroid set (q78's every-50th policy over the seed
     * corpus) and the resident index. Seed rows land in the
@@ -76,26 +69,30 @@ object VecStream {
     * sees them through the `< batchId` read. */
   def seedIndex(corpus: DataFrame, indexDir: String): Unit = {
     val spark = corpus.sparkSession
-    val nb = spark.conf.getOption(DocStream.BucketsConfKey).map(_.toInt)
-      .getOrElse(DefaultBuckets)
-    require(nb > 0, s"${DocStream.BucketsConfKey} must be > 0: $nb")
-    Fs.writeAtomic(s"$indexDir/_buckets", nb.toString.getBytes("UTF-8"),
-      spark.sparkContext.hadoopConfiguration)
+    // re-seed is a full rebuild: clear any prior generations first
+    Fs.delete(s"$indexDir/vectors", spark.sparkContext.hadoopConfiguration)
+    val nb = IndexLayout.initMeta(spark, indexDir)
     // null embeddings are legal stream input (dropped at assignment), so
     // they must also be barred from becoming centroids: a null cvec would
     // cosine to NULL against every vector and silently degrade routing
     corpus.filter(col("vec_id") % 50 === 0 && col("embedding").isNotNull)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    VectorOps.ivfAssign(
-        corpus.filter(col("embedding").isNotNull)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        spark.read.parquet(s"$indexDir/centroids"))
-      .withColumn("bucket", cellBucket(nb))
-      .withColumn("batch_id", lit(-1L))
-      .write.partitionBy("bucket", "batch_id").mode("overwrite")
-      .parquet(s"$indexDir/vectors")
+    IndexLayout.writeSlice(
+      VectorOps.ivfAssign(
+          corpus.filter(col("embedding").isNotNull)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          spark.read.parquet(s"$indexDir/centroids"))
+        .withColumn("bucket", cellBucket(nb))
+        .withColumn("batch_id", lit(-1L)),
+      indexDir, "vectors", dynamic = false)
   }
+
+  /** Fold the accumulated per-batch partitions into one file per bucket
+    * (see [[IndexLayout.compact]] for the contract: only between
+    * successful stream invocations). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    IndexLayout.compact(spark, indexDir, Seq("vectors"))
 
   /** Start the admission stream over parquet files of
     * (vec_id, embedding). AvailableNow + checkpoint: run-to-completion
@@ -126,7 +123,7 @@ object VecStream {
   private[graft] def admitBatch(vecs: DataFrame, indexDir: String,
       outDir: String, batchId: Long): Unit = {
     val spark = vecs.sparkSession
-    val nb = numBuckets(spark, indexDir)
+    val nb = IndexLayout.numBuckets(spark, indexDir)
     val assigned = VectorOps.ivfAssign(
         vecs.filter(col("embedding").isNotNull)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -139,7 +136,7 @@ object VecStream {
       val batchBuckets = assigned.select(cellBucket(nb).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val idx = DedupOps.capBuckets(
-        DocStream.residentSlice(spark, s"$indexDir/vectors", batchId, batchBuckets),
+        IndexLayout.residentSlice(spark, indexDir, "vectors", batchId, batchBuckets),
         Seq("cell"), MaxCell)
 
       def sideA(df: DataFrame): DataFrame = df.select(col("cell"),
@@ -178,12 +175,11 @@ object VecStream {
       val admitted = spark.read.parquet(s"$outDir/admissions")
         .filter(col("batch_id") === batchId && col("status") === "new")
         .select(col("vec_id").as("id"))
-      assigned.join(admitted, "id")
-        .withColumn("bucket", cellBucket(nb))
-        .withColumn("batch_id", lit(batchId))
-        .write.partitionBy("bucket", "batch_id").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$indexDir/vectors")
+      IndexLayout.writeSlice(
+        assigned.join(admitted, "id")
+          .withColumn("bucket", cellBucket(nb))
+          .withColumn("batch_id", lit(batchId)),
+        indexDir, "vectors", dynamic = true)
     } finally {
       assigned.unpersist()
     }

@@ -81,23 +81,23 @@ class BucketedIndexSpec extends AnyFunSuite {
       assert(total >= 8, s"seed produced only $total band files")
       // a bucket that exists on disk (8 buckets, 480 band rows: all do)
       val b = 3
-      val one = diskFiles(s"$indexDir/bands/bucket=$b")
+      val one = diskFiles(s"$indexDir/bands/gen=0/bucket=$b")
       assert(one > 0 && one < total)
 
-      val slice = DocStream.residentSlice(spark, s"$indexDir/bands", 0L, Seq(b))
+      val slice = graft.streaming.IndexLayout.residentSlice(spark, indexDir, "bands", 0L, Seq(b))
       val rows = slice.collect()
       assert(rows.nonEmpty, "bucket slice read no rows")
       assert(filesRead(slice) == one,
         s"scan read ${filesRead(slice)} files, bucket=$b holds $one")
 
       // two buckets → exactly the union of the two dirs
-      val two = DocStream.residentSlice(spark, s"$indexDir/bands", 0L, Seq(1, 3))
+      val two = graft.streaming.IndexLayout.residentSlice(spark, indexDir, "bands", 0L, Seq(1, 3))
       two.collect()
-      val expect = diskFiles(s"$indexDir/bands/bucket=1") + one
+      val expect = diskFiles(s"$indexDir/bands/gen=0/bucket=1") + one
       assert(filesRead(two) == expect)
 
       // empty bucket list → nothing listed, nothing read
-      val none = DocStream.residentSlice(spark, s"$indexDir/bands", 0L, Seq.empty)
+      val none = graft.streaming.IndexLayout.residentSlice(spark, indexDir, "bands", 0L, Seq.empty)
       assert(none.count() == 0)
     }
   }
@@ -115,9 +115,9 @@ class BucketedIndexSpec extends AnyFunSuite {
 
       val total = diskFiles(s"$indexDir/vectors")
       // centroids are ids {0,50,100,150} → cells bucket to {0,2,4,6}
-      val one = diskFiles(s"$indexDir/vectors/bucket=2")
+      val one = diskFiles(s"$indexDir/vectors/gen=0/bucket=2")
       assert(one > 0 && one < total)
-      val slice = DocStream.residentSlice(spark, s"$indexDir/vectors", 0L, Seq(2))
+      val slice = graft.streaming.IndexLayout.residentSlice(spark, indexDir, "vectors", 0L, Seq(2))
       assert(slice.collect().nonEmpty)
       assert(filesRead(slice) == one,
         s"scan read ${filesRead(slice)} files, bucket=2 holds $one")
