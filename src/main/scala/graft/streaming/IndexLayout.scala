@@ -64,11 +64,15 @@ private[graft] object IndexLayout {
   /** Write rows (carrying `bucket` and `batch_id` columns) into `rel`'s
     * live generation. `dynamic = true` overwrites exactly the partitions
     * present in the data (the per-batch idempotent form); `false`
-    * truncates the whole generation first (the seed form). */
+    * truncates the whole generation first (the seed/bulk form) and
+    * clusters by bucket so the load lands as ONE file per bucket dir —
+    * the same layout [[compact]] maintains, instead of
+    * tasks × buckets small files. */
   def writeSlice(rows: DataFrame, indexDir: String, rel: String,
       dynamic: Boolean): Unit = {
     val spark = rows.sparkSession
-    val w = rows.write.partitionBy("bucket", "batch_id").mode("overwrite")
+    val data = if (dynamic) rows else rows.repartition(col("bucket"))
+    val w = data.write.partitionBy("bucket", "batch_id").mode("overwrite")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .parquet(dataDir(spark, indexDir, rel))
   }
