@@ -74,8 +74,8 @@ object DocStream {
   val BucketsConfKey: String = IndexLayout.BucketsConfKey
 
   private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
-  private def docBucket(nb: Int): Column =
-    pmod(xxhash64(col("doc_id")), lit(nb.toLong)).cast("int")
+  private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
+    pmod(xxhash64(id), lit(nb.toLong)).cast("int")
 
   /** Seed the resident index from an existing corpus (doc_id, text).
     * Seed rows land in the `batch_id=-1` partition so every streamed
@@ -175,7 +175,7 @@ object DocStream {
       // shingle verify reads only the candidate docs' id buckets —
       // second bounded collect, off the persisted candidate relation
       val candBuckets = candsCorpus
-        .select(pmod(xxhash64(col("doc_a")), lit(nb.toLong)).cast("int").as("b"))
+        .select(docBucket(nb, col("doc_a")).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val idxSh = IndexLayout.residentSlice(spark, indexDir, "shingles", batchId, candBuckets)
 

@@ -72,22 +72,45 @@ private[graft] object IndexLayout {
       dynamic: Boolean): Unit = {
     val spark = rows.sparkSession
     val data = if (dynamic) rows else rows.repartition(col("bucket"))
-    val w = data.write.partitionBy("bucket", "batch_id").mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+    data.write.partitionBy("bucket", "batch_id").mode("overwrite")
+      // explicit either way: the batch form must replace only its own
+      // partitions, the seed form must truncate — neither may inherit a
+      // session-level partitionOverwriteMode
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .parquet(dataDir(spark, indexDir, rel))
   }
 
   /** Pre-batch index rows from ONLY the named bucket directories of the
-    * live generation — `bucket isin(...)` and `batch_id < batchId` are
-    * both partition-dir filters, so pruning happens at file listing,
-    * before a byte of parquet is opened. */
+    * live generation. The read is rooted at the selected `bucket=B`
+    * dirs themselves (one SHALLOW listing of the generation root picks
+    * the survivors — O(nb) directory entries, not O(files)), so neither
+    * the file LISTING nor the scan ever touches another bucket's tree;
+    * `batch_id < batchId` then prunes batch dirs inside them. A
+    * filter-only form (`bucket isin ...` over the root) would scan the
+    * right files but still eagerly list the whole index — O(total
+    * files) driver work per trigger, which is the cost this layout
+    * exists to avoid. */
   def residentSlice(spark: SparkSession, indexDir: String, rel: String,
       batchId: Long, buckets: Seq[Int]): DataFrame = {
-    val hit = if (buckets.isEmpty) lit(false)
-              else col("bucket").isin(buckets: _*)
-    spark.read.parquet(dataDir(spark, indexDir, rel))
-      .filter(hit && col("batch_id") < batchId)
-      .drop("bucket", "batch_id")
+    val root = dataDir(spark, indexDir, rel)
+    val present = Fs.list(root, hconf(spark))
+      .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+    val dirs = buckets.distinct.map(b => s"bucket=$b")
+      .filter(present).map(n => s"$root/$n")
+    if (dirs.nonEmpty)
+      spark.read.option("basePath", root).parquet(dirs: _*)
+        .filter(col("batch_id") < batchId)
+        .drop("bucket", "batch_id")
+    else if (present.nonEmpty)
+      // no overlap (or an empty batch): schema from one bucket dir,
+      // rows from none
+      spark.read.option("basePath", root)
+        .parquet(s"$root/${present.head}")
+        .filter(lit(false)).drop("bucket", "batch_id")
+    else
+      // a completely empty index (seeded from an empty corpus)
+      spark.read.parquet(root).filter(lit(false))
+        .drop("bucket", "batch_id")
   }
 
   /** Fold every batch partition of `rels` into ONE file per bucket dir
@@ -116,6 +139,10 @@ private[graft] object IndexLayout {
         // every row of a bucket into one task → one file per bucket dir
         .repartition(col("bucket"))
         .write.partitionBy("bucket", "batch_id").mode("overwrite")
+        // explicit STATIC overwrite: the truncate-first semantics the
+        // crash-recovery story relies on must not depend on a session
+        // default of spark.sql.sources.partitionOverwriteMode=dynamic
+        .option("partitionOverwriteMode", "static")
         .parquet(s"$indexDir/$rel/gen=${g + 1}")
     }
     Fs.writeAtomic(s"$indexDir/_gen", (g + 1).toString.getBytes("UTF-8"),

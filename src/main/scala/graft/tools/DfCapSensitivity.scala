@@ -126,7 +126,7 @@ object DfCapSensitivity {
       s"${margin.values.map(_.size).sum} margin")
 
     val caps = Seq(50L, 100L, 150L, 500L, 1500L, Long.MaxValue)
-    println("| cap | pairs found | strong found | margin df100 | margin df400 | margin df1200 | candidate join rows |")
+    println("| cap | pairs found | strong found | margin df100 | margin df400 | margin df1185 | candidate join rows |")
     println("|---|---|---|---|---|---|---|")
     caps.foreach { cap =>
       val t0 = System.nanoTime()
@@ -137,9 +137,10 @@ object DfCapSensitivity {
       def found(ps: Seq[(Long, Long)]): Int =
         ps.count(p => pairs.contains(p) || pairs.contains(p.swap))
       val capLabel = if (cap == Long.MaxValue) "uncapped" else cap.toString
+      Console.err.println(f"[dfcap] cap=$capLabel $secs%.1fs")
       println(f"| $capLabel | ${pairs.size} | ${found(strong)}/${strong.size} " +
         f"| ${found(margin(1))}/10 | ${found(margin(2))}/10 | ${found(margin(3))}/10 " +
-        f"| ${joinRows(spark, outDir, cap)}%,d | " + f"($secs%.1fs)")
+        f"| ${joinRows(spark, outDir, cap)}%,d |")
     }
     spark.stop()
   }

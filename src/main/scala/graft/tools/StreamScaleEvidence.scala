@@ -26,13 +26,15 @@ object StreamScaleEvidence {
 
   private def probeDocs(spark: SparkSession, sfDir: String, idBase: Long) = {
     import spark.implicits._
-    // 5 exact copies of corpus docs (classify dup_corpus, no index
-    // growth) + 5 fresh synthetic docs under fresh ids
+    // 5 exact copies of corpus docs + 5 CONSTANT synthetic texts under
+    // fresh ids — the first (warm) batch admits the synthetics, every
+    // later probe classifies all 10 dup_corpus, so probes measure a
+    // steady-state index they do not grow
     val corpus = Tables.documents(spark, sfDir)
       .orderBy("doc_id").limit(5)
       .select(col("doc_id"), col("text")).collect()
       .zipWithIndex.map { case (r, i) => (idBase + i, r.getString(1)) }
-    val rnd = new scala.util.Random(idBase)
+    val rnd = new scala.util.Random(4321)
     val fresh = (0 until 5).map(i =>
       (idBase + 100 + i, Seq.fill(40)(s"f${rnd.nextInt(50000)}").mkString(" ")))
     (corpus.toSeq ++ fresh).toDF("doc_id", "text")
