@@ -104,6 +104,14 @@ object DocStream {
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
     IndexLayout.compact(spark, indexDir, Seq("bands", "shingles"))
 
+  /** [[compactIndex]] behind its pressure trigger: fold only when some
+    * bucket has accrued more than `maxDirsPerBucket` batch partitions.
+    * Returns whether a compaction ran. */
+  def maybeCompactIndex(spark: SparkSession, indexDir: String,
+      maxDirsPerBucket: Int = 32): Boolean =
+    IndexLayout.maybeCompact(spark, indexDir, Seq("bands", "shingles"),
+      maxDirsPerBucket)
+
   /** Start the admission stream over parquet files of (doc_id, text).
     * AvailableNow + checkpoint: run-to-completion per invocation,
     * resume-exactly-once across invocations. */

@@ -157,4 +157,24 @@ private[graft] object IndexLayout {
         .foreach(st => Fs.delete(st.getPath.toString, hconf(spark)))
     }
   }
+
+  /** The operational trigger for [[compact]]: fold only when some bucket
+    * of some rel has accrued more than `maxDirsPerBucket` batch
+    * partitions (the small-files pressure signal — read amplification
+    * grows with dirs-per-bucket, not index size). Shallow listings only;
+    * same single-writer contract as [[compact]]. Returns whether a
+    * compaction ran. */
+  def maybeCompact(spark: SparkSession, indexDir: String, rels: Seq[String],
+      maxDirsPerBucket: Int = 32): Boolean = {
+    val g = gen(spark, indexDir)
+    val pressured = rels.exists { rel =>
+      Fs.list(s"$indexDir/$rel/gen=$g", hconf(spark)).exists { b =>
+        b.getPath.getName.startsWith("bucket=") &&
+          Fs.list(b.getPath.toString, hconf(spark))
+            .count(_.getPath.getName.startsWith("batch_id=")) > maxDirsPerBucket
+      }
+    }
+    if (pressured) compact(spark, indexDir, rels)
+    pressured
+  }
 }

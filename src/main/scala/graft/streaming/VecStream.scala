@@ -94,6 +94,12 @@ object VecStream {
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
     IndexLayout.compact(spark, indexDir, Seq("vectors"))
 
+  /** [[compactIndex]] behind its pressure trigger (see
+    * [[IndexLayout.maybeCompact]]). Returns whether a compaction ran. */
+  def maybeCompactIndex(spark: SparkSession, indexDir: String,
+      maxDirsPerBucket: Int = 32): Boolean =
+    IndexLayout.maybeCompact(spark, indexDir, Seq("vectors"), maxDirsPerBucket)
+
   /** Start the admission stream over parquet files of
     * (vec_id, embedding). AvailableNow + checkpoint: run-to-completion
     * per invocation, resume-exactly-once across invocations. */

@@ -131,6 +131,32 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("maybeCompactIndex fires only past the dirs-per-bucket pressure threshold") {
+    import spark.implicits._
+    withBuckets(4) { // small nb: every batch lands in every bucket fast
+      val root = java.nio.file.Files.createTempDirectory("compact-trigger")
+      val (indexDir, outDir) = (s"$root/index", s"$root/out")
+      val rnd = new scala.util.Random(31)
+      DocStream.seedIndex(
+        (1L to 10L).map(i => (i, text(rnd))).toDF("doc_id", "text"), indexDir)
+      def admit(id: Long, batchId: Long): Unit =
+        DocStream.admitBatch(Seq((id, text(rnd))).toDF("doc_id", "text"),
+          indexDir, outDir, batchId)
+      // after 2 admits a bucket holds at most 3 batch dirs (-1, 0, 1):
+      // not past a threshold of 3
+      admit(101L, 0L); admit(102L, 1L)
+      assert(!DocStream.maybeCompactIndex(spark, indexDir, maxDirsPerBucket = 3))
+      assert(IndexLayout.gen(spark, indexDir) == 0L)
+      // a third admit pushes some bucket to 4 dirs -> trigger fires once
+      admit(103L, 2L)
+      assert(DocStream.maybeCompactIndex(spark, indexDir, maxDirsPerBucket = 3))
+      assert(IndexLayout.gen(spark, indexDir) == 1L)
+      // freshly compacted: single batch_id=-1 dir per bucket, quiet again
+      assert(!DocStream.maybeCompactIndex(spark, indexDir, maxDirsPerBucket = 3))
+      assert(IndexLayout.gen(spark, indexDir) == 1L)
+    }
+  }
+
   test("streamed invocations resume correctly across a compaction") {
     // the maintenance-window contract end to end: AvailableNow run ->
     // compact between invocations -> second run on the SAME checkpoint
