@@ -39,7 +39,14 @@ object ScaleEvidence {
     // round 9: the composed cascade joins q82's projection with q48's
     // two n-gram aggregations — both components' growth already
     // measured alone, this row measures their doc-keyed join
-    "q84_cascade_repetition")
+    "q84_cascade_repetition",
+    // round 11: the last headline dedup query without a measured tier.
+    // Its 8×8-bit banding has only 256 hash values per band level, so
+    // bucket occupancy grows ∝ corpus and `capBuckets(1000)` starts
+    // truncating around ~256k docs — the 10× point (50k) is still well
+    // inside the regime; past it the production knob is wider bands
+    // (the q43 SRP posture), not a bigger cap
+    "q37_simhash")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
