@@ -46,7 +46,11 @@ object ScaleEvidence {
     // truncating around ~256k docs — the 10× point (50k) is still well
     // inside the regime; past it the production knob is wider bands
     // (the q43 SRP posture), not a bigger cap
-    "q37_simhash")
+    "q37_simhash",
+    // round 11: the remaining documents-family headliners — term
+    // frequency (vocabulary AND corpus 10× under the word salt) and the
+    // stratified sample (langs unsalted: same strata, 10× rows each)
+    "q30_term_frequency", "q47_balanced_sample")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -59,21 +63,40 @@ object ScaleEvidence {
     "q76_retention_cohorts",
     // 10x the events at 10x the users: both the HLL sketch pass (fixed
     // 4 KiB partials) and the exact-distinct verify grow linearly
-    "q79_hll_distinct")
+    "q79_hll_distinct",
+    // round 11: session windows — 10x the users at the same per-user
+    // session structure (ts verbatim under the id shift)
+    "q52_session_window")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
     * reads just `l_extendedprice`, so the replication is a pure 10x of
     * the value distribution (same histogram shape, 10x the population in
     * every bucket — the linear-growth claim under test). */
-  private val LineitemQueryNames = Seq("q68_global_quantiles")
+  private val LineitemQueryNames = Seq("q68_global_quantiles",
+    // round 11: the relational headliners whose only table is lineitem —
+    // the copy shift touches l_orderkey alone. q01's flag/status groups
+    // and q16's pushed filters see 10x the rows; q17's per-partkey dedup
+    // windows DEEPEN 10x (partkeys unshifted) — exactly the
+    // WindowGroupLimit partial-pruning claim under test
+    "q01_pricing_summary", "q16_filter_scan", "q17_dedup_window")
 
   /** Orders-table queries (q77's sketch-pruned quantiles) against a 10x
     * orders replication (o_orderkey/o_custkey shift, values verbatim —
     * q77 reads only o_totalprice, so 10x the population at the same
     * distribution: the sketch partials and the per-percentile bands stay
     * fixed-size, only the scans grow). */
-  private val OrdersQueryNames = Seq("q77_kll_quantiles")
+  private val OrdersQueryNames = Seq("q77_kll_quantiles",
+    // round 11: orders-only relational headliners (o_custkey shifts with
+    // the copy, so q02's month buckets and q13's per-customer windows
+    // replicate at 10x customers with unchanged per-customer depth)
+    "q02_monthly_rollup", "q13_window_frames")
+
+  /** Queries joining orders TO lineitem — both shifts move the shared
+    * orderkey by the same k*CopyShift, so copy k's orders join exactly
+    * copy k's lineitems: 10x the join on both sides, zero cross-copy
+    * matches. */
+  private val JoinQueryNames = Seq("q04_priority_revenue")
 
   /** Embeddings-based rows, against the signed-permutation replication
     * ([[generateEmbeddings]]). q41 (probes are the FIXED `vec_id < 5`
@@ -298,14 +321,17 @@ object ScaleEvidence {
       names.exists(n => filter.forall(selects(_, n)))
     if (wants(QueryNames)) generate(spark, sfDir, outDir, factor)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
-    if (wants(LineitemQueryNames)) generateLineitem(spark, sfDir, outDir, factor)
-    if (wants(OrdersQueryNames)) generateOrders(spark, sfDir, outDir, factor)
+    if (wants(LineitemQueryNames ++ JoinQueryNames))
+      generateLineitem(spark, sfDir, outDir, factor)
+    if (wants(OrdersQueryNames ++ JoinQueryNames))
+      generateOrders(spark, sfDir, outDir, factor)
     if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = if (wants(QueryNames)) Tables.documents(spark, outDir).count() else -1L
 
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames)
+      (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames ++
+        JoinQueryNames)
         .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants
     val selected = work.filter { case (n, _) => filter.forall(selects(_, n)) }
     val rows = selected.map { case (name, fn) =>
