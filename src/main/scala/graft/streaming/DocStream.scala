@@ -77,6 +77,16 @@ object DocStream {
   private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
     pmod(xxhash64(id), lit(nb.toLong)).cast("int")
 
+  /** Row shapes of the two index relations — the cold-start contract
+    * [[IndexLayout.residentSlice]] falls back to when the index holds no
+    * files yet (seeded from an empty corpus). */
+  private val BandsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band_idx INT, band_hash INT")
+  private val ShinglesSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, shingles ARRAY<BIGINT>")
+
   /** Seed the resident index from an existing corpus (doc_id, text).
     * Seed rows land in the `batch_id=-1` partition so every streamed
     * batch (batchId >= 0) sees them through the `< batchId` read. */
@@ -165,7 +175,8 @@ object DocStream {
       // first attempt of THIS batch left behind — replay classifies
       // against exactly the pre-batch index.
       val idxBands = DedupOps.capBuckets(
-        IndexLayout.residentSlice(spark, indexDir, "bands", batchId, streamBuckets),
+        IndexLayout.residentSlice(spark, indexDir, "bands", batchId,
+          streamBuckets, BandsSchema),
         Seq("band_idx", "band_hash"), 1000)
 
       val streamSide = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
@@ -185,7 +196,8 @@ object DocStream {
       val candBuckets = candsCorpus
         .select(docBucket(nb, col("doc_a")).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val idxSh = IndexLayout.residentSlice(spark, indexDir, "shingles", batchId, candBuckets)
+      val idxSh = IndexLayout.residentSlice(spark, indexDir, "shingles",
+        batchId, candBuckets, ShinglesSchema)
 
       // integer-exact J >= 4/5 with array_intersect appearing ONCE (the
       // division form expands the intersect into both numerator and

@@ -91,7 +91,8 @@ private[graft] object IndexLayout {
     * files) driver work per trigger, which is the cost this layout
     * exists to avoid. */
   def residentSlice(spark: SparkSession, indexDir: String, rel: String,
-      batchId: Long, buckets: Seq[Int]): DataFrame = {
+      batchId: Long, buckets: Seq[Int],
+      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     val root = dataDir(spark, indexDir, rel)
     val present = Fs.list(root, hconf(spark))
       .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
@@ -107,10 +108,15 @@ private[graft] object IndexLayout {
       spark.read.option("basePath", root)
         .parquet(s"$root/${present.head}")
         .filter(lit(false)).drop("bucket", "batch_id")
-    else
-      // a completely empty index (seeded from an empty corpus)
-      spark.read.parquet(root).filter(lit(false))
-        .drop("bucket", "batch_id")
+    else {
+      // a completely empty index (seeded from an empty corpus — a
+      // legitimate cold start): there are no files to infer a schema
+      // from, so the caller's declared row shape is the contract
+      require(schema != null,
+        s"empty index at $root and no fallback schema declared")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Fold every batch partition of `rels` into ONE file per bucket dir

@@ -63,6 +63,13 @@ object VecStream {
 
   private def cellBucket(nb: Int): Column = pmod(col("cell"), lit(nb))
 
+  /** Row shape of the vector index — [[IndexLayout.residentSlice]]'s
+    * cold-start fallback contract (vec element type matches the stream's
+    * `ARRAY<FLOAT>` embeddings). */
+  private val VectorsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, vec ARRAY<FLOAT>, sq_norm DOUBLE, cell BIGINT")
+
   /** Seed the centroid set (q78's every-50th policy over the seed
     * corpus) and the resident index. Seed rows land in the
     * `batch_id=-1` partition so every streamed batch (batchId >= 0)
@@ -75,9 +82,16 @@ object VecStream {
     // null embeddings are legal stream input (dropped at assignment), so
     // they must also be barred from becoming centroids: a null cvec would
     // cosine to NULL against every vector and silently degrade routing
-    corpus.filter(col("vec_id") % 50 === 0 && col("embedding").isNotNull)
+    val cents = corpus
+      .filter(col("vec_id") % 50 === 0 && col("embedding").isNotNull)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // unlike DocStream, this stream CANNOT cold-start empty: the frozen
+    // centroids ARE the cell geometry every later batch routes through
+    require(!cents.isEmpty,
+      "VecStream.seedIndex needs a corpus yielding >= 1 centroid " +
+        "(vec_id % 50 == 0 with a non-null embedding) — an empty seed " +
+        "has no cell geometry to admit against")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     IndexLayout.writeSlice(
       VectorOps.ivfAssign(
           corpus.filter(col("embedding").isNotNull)
@@ -142,7 +156,8 @@ object VecStream {
       val batchBuckets = assigned.select(cellBucket(nb).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val idx = DedupOps.capBuckets(
-        IndexLayout.residentSlice(spark, indexDir, "vectors", batchId, batchBuckets),
+        IndexLayout.residentSlice(spark, indexDir, "vectors", batchId,
+          batchBuckets, VectorsSchema),
         Seq("cell"), MaxCell)
 
       def sideA(df: DataFrame): DataFrame = df.select(col("cell"),

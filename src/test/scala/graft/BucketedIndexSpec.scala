@@ -124,6 +124,37 @@ class BucketedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a stream cold-starts from an EMPTY seed corpus and dedups as it grows") {
+    import spark.implicits._
+    withBuckets(8) {
+      val root = java.nio.file.Files.createTempDirectory("bucketed-cold")
+      val (indexDir, outDir) = (s"$root/index", s"$root/out")
+      DocStream.seedIndex(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), indexDir)
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 0 against the EMPTY index: everything is new
+      DocStream.admitBatch(
+        Seq((1L, textA)).toDF("doc_id", "text"), indexDir, outDir, 0L)
+      // batch 1: the admitted doc is now resident
+      DocStream.admitBatch(
+        Seq((2L, textA)).toDF("doc_id", "text"), indexDir, outDir, 1L)
+      val got = spark.read.parquet(s"$outDir/admissions")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(got == Map(1L -> "new", 2L -> "dup_corpus"), s"got $got")
+    }
+  }
+
+  test("VecStream refuses an empty seed — frozen centroids are the cell geometry") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec-cold")
+    val ex = intercept[IllegalArgumentException] {
+      VecStream.seedIndex(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+        s"$root/index")
+    }
+    assert(ex.getMessage.contains("centroid"))
+  }
+
   // ---- end-to-end flat cost: probe batches against a growing index ------
 
   test("probe batches read a CONSTANT file set while the index grows elsewhere") {
