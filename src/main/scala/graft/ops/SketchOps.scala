@@ -234,4 +234,80 @@ object SketchOps {
       h ^ (h >>> 31)
     }
   }
+
+  /** KMV (bottom-k / k-minimum-values) distinct sketch with
+    * SET-EXPRESSION estimation — the capability [[HyperLogLog]] lacks:
+    * two KMV sketches estimate their INTERSECTION and union, not just a
+    * merged union count, which is what audience-overlap /
+    * cross-source-contamination analyses need.
+    *
+    * The sketch is the k smallest DISTINCT 63-bit hashes of the input
+    * set. That makes its content a pure function of the SET — the k
+    * smallest values are the same under every reduce/merge tree and
+    * input order (deterministic like the HLL registers, stronger than
+    * KLL's tree-shaped summaries), and a sketch of a set with fewer than
+    * k distinct values is the set's complete hash image, so every
+    * estimate below saturation is EXACT. Space: ≤ k longs per task
+    * partial, merge is a sorted-merge trim.
+    */
+  class KMinValues(k: Int) extends Aggregator[String, Seq[Long], Seq[Long]] {
+    require(k >= 2, s"need k >= 2, got $k")
+
+    def zero: Seq[Long] = Vector.empty
+
+    def reduce(b: Seq[Long], s: String): Seq[Long] =
+      if (s == null) b // count_distinct null semantics: ignore
+      else KMinValues.insert(b, HyperLogLog.hash64(s) >>> 1, k)
+
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)((acc, h) => KMinValues.insert(acc, h, k))
+
+    /** The sorted bottom-k hash set itself — estimation happens on the
+      * combined sketches ([[KMinValues.overlap]]), not per group. */
+    def finish(b: Seq[Long]): Seq[Long] = b
+
+    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  object KMinValues {
+    /** Hashes are uniform on [0, 2^63). */
+    private val HashSpan = java.lang.Math.scalb(1.0, 63)
+
+    /** Keep `b` the sorted k smallest distinct values ∪ {h}. */
+    private[graft] def insert(b: Seq[Long], h: Long, k: Int): Seq[Long] = {
+      if (b.length == k && h >= b.last) b
+      else {
+        val i = b.search(h)(Ordering.Long) match {
+          case scala.collection.Searching.Found(_) => return b // distinct
+          case scala.collection.Searching.InsertionPoint(p) => p
+        }
+        val grown = (b.take(i) :+ h) ++ b.drop(i)
+        if (grown.length > k) grown.dropRight(1) else grown
+      }
+    }
+
+    /** Distinct-count estimate: exact below saturation, else the
+      * classic (k-1)/v_k estimator on the normalized kth minimum. */
+    def estimate(sk: Seq[Long], k: Int): Double =
+      if (sk.length < k) sk.length.toDouble
+      else (k - 1).toDouble * HashSpan / sk.last.toDouble
+
+    /** (intersection, union) estimates for two sketches: the combined
+      * bottom-k is a uniform sample of the union, so the fraction of it
+      * present in BOTH sketches estimates the Jaccard, and scaling by
+      * the union estimate gives the intersection. Exact when both
+      * sketches are below saturation. */
+    def overlap(a: Seq[Long], b: Seq[Long], k: Int): (Double, Double) = {
+      val x = (a ++ b).distinct.sorted.take(k)
+      if (x.isEmpty) return (0.0, 0.0)
+      val unionEst =
+        if (x.length < k) x.length.toDouble
+        else (k - 1).toDouble * HashSpan / x.last.toDouble
+      val aSet = a.toSet
+      val bSet = b.toSet
+      val inBoth = x.count(h => aSet(h) && bSet(h))
+      (unionEst * inBoth / x.length, unionEst)
+    }
+  }
 }

@@ -130,4 +130,47 @@ class SketchSpec extends AnyFunSuite {
     val dup = hllEstimate((0 until 50).flatMap(_ => small), 7)
     assert(dup == est, "duplicates changed the estimate")
   }
+
+  private def kmvSketch(values: Seq[String], k: Int, parts: Int): Seq[Long] = {
+    import spark.implicits._
+    val kmv = udaf(new SketchOps.KMinValues(k))
+    values.toDF("v").repartition(parts)
+      .agg(kmv(col("v")).as("sk")).collect().head.getSeq[Long](0)
+  }
+
+  test("KMV: sketch content is byte-identical under any partitioning; size <= k") {
+    val vals = (0 until 50000).map(i => s"u$i")
+    val sketches = Seq(1, 4, 13).map(p => kmvSketch(vals, 512, p))
+    assert(sketches.forall(_ == sketches.head),
+      "bottom-k content depended on the merge tree")
+    assert(sketches.head.length == 512)
+    assert(sketches.head == sketches.head.sorted, "sketch not sorted")
+  }
+
+  test("KMV: distinct estimate within 15% above saturation, exact below") {
+    val est = SketchOps.KMinValues.estimate(
+      kmvSketch((0 until 100000).map(i => s"u$i"), 512, 7), 512)
+    assert(math.abs(est - 100000) <= 15000, s"estimate $est far from 100k")
+    // below saturation the sketch IS the hash image: exact, dup-absorbing
+    val small = (0 until 300).map(i => s"u$i")
+    val sk = kmvSketch((0 until 20).flatMap(_ => small), 512, 5)
+    assert(SketchOps.KMinValues.estimate(sk, 512) == 300.0)
+  }
+
+  test("KMV: set-expression overlap estimates track a planted 50% intersection") {
+    val k = 512
+    // |A| = |B| = 100k, |A ∩ B| = 50k, |A ∪ B| = 150k
+    val a = kmvSketch((0 until 100000).map(i => s"u$i"), k, 7)
+    val b = kmvSketch((50000 until 150000).map(i => s"u$i"), k, 7)
+    val (inter, union) = SketchOps.KMinValues.overlap(a, b, k)
+    assert(math.abs(union - 150000) <= 22500, s"union estimate $union far from 150k")
+    assert(math.abs(inter - 50000) <= 12500, s"intersection estimate $inter far from 50k")
+    // disjoint sets: intersection exactly zero (no shared hashes to find)
+    val c = kmvSketch((900000 until 1000000).map(i => s"u$i"), k, 7)
+    assert(SketchOps.KMinValues.overlap(a, c, k)._1 == 0.0)
+    // below saturation: overlap algebra is exact
+    val sa = kmvSketch((0 until 200).map(i => s"u$i"), k, 3)
+    val sb = kmvSketch((100 until 300).map(i => s"u$i"), k, 4)
+    assert(SketchOps.KMinValues.overlap(sa, sb, k) == (100.0, 300.0))
+  }
 }
