@@ -66,7 +66,11 @@ object ScaleEvidence {
     "q79_hll_distinct",
     // round 11: session windows — 10x the users at the same per-user
     // session structure (ts verbatim under the id shift)
-    "q52_session_window")
+    "q52_session_window",
+    // round 11: KMV audience overlap — 10x the users per type; the
+    // sketch pass ships fixed k-long partials at both scales, the exact
+    // pair-join verifier is what grows
+    "q87_audience_overlap")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
