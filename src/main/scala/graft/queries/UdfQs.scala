@@ -242,7 +242,10 @@ object UdfQs {
       FROM pairs p
       JOIN sizes sa ON sa.event_type = p.type_a
       JOIN sizes sb ON sb.event_type = p.type_b
-      ORDER BY p.type_a, p.type_b"""))
+      ORDER BY p.type_a, p.type_b"""),
+    // headline since round 11 (annex row in BASELINE.md; frozen table
+    // untouched) — the set-expression sketch tier's one graded path
+    headline = true)
 
   val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79, q87)
 }
