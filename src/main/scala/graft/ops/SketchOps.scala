@@ -270,6 +270,83 @@ object SketchOps {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): `d`
+    * hash rows × `w` counters per row; every input increments one
+    * counter in each row, and a point estimate is the MIN over rows of
+    * the key's counters. Like [[HyperLogLog]]'s registers — and unlike
+    * the compacting [[QuantileSketch]] — the summary is
+    * MERGE-TREE-INDEPENDENT: per-cell integer sums are associative and
+    * commutative, so every partitioning and merge order produces the
+    * identical counter array, and with the fixed row hashes an estimate
+    * is a pure function of the input MULTISET. That is what lets q89
+    * grade it against an exact-count oracle.
+    *
+    * Guarantees: est >= true ALWAYS (counters only ever gain colliding
+    * mass — a strict invariant, not a tendency, and the spec pins it);
+    * est <= true + c·N/w except with probability ≤ c^(-d) per key
+    * (Markov per row, rows independent).
+    *
+    * The point-frequency tier beside [[MisraGries]]: MG answers "which
+    * keys are heavy" with a k-counter candidate set, CMS answers "how
+    * often is THIS key" for ANY key, post-hoc, from one fixed-size
+    * pass partial — d·w longs per task regardless of input rows, the
+    * shape a 100-TB per-key frequency probe needs where the exact
+    * sibling shuffles every (key, count) pair.
+    */
+  class CountMin(d: Int, w: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+    require(d >= 1 && d <= 16, s"need 1 <= d <= 16 rows, got $d")
+    require(w >= 2, s"need w >= 2 counters per row, got $w")
+
+    def zero: Array[Long] = new Array[Long](d * w)
+
+    def reduce(b: Array[Long], s: String): Array[Long] = {
+      if (s == null) return b // count(col) null semantics: ignore
+      val h = HyperLogLog.hash64(s)
+      var i = 0
+      while (i < d) { b(i * w + CountMin.cell(h, i, w)) += 1L; i += 1 }
+      b
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    /** The counter array itself — point estimation happens post-agg
+      * ([[CountMin.estimate]]), where the probe keys are known. */
+    def finish(b: Array[Long]): Array[Long] = b
+
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  object CountMin {
+    /** Row `i`'s counter index for base hash `h`: one splitmix64 remix
+      * of (h + (i+1)·golden) — independent-enough rows from one string
+      * hash, deterministic across JVMs. */
+    private[graft] def cell(h: Long, i: Int, w: Int): Int = {
+      var z = h + 0x9e3779b97f4a7c15L * (i + 1)
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^= z >>> 31
+      ((z >>> 1) % w).toInt
+    }
+
+    /** Point estimate for `key` from a finished `d`×`w` counter array. */
+    def estimate(sk: Array[Long], d: Int, w: Int, key: String): Long = {
+      val h = HyperLogLog.hash64(key)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val v = sk(i * w + cell(h, i, w))
+        if (v < best) best = v
+        i += 1
+      }
+      best
+    }
+  }
+
   object KMinValues {
     /** Hashes are uniform on [0, 2^63). */
     private val HashSpan = java.lang.Math.scalb(1.0, 63)

@@ -335,5 +335,35 @@ object EventQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76)
+  /** Ordered conversion funnel view → click → purchase
+    * ([[graft.ops.FunnelOps.funnel]] — strict-sequence semantics, each
+    * step co-partitioned on user_id with the last; `FunnelSpec` pins the
+    * out-of-order cases on constructed data). Output per step: users
+    * reaching it + total µs lag from first view, integer-exact.
+    */
+  val q88 = Q(
+    "q88_funnel",
+    (s, d) => graft.ops.FunnelOps.funnel(
+      Tables.events(s, d), Seq("view", "click", "purchase")),
+    Some("""
+      WITH e AS (SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+      s1 AS (SELECT user_id, min(tu) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.tu) AS t2, min(s1.t1) AS t1
+             FROM e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.tu > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.tu) AS t3, min(s2.t1) AS t1
+             FROM e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tu > s2.t2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users,
+               CAST(sum(t1 - t1) AS BIGINT) AS sum_lag_us FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*), CAST(sum(t3 - t1) AS BIGINT) FROM s3)
+      ORDER BY step"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88)
 }

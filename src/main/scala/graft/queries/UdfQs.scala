@@ -247,5 +247,47 @@ object UdfQs {
     // untouched) — the set-expression sketch tier's one graded path
     headline = true)
 
-  val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79, q87)
+  /** Count-Min point-frequency estimates, graded sketch-then-exact-verify
+    * (the q79/q87 shape applied to the FREQUENCY tier): one global CMS
+    * over (event_type, day) keys, then the exact daily counts emit a row
+    * only if the sketch's point estimate respects BOTH CMS guarantees —
+    * never under (strict), over by at most 5% (or the grade fails via
+    * the dropped row). Sketch accuracy is thus the thing the oracle
+    * row-match grades, while the emitted counts stay exact.
+    *
+    * Scale shape: the sketch pass is one fixed-size partial (d·w longs)
+    * per task — no per-key state — merged on the driver; the exact pass
+    * is an ordinary partial-agg'd count keyed on (type, day), whose key
+    * space is calendar-bounded (types × days), not corpus-bounded. The
+    * probe runs as one broadcast of the 128 KiB finished array into a
+    * post-aggregation UDF over result-sized rows (a UDF is fine here:
+    * it runs on ~150 rows AFTER the aggregate, never in the scan path).
+    */
+  val q89 = Q(
+    "q89_cms_daily_counts",
+    (s, d) => {
+      val rows = 4
+      val width = 4096
+      val key = concat_ws("\u0001", col("event_type"), col("di"))
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"), expr("ts_us div 86400000000").as("di"))
+      val cms = udaf(new graft.ops.SketchOps.CountMin(rows, width))
+      val sk = keyed.agg(cms(key).as("sk")).head().getSeq[Long](0).toArray
+      val est = udf((k: String) =>
+        graft.ops.SketchOps.CountMin.estimate(sk, rows, width, k))
+      keyed.groupBy("event_type", "di").agg(count(lit(1)).as("n_events"))
+        .withColumn("__est", est(key))
+        // the two CMS guarantees as the accuracy gate
+        .filter(col("__est") >= col("n_events") &&
+          (col("__est") - col("n_events")) * 20 <= col("n_events"))
+        .select("event_type", "di", "n_events")
+        .orderBy("event_type", "di")
+    },
+    Some("""
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS di,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79, q87, q89)
 }
