@@ -162,4 +162,24 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("q88: per-step type filters pushed; per-user mins partial; acc frames cached") {
+    // force execution so the fold's ensurePersisted caches materialize
+    Queries.byName("q88_funnel").fn(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val p = plan("q88_funnel")
+    assert(p.contains("EqualTo(event_type,view)"),
+      "step-1 type filter not pushed to the parquet scan")
+    assert(p.contains("partial_min"),
+      "per-user min not partial — a hot user's events would all shuffle")
+    assert(p.contains("InMemoryTableScan"),
+      "accumulated step frames not cached — prefix plans re-derive 2^(k-1) times")
+  }
+
+  test("q89: CMS pass reads only (event_type, ts); counts partially aggregate") {
+    val p = plan("q89_cms_daily_counts")
+    assert(!p.contains("props"), "q89 read the props column it never uses")
+    assert(p.contains("partial_count"),
+      "daily counts not partial — every event row would shuffle")
+  }
 }
