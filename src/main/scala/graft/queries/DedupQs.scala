@@ -219,29 +219,47 @@ object DedupQs {
     * only ever reachable through a lucky band collision, and every
     * banding-reachable pair up to [[SimHamMax]] still verifies.
     */
+  /** q37's body with the band width as a parameter — the graded query
+    * runs the default 8 (Hamming ≤ 7 recall deterministic by
+    * pigeonhole); at production corpus scales the documented knob is
+    * WIDER bands (e.g. 16 → 4 levels of 65 536 hash values each), which
+    * divides random bucket occupancy by ~256 and with it the quadratic
+    * collision mass the band join materializes, at the price of the
+    * deterministic-recall radius shrinking to Hamming ≤ 3 (pairs further
+    * out remain reachable only by collision luck — on this corpus the
+    * true J ≥ 0.8 pairs sit well inside both radii, and ScaleEvidence
+    * prints the found-pair counts per width so the trade is measured,
+    * not asserted). Memo tags carry the width so variant runs never
+    * share cached relations with the graded path.
+    */
+  private[graft] def simhashQuery(s: SparkSession, d: String,
+      bitsPerBand: Int): DataFrame = {
+    // capped form memoized directly (same rationale as
+    // cappedBandsCached: the cap subplan re-derives per consumed side)
+    val capped = graft.Memo.cached(s, d, s"simhash_bands_capped_b$bitsPerBand") {
+      DedupOps.capBuckets(
+        graft.Memo.cached(s, d, s"simhash_bands_b$bitsPerBand") {
+          DedupOps.simhashBands(
+            Tables.documents(s, d)
+              .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
+            "doc_id", bitsPerBand)
+        }, Seq("band_idx", "band_hash"), MaxBucket)
+    }
+    def side(n: String): DataFrame =
+      capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
+        col("band_idx"), col("band_hash"))
+    val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= SimHamMax)
+      .select("doc_a", "doc_b").distinct()
+    verified(s, d, cands, 4, 5, broadcastDocs = true)
+  }
+
   val q37 = Q(
     "q37_simhash",
-    (s, d) => {
-      // capped form memoized directly (same rationale as
-      // cappedBandsCached: the cap subplan re-derives per consumed side)
-      val capped = graft.Memo.cached(s, d, "simhash_bands_capped") {
-        DedupOps.capBuckets(
-          graft.Memo.cached(s, d, "simhash_bands") {
-            DedupOps.simhashBands(
-              Tables.documents(s, d)
-                .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
-              "doc_id", bitsPerBand = 8)
-          }, Seq("band_idx", "band_hash"), MaxBucket)
-      }
-      def side(n: String): DataFrame =
-        capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
-          col("band_idx"), col("band_hash"))
-      val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
-        .filter(col("doc_a") < col("doc_b") &&
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= SimHamMax)
-        .select("doc_a", "doc_b").distinct()
-      verified(s, d, cands, 4, 5, broadcastDocs = true)
-    },
+    (s, d) => simhashQuery(s, d,
+      bitsPerBand = s.conf.getOption("spark.graft.simhash.bandBits")
+        .map(_.toInt).getOrElse(8)),
     Some(jaccardOracleSql(0.8)),
     // headline since round 9 (annex row in BASELINE.md)
     headline = true)

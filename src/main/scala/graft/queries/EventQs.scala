@@ -363,7 +363,9 @@ object EventQs {
         SELECT 2, 'click', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM s2
         UNION ALL
         SELECT 3, 'purchase', count(*), CAST(sum(t3 - t1) AS BIGINT) FROM s3)
-      ORDER BY step"""))
+      ORDER BY step"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88)
 }

@@ -287,7 +287,9 @@ object UdfQs {
       SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS di,
              count(*) AS n_events
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q60, q61, q62, q67, q79, q87, q89)
 }

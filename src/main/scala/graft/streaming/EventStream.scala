@@ -216,4 +216,93 @@ object EventStream {
       }
       .toDF("event_type", "p", "est")
   }
+
+  /** Streaming CMS frequency counters: a [[graft.ops.SketchOps.CountMin]]
+    * counter array as KEYED STREAMING STATE — per `event_type`, each
+    * micro-batch folds its items into the d×w cells and emits the
+    * current array (update mode). Fixed d·w longs per key FOREVER, like
+    * the other sketch states — but unlike the compacting KLL buffer and
+    * the shrink-bearing Misra–Gries counters, the CMS state is
+    * MERGE-TREE-INDEPENDENT (per-cell integer sums), so the counters
+    * after the final batch are BYTE-IDENTICAL under ANY file/trigger
+    * split of the same stream, and equal to the one-shot batch
+    * aggregation — the strongest batch-equivalence in the streaming
+    * sketch family (`StreamingSpec` pins 1-file-vs-2-file splits equal
+    * to the batch counters). q89's estimate-then-exact-verify split
+    * applies unchanged over any window of interest.
+    */
+  def streamingCmsCounts(spark: SparkSession, sourceDir: String,
+      d: Int, w: Int, maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cms = new graft.ops.SketchOps.CountMin(d, w)
+    spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, String)],
+            state: GroupState[Array[Long]]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(cms.zero)) {
+            (b, r) => cms.reduce(b, r._2)
+          }
+          state.update(updated)
+          Iterator((etype, updated.toSeq))
+      }
+      .toDF("event_type", "counters")
+  }
+
+  /** Streaming strict-sequence funnel: per-user step timestamps as KEYED
+    * STREAMING STATE — the grow-forever form of q88
+    * ([[graft.ops.FunnelOps.funnel]]). State is the user's filled step
+    * prefix (≤|steps| longs per user FOREVER — the funnel, not a
+    * watermark, bounds it); each micro-batch folds its rows in
+    * EVENT-TIME order, and an event fills the first unfilled step iff
+    * its type matches and it is strictly after the timestamp that
+    * satisfied the previous step — exactly the batch semantics, applied
+    * incrementally. Emits the user's step-timestamp prefix after each
+    * touched batch (update mode; the per-step rollup is `groupBy(depth)`
+    * over the final states).
+    *
+    * Contract: equal to the batch funnel when each user's events arrive
+    * in event-time order ACROSS batches (in-batch order is irrelevant —
+    * the fold sorts); an out-of-order arrival can only UNDER-fill, never
+    * mis-fill, because a filled slot is immutable and every fill is
+    * checked strictly-after against the slot before it. Replay-tolerant
+    * for the same reason: a redelivered event that filled slot i finds
+    * slot i occupied by an earlier-or-equal timestamp and no-ops.
+    */
+  def streamingFunnel(spark: SparkSession, sourceDir: String,
+      steps: Seq[String], maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    withEventTs(spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir))
+      .select(col("user_id"), col("event_type"), unix_micros(col("event_ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[Seq[Long]]) =>
+          val updated = rows.toSeq.sortBy(_._3)
+            .foldLeft(state.getOption.getOrElse(Vector.empty[Long])) {
+              case (t, (_, typ, ts)) =>
+                val depth = t.length
+                if (depth < steps.length && typ == steps(depth) &&
+                    (depth == 0 || ts > t(depth - 1))) t :+ ts
+                else t
+            }
+          state.update(updated)
+          Iterator((uid, updated))
+      }
+      .toDF("user_id", "step_ts")
+  }
 }

@@ -70,7 +70,14 @@ object ScaleEvidence {
     // round 11: KMV audience overlap — 10x the users per type; the
     // sketch pass ships fixed k-long partials at both scales, the exact
     // pair-join verifier is what grows
-    "q87_audience_overlap")
+    "q87_audience_overlap",
+    // round 11 late: the funnel — 10x the users at unchanged per-user
+    // event structure (ts verbatim under the id shift), so each copy
+    // converts identically and every step relation grows exactly 10x;
+    // and the CMS daily counts — the (type, day) key space is UNCHANGED
+    // under replication while every count grows 10x, so this measures
+    // the fixed-size sketch pass + the calendar-keyed exact pass alone
+    "q88_funnel", "q89_cms_daily_counts")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
@@ -139,6 +146,18 @@ object ScaleEvidence {
     // that stays feasible when N·k flat assignment doesn't (100× tier)
     "q78_semantic_dedup [coarse]" -> ((s: SparkSession, d: String) =>
       graft.queries.VectorQs.semanticDedupCoarseQuery(s, d, memoSuffix = "_sx")))
+
+  /** Documents-table variant measurements: the q37 wider-band form —
+    * the documented production knob for the 8-bit level's quadratic
+    * collision mass (16-bit bands: 4 levels of 65 536 hash values, so
+    * random bucket occupancy drops ~256× while deterministic recall
+    * shrinks to Hamming ≤ 3). The graded query is byte-unchanged (it
+    * reads `spark.graft.simhash.bandBits`, default 8); this row measures
+    * the knob's effect, and main() prints found-pair counts per width so
+    * the recall side of the trade is data, not assertion. */
+  private val DocumentVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q37_simhash [16-bit bands]" -> ((s: SparkSession, d: String) =>
+      graft.queries.DedupQs.simhashQuery(s, d, bitsPerBand = 16)))
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
@@ -323,7 +342,8 @@ object ScaleEvidence {
       fs.contains(n.split(' ').head) || fs.map(norm).contains(norm(n))
     def wants(names: Seq[String]): Boolean =
       names.exists(n => filter.forall(selects(_, n)))
-    if (wants(QueryNames)) generate(spark, sfDir, outDir, factor)
+    if (wants(QueryNames ++ DocumentVariants.map(_._1)))
+      generate(spark, sfDir, outDir, factor)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
     if (wants(LineitemQueryNames ++ JoinQueryNames))
       generateLineitem(spark, sfDir, outDir, factor)
@@ -331,12 +351,13 @@ object ScaleEvidence {
       generateOrders(spark, sfDir, outDir, factor)
     if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
-    val nX = if (wants(QueryNames)) Tables.documents(spark, outDir).count() else -1L
+    val nX = if (wants(QueryNames ++ DocumentVariants.map(_._1)))
+      Tables.documents(spark, outDir).count() else -1L
 
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames ++
         JoinQueryNames)
-        .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants
+        .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants ++ DocumentVariants
     val selected = work.filter { case (n, _) => filter.forall(selects(_, n)) }
     val rows = selected.map { case (name, fn) =>
       val t1 = medianTime(spark, name, sfDir, runs = 3, fn)
@@ -368,6 +389,19 @@ object ScaleEvidence {
       println("|---|---|---|")
       annRecall.foreach { case (n, r1, rX) =>
         println(f"| $n | $r1%.2f | $rX%.2f |")
+      }
+    }
+    // the recall side of the band-width trade: verified J>=0.8 pairs
+    // found per width at both scales (equal counts = the wider band
+    // lost nothing on this corpus; a gap = the Hamming-(4..15) pairs
+    // only 8-bit banding reaches deterministically)
+    if (filter.forall(selects(_, "q37_simhash [16-bit bands]"))) {
+      println("| simhash width | pairs 1x | pairs " + factor + "x |")
+      println("|---|---|---|")
+      Seq(8, 16).foreach { bits =>
+        val n1p = graft.queries.DedupQs.simhashQuery(spark, sfDir, bits).count()
+        val nXp = graft.queries.DedupQs.simhashQuery(spark, outDir, bits).count()
+        println(s"| ${bits}-bit bands | $n1p | $nXp |")
       }
     }
     // coarse-vs-flat cell agreement (flat is the ground truth and is

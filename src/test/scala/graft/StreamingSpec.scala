@@ -392,4 +392,111 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming CMS counters are batch-split-invariant and equal the batch fold") {
+    // the merge-tree-independence claim AS a streaming property: the
+    // same item stream through 1-file-per-trigger and 2-files-per-trigger
+    // runs must end in BYTE-IDENTICAL counter arrays, equal to a plain
+    // batch fold of all items — nothing else in the streaming sketch
+    // family (MG shrinks, KLL compacts) can promise that
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val d = 4; val w = 512
+    val dir = java.nio.file.Files.createTempDirectory("events-cms")
+    def rows(file: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      rnd.shuffle((0 until 800).map(i => s"item${rnd.nextInt(120)}")).zipWithIndex.map {
+        case (item, i) =>
+          (file * 100000L + i, 1700000000000000000L + i * 1000000L,
+            i.toLong % 50, "type0", 0.0, s"""{"k": "$item"}""")
+      }
+    val allItems = scala.collection.mutable.ArrayBuffer[String]()
+    Seq(0, 1).foreach { f =>
+      val rs = rows(f)
+      allItems ++= rs.map(r => r._6.split('"')(3))
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    def lastCounters(filesPerTrigger: Int, qn: String): Seq[Long] = {
+      val q = EventStream.streamingCmsCounts(spark, dir.toString,
+          d, w, maxFilesPerTrigger = filesPerTrigger)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(qn).collect().last.getSeq[Long](1)
+    }
+    val split1 = lastCounters(1, "stream_cms1")
+    val split2 = lastCounters(2, "stream_cms2")
+    assert(split1 == split2, "counters depended on the trigger split")
+    val cms = new graft.ops.SketchOps.CountMin(d, w)
+    val batchFold = allItems.foldLeft(cms.zero)(cms.reduce).toSeq
+    assert(split1 == batchFold, "streaming counters diverged from the batch fold")
+    // and the q89 guarantee carries: a known item's estimate never undercounts
+    val exact = allItems.count(_ == "item7").toLong
+    val est = graft.ops.SketchOps.CountMin.estimate(split1.toArray, d, w, "item7")
+    assert(est >= exact)
+  }
+
+  test("streaming funnel state equals the batch funnel under in-order delivery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-funnel")
+    val base = 1700000000000000000L
+    def ns(sec: Long): Long = base + sec * 1000000000L
+    // u1 converts ACROSS the batch boundary (view+click in file 0,
+    // purchase in file 1); u2 converts wholly in file 1; u3's clicks
+    // precede its view (never reaches step 2); u4's purchase lands
+    // between view and click (steps 1-2 only); in-batch rows are written
+    // SHUFFLED — the fold must sort them
+    val f0 = Seq(
+      (1L, ns(20), 1L, "click", 0.0, "{}"),
+      (2L, ns(10), 1L, "view", 0.0, "{}"),
+      (3L, ns(5), 3L, "click", 0.0, "{}"),
+      (4L, ns(10), 3L, "view", 0.0, "{}"),
+      (5L, ns(10), 4L, "view", 0.0, "{}"))
+    val f1 = Seq(
+      (6L, ns(30), 1L, "purchase", 0.0, "{}"),
+      (7L, ns(40), 2L, "view", 0.0, "{}"),
+      (8L, ns(50), 2L, "click", 0.0, "{}"),
+      (9L, ns(60), 2L, "purchase", 0.0, "{}"),
+      (10L, ns(15), 4L, "purchase", 0.0, "{}"),
+      (11L, ns(20), 4L, "click", 0.0, "{}"))
+    Seq(0 -> f0, 1 -> f1).foreach { case (f, rs) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    val q = EventStream.streamingFunnel(spark, dir.toString,
+        Seq("view", "click", "purchase"), maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val finalState = spark.table("stream_funnel").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+    def us(sec: Long): Long = (ns(sec)) / 1000L
+    assert(finalState(1L) == Seq(us(10), us(20), us(30)),
+      "cross-batch conversion lost — state not carried")
+    assert(finalState(2L) == Seq(us(40), us(50), us(60)))
+    assert(finalState(3L) == Seq(us(10)), "pre-view click wrongly counted")
+    assert(finalState(4L) == Seq(us(10), us(20)), "purchase-before-click wrongly counted")
+    // the per-step rollup over final states == the batch q88 counts
+    val batchCounts = graft.ops.FunnelOps.funnel(
+        (f0 ++ f1).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .select(col("user_id"), col("event_type"),
+            org.apache.spark.sql.functions.expr("ts div 1000").as("ts_us")),
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = (1 to 3).map(k =>
+      k -> finalState.values.count(_.length >= k).toLong).toMap
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts != batch $batchCounts")
+  }
 }
