@@ -85,5 +85,69 @@ object GraphQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q63)
+  /** Per-item triangle counts on the UNDIRECTED co-transition graph (the
+    * same consecutive-event edges q63 ranks, direction and weight
+    * dropped) — the community-density signal beside PageRank's
+    * importance: an item in many triangles sits in a tightly-knit
+    * cluster of co-browsed items, one in none is a corridor.
+    *
+    * [[GraphOps.triangleCounts]] runs the degree-orientation algorithm
+    * (wedge join bounded O(m^1.5), never Σ deg² — a hub's neighborhood
+    * is never self-joined); the oracle counts the identical triangle set
+    * with the naive a<b three-way join, feasible at oracle scale only.
+    * Exact integers — hash-exact.
+    *
+    * Scale shape: edge building is q63's per-user window + one (a, b)
+    * hash-aggregate; everything after is keyed exchanges over
+    * edge-bounded relations. On this corpus the item graph is
+    * corpus-size-invariant (events grow, item vocabulary doesn't), so
+    * the scale tier measures the edge-build window — same posture as
+    * q63's row.
+    */
+  val q90 = Q(
+    "q90_triangles",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        col("ts_us").as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val edges = ev
+        .withColumn("next_item", lead(col("item"), 1).over(w))
+        .filter(col("item").isNotNull && col("next_item").isNotNull &&
+          col("item") =!= col("next_item"))
+        .select(col("item").as("a"), col("next_item").as("b"))
+      GraphOps.triangleCounts(edges)
+        .select(col("node").as("item"), col("n_tri"))
+        .orderBy("item")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+          lead(item) OVER (PARTITION BY user_id ORDER BY uts, event_id) AS next_item
+        FROM ev),
+      und AS (
+        SELECT DISTINCT least(item, next_item) AS a,
+               greatest(item, next_item) AS b
+        FROM tr
+        WHERE item IS NOT NULL AND next_item IS NOT NULL AND item <> next_item),
+      tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corners AS (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+      SELECT node AS item, count(*) AS n_tri
+      FROM corners GROUP BY 1 ORDER BY 1"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q63, q90)
 }

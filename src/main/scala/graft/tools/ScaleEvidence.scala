@@ -77,7 +77,11 @@ object ScaleEvidence {
     // and the CMS daily counts — the (type, day) key space is UNCHANGED
     // under replication while every count grows 10x, so this measures
     // the fixed-size sketch pass + the calendar-keyed exact pass alone
-    "q88_funnel", "q89_cms_daily_counts")
+    "q88_funnel", "q89_cms_daily_counts",
+    // round 11 late: triangle counts — the item graph is corpus-size-
+    // invariant under event replication (items live in props, verbatim),
+    // so like q63 this measures the edge-build window + fixed graph work
+    "q90_triangles")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68

@@ -105,4 +105,30 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(math.abs(quantized - r(v)) < 1e-6, s"node $v: $quantized vs ${r(v)}")
     }
   }
+
+  private def triangles(es: Seq[(Long, Long)], parts: Int = 3): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.triangleCounts(es.toDF("a", "b").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle counts: K4, shared-edge pair, and triangle-free shapes") {
+    // K4: every node is in C(3,2) = 3 triangles
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(triangles(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // two triangles sharing edge (1,2): shared nodes in 2, wings in 1
+    val shared = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(triangles(shared) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    // a star and a path have wedges but no closures: empty result
+    assert(triangles(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))).isEmpty)
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("triangle counts canonicalize direction, duplicates, and self-loops") {
+    // the same triangle fed as mixed directions + dup edges + a self-loop
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (1L, 3L), (2L, 2L))
+    assert(triangles(messy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // and the count is partitioning-invariant (exchanges are keyed)
+    assert(triangles(messy, parts = 1) == triangles(messy, parts = 7))
+  }
 }
