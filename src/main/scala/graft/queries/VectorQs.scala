@@ -506,5 +506,64 @@ object VectorQs {
         FROM embeddings e CROSS JOIN cent) t
       WHERE crn = 1 ORDER BY vec_id"""))
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85)
+  /** Approximate kNN GRAPH — every vector's top-3 same-cell neighbors
+    * (cos desc, id tiebreak), the batch kNN-join that feeds kNN-graph
+    * clustering, label propagation, and SemDeDup-adjacent curation. The
+    * cell index (q78's memoized `semanticCells` relation — shared, built
+    * once) bounds candidate generation exactly as SemDeDup bounds pair
+    * work: Σ cell² instead of N², with per-cell occupancy held constant
+    * by growing cells ∝ corpus. The ranking window sees only
+    * (qid, nid, cos) — vectors are projected away before the per-qid
+    * exchange (the round-9 q41/q66 lesson: 550 B/candidate in a window
+    * sort is spill thrash at 100×) — and `WindowGroupLimit` prunes to
+    * top-3 map-side.
+    *
+    * Graded EXACTLY (not rows-only like q43/q66): "top-3 within the
+    * assigned cell" is a deterministic function the oracle mirrors —
+    * q42's assignment CTE + a within-cell self-join — so this also
+    * cross-checks the whole cell machinery a second way.
+    */
+  private[graft] def knnGraphQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = semanticCells(s, d, idCap, memoSuffix)
+    def side(p: String) = cells.select(col("cell"), col("id").as(s"${p}id"),
+      col("vec").as(s"${p}vec"), col("sq_norm").as(s"${p}n"))
+    val pairs = side("q").join(side("n"), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorOps.cosineWithNorms(
+          VectorOps.dotD(col("qvec"), col("nvec")), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid").as("vec_id"), col("nid"), col("cos"), col("rn"))
+      .orderBy("vec_id", "rn")
+  }
+
+  val q91 = Q(
+    "q91_knn_graph",
+    (s, d) => knnGraphQuery(s, d),
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "cent.cvec")} DESC, cent.cid) AS crn
+          FROM embeddings e CROSS JOIN cent) t WHERE crn = 1)
+      SELECT vec_id, nid, cos, rn FROM (
+        SELECT a.vec_id, b.vec_id AS nid,
+          ${cosSql("ea.embedding", "eb.embedding")} AS cos,
+          CAST(row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, b.vec_id) AS INT) AS rn
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id) t
+      WHERE rn <= 3 ORDER BY vec_id, rn"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91)
 }

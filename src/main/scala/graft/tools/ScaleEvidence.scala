@@ -149,7 +149,13 @@ object ScaleEvidence {
     // the k∝N regime through the two-level coarse quantizer — the form
     // that stays feasible when N·k flat assignment doesn't (100× tier)
     "q78_semantic_dedup [coarse]" -> ((s: SparkSession, d: String) =>
-      graft.queries.VectorQs.semanticDedupCoarseQuery(s, d, memoSuffix = "_sx")))
+      graft.queries.VectorQs.semanticDedupCoarseQuery(s, d, memoSuffix = "_sx")),
+    // round 11 late: the kNN graph in its fixed-k form (same harness
+    // rationale as q42: the %50 centroid relation must not grow with the
+    // replication) — 10x the vectors through 10x-denser cells, i.e. the
+    // within-cell pair work grows ~100x/cells: the honest fixed-k cost
+    "q91_knn_graph [fixed-k]" -> ((s: SparkSession, d: String) =>
+      graft.queries.VectorQs.knnGraphQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
 
   /** Documents-table variant measurements: the q37 wider-band form —
     * the documented production knob for the 8-bit level's quadratic

@@ -176,6 +176,16 @@ class PlanSpec extends AnyFunSuite {
       "accumulated step frames not cached — prefix plans re-derive 2^(k-1) times")
   }
 
+  test("q91: kNN-graph window prunes top-3 map-side; cells cached; vectors off the window") {
+    Queries.byName("q91_knn_graph").fn(spark, sf)
+      .write.format("noop").mode("overwrite").save()
+    val p = plan("q91_knn_graph")
+    assert(p.contains("WindowGroupLimit"),
+      "no partial group-limit before the per-qid ranking exchange")
+    assert(p.contains("InMemoryTableScan"), "cell relation not served from cache")
+    assert(!p.contains("CartesianProduct"), "kNN pairs fell back to a cartesian join")
+  }
+
   test("q89: CMS pass reads only (event_type, ts); counts partially aggregate") {
     val p = plan("q89_cms_daily_counts")
     assert(!p.contains("props"), "q89 read the props column it never uses")
