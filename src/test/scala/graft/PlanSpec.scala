@@ -186,6 +186,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "kNN pairs fell back to a cartesian join")
   }
 
+  test("q90: triangle closure stays keyed — no cartesian, counts partial") {
+    val p = plan("q90_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "wedge/closure joins fell back to a cartesian product")
+    assert(p.contains("partial_count"),
+      "per-node triangle counts have no map-side partial aggregation")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "edge-build window lost its per-user partitioning")
+  }
+
   test("q89: CMS pass reads only (event_type, ts); counts partially aggregate") {
     val p = plan("q89_cms_daily_counts")
     assert(!p.contains("props"), "q89 read the props column it never uses")
