@@ -130,15 +130,20 @@ object GraphOps {
     * @return (node: long, n_tri: long) — nodes in >= 1 triangle
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+    // `und` feeds both the degree aggregate and the orientation join, and
+    // `oriented` feeds BOTH wedge sides plus the closure join — Catalyst
+    // does not dedupe common subtrees (the FunnelOps lesson), so without
+    // persistence the caller's whole edge-build plan would re-derive up
+    // to three times. Both cached relations are edge-list-sized.
+    val und = graft.Memo.ensurePersisted(edges
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient by (deg, id); carry the HEAD's degree so the wedge stage can
     // order its two ends without another degree join
-    val oriented = und
+    val oriented = graft.Memo.ensurePersisted(und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(
@@ -146,7 +151,7 @@ object GraphOps {
           struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
           .as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
     val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
       .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
       .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))

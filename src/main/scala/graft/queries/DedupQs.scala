@@ -226,11 +226,15 @@ object DedupQs {
     * divides random bucket occupancy by ~256 and with it the quadratic
     * collision mass the band join materializes, at the price of the
     * deterministic-recall radius shrinking to Hamming ≤ 3 (pairs further
-    * out remain reachable only by collision luck — on this corpus the
-    * true J ≥ 0.8 pairs sit well inside both radii, and ScaleEvidence
-    * prints the found-pair counts per width so the trade is measured,
-    * not asserted). Memo tags carry the width so variant runs never
-    * share cached relations with the graded path.
+    * out remain reachable only by collision luck — measured on this
+    * corpus: 16-bit bands find 231 of the 255 verified pairs, the ~9%
+    * living at Hamming 4..15; ScaleEvidence prints the counts per width
+    * so the trade is data, not assertion). Setting the session knob
+    * therefore CHANGES the graded answer — q37's oracle pins the 8-bit
+    * default, and a non-default width intentionally trades oracle-exact
+    * recall for candidate mass, the same opt-in posture as
+    * `spark.graft.ivf.probes` on q42/q66. Memo tags carry the width so
+    * variant runs never share cached relations with the graded path.
     */
   private[graft] def simhashQuery(s: SparkSession, d: String,
       bitsPerBand: Int): DataFrame = {

@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object GraphQs {
 
+  /** The shared item-transition derivation both graph queries build on:
+    * one row per pair of CONSECUTIVE events of a user (microsecond
+    * order, `event_id` tiebreak — the q53/q54 total order), item ids
+    * from `props.k`, nulls and self-transitions dropped. q63 weights and
+    * directs these; q90 forgets direction. One definition so the two
+    * queries can never disagree about the graph.
+    */
+  private def transitions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      col("ts_us").as("us"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("next_item", lead(col("item"), 1).over(w))
+      .filter(col("item").isNotNull && col("next_item").isNotNull &&
+        col("item") =!= col("next_item"))
+      .select("item", "next_item")
+  }
+
+  /** The oracle-side mirror of [[transitions]] (ev + tr CTEs). */
+  private val TransitionsCte = """
+      ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+          lead(item) OVER (PARTITION BY user_id ORDER BY uts, event_id) AS next_item
+        FROM ev)"""
+
   /** PageRank over the item-transition graph: nodes are the item ids in
     * `events.props.k`, with a directed edge (a -> b, weight = transition
     * count) whenever one user's consecutive events (microsecond order,
@@ -31,30 +61,15 @@ object GraphQs {
   val q63 = Q(
     "q63_pagerank",
     (s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("user_id"), col("event_id"),
-        col("ts_us").as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val edges = ev
-        .withColumn("next_item", lead(col("item"), 1).over(w))
-        .filter(col("item").isNotNull && col("next_item").isNotNull &&
-          col("item") =!= col("next_item"))
+      val edges = transitions(s, d)
         .groupBy(col("item").as("src"), col("next_item").as("dst"))
         .agg(count(lit(1)).as("w"))
       GraphOps.pageRank(edges, iters = 2)
         .select(col("node").as("item"), col("q"))
         .orderBy("item")
     },
-    Some("""
-      WITH ev AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
-          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-        FROM events),
-      tr AS (
-        SELECT item,
-          lead(item) OVER (PARTITION BY user_id ORDER BY uts, event_id) AS next_item
-        FROM ev),
+    Some(s"""
+      WITH $TransitionsCte,
       edges AS (
         SELECT item AS src, next_item AS dst, count(*) AS w FROM tr
         WHERE item IS NOT NULL AND next_item IS NOT NULL AND item <> next_item
@@ -107,29 +122,13 @@ object GraphQs {
   val q90 = Q(
     "q90_triangles",
     (s, d) => {
-      val ev = Tables.events(s, d).select(
-        col("user_id"), col("event_id"),
-        col("ts_us").as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val edges = ev
-        .withColumn("next_item", lead(col("item"), 1).over(w))
-        .filter(col("item").isNotNull && col("next_item").isNotNull &&
-          col("item") =!= col("next_item"))
-        .select(col("item").as("a"), col("next_item").as("b"))
-      GraphOps.triangleCounts(edges)
+      GraphOps.triangleCounts(
+          transitions(s, d).select(col("item").as("a"), col("next_item").as("b")))
         .select(col("node").as("item"), col("n_tri"))
         .orderBy("item")
     },
-    Some("""
-      WITH ev AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts,
-          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-        FROM events),
-      tr AS (
-        SELECT item,
-          lead(item) OVER (PARTITION BY user_id ORDER BY uts, event_id) AS next_item
-        FROM ev),
+    Some(s"""
+      WITH $TransitionsCte,
       und AS (
         SELECT DISTINCT least(item, next_item) AS a,
                greatest(item, next_item) AS b

@@ -405,7 +405,11 @@ object VectorQs {
       idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
     val cents = fifties(s, d, idCap)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    graft.Memo.cached(s, d, "semdedup_cells" + memoSuffix) {
+    // the cap is part of the relation's identity: without it in the tag,
+    // a capped and an uncapped call sharing a memoSuffix would silently
+    // serve each other's cached assignment
+    val capTag = if (idCap == Long.MaxValue) "" else s"_cap$idCap"
+    graft.Memo.cached(s, d, "semdedup_cells" + memoSuffix + capTag) {
       VectorOps.ivfAssign(corpus(s, d), cents)
     }
   }

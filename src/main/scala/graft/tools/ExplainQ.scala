@@ -17,9 +17,13 @@ object ExplainQ {
       val df = graft.Queries.byName(name).fn(s, d)
       df.explain("formatted")
       // EXPLAIN_RUN=1: also execute and print the final adaptive plan —
-      // the only place AQE's runtime stage reuse / join re-plans show
+      // the only place AQE's runtime stage reuse / join re-plans show.
+      // collect() (not a noop write, which builds its OWN QueryExecution
+      // and would leave this one unexecuted) drives df's QueryExecution
+      // so executedPlan is the finalized one; dev probe, results are
+      // query-output-sized
       if (sys.env.get("EXPLAIN_RUN").contains("1")) {
-        df.write.format("noop").mode("overwrite").save()
+        df.collect()
         println(s"==== $name (executed) ====")
         println(df.queryExecution.executedPlan.toString)
       }
