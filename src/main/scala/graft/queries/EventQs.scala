@@ -367,5 +367,51 @@ object EventQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88)
+  /** Per-user EWMA of event values — the ORDERED-RECURRENCE family no
+    * window or aggregate covers: e_i = (30·x_i + 70·e_{i-1}) div 100
+    * with e_1 = x_1, over the user's events in (ts, event_id) order.
+    * A non-associative integer recurrence CANNOT partially aggregate or
+    * run as a window frame; the exact distributed form is one per-user
+    * ordered fold: collect the user's (us, id, qx) triples (compact —
+    * 3 longs/event), sort in-group, fold with `aggregate` (a codegen'd
+    * higher-order function, no UDF). Values are quantized
+    * (floor(value·2^20)) so every step is integer-exact and the DuckDB
+    * mirror (`list(... ORDER BY ...)` + `list_reduce`, same
+    * first-element init) must agree bit-for-bit — the q63 posture
+    * applied to sequential state.
+    *
+    * Scale: per-user state is activity-bounded (the session-window
+    * posture); the one exchange carries ~24 B/event with no map-side
+    * combine — the honest cost of a sequential recurrence, and the
+    * reason EWMA-style features belong in one pass alongside other
+    * per-user folds rather than as repeated windows.
+    */
+  val q92 = Q(
+    "q92_user_ewma",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+          floor(col("value") * lit(1048576L)).cast("long").as("qx"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("us"), col("event_id"), col("qx"))))
+          .as("__evs"))
+        .select(col("user_id"), expr(
+          "aggregate(slice(__evs, 2, size(__evs)), __evs[0].qx," +
+            " (acc, e) -> (30 * e.qx + 70 * acc) div 100)").as("ewma_q"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(floor(value * 1048576) AS BIGINT) AS qx
+        FROM events),
+      l AS (SELECT user_id, list(qx ORDER BY us, event_id) AS xs
+            FROM e GROUP BY 1)
+      SELECT user_id,
+        list_reduce(xs, (acc, x) -> (30 * x + 70 * acc) // 100) AS ewma_q
+      FROM l ORDER BY user_id"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88, q92)
 }

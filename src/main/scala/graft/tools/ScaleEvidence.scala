@@ -81,7 +81,12 @@ object ScaleEvidence {
     // round 11 late: triangle counts — the item graph is corpus-size-
     // invariant under event replication (items live in props, verbatim),
     // so like q63 this measures the edge-build window + fixed graph work
-    "q90_triangles")
+    "q90_triangles",
+    // round 11 late: the ordered recurrence — 10x users at unchanged
+    // per-user history depth; the one exchange carries 3 longs/event
+    // with no map-side combine (inherent to sequential state), so this
+    // row measures exactly that linear shuffle term
+    "q92_user_ewma")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
