@@ -257,6 +257,72 @@ object EventStream {
       .toDF("event_type", "counters")
   }
 
+  /** Streaming HLL distinct counts: the [[graft.ops.SketchOps.HyperLogLog]]
+    * register array as KEYED STREAMING STATE — per `event_type`, each
+    * micro-batch folds its user ids in and emits the current distinct
+    * estimate (update mode). Like [[streamingCmsCounts]] the state is
+    * MERGE-TREE-INDEPENDENT (per-register max), so the registers after
+    * the final batch are byte-identical under any trigger split and the
+    * emitted estimate equals the batch q79 sketch's exactly — with the
+    * same fixed 2^p bytes per key forever.
+    */
+  def streamingDistinct(spark: SparkSession, sourceDir: String,
+      p: Int, maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hll = new graft.ops.SketchOps.HyperLogLog(p)
+    spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, String)],
+            state: GroupState[Array[Byte]]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(hll.zero)) {
+            (b, r) => hll.reduce(b, r._2)
+          }
+          state.update(updated)
+          Iterator((etype, hll.finish(updated)))
+      }
+      .toDF("event_type", "est_distinct")
+  }
+
+  /** Streaming KMV bottom-k sketches: [[graft.ops.SketchOps.KMinValues]]
+    * as KEYED STREAMING STATE — per `event_type`, each batch folds its
+    * user ids and emits the current sorted bottom-k hash set (update
+    * mode; ≤k longs per key forever). The sketch content is a pure
+    * function of the SET seen so far — order- and split-independent,
+    * exact below saturation — so q87's pairwise intersection/union
+    * algebra applies to the LIVE states at any point in the stream:
+    * continuous audience-overlap without re-scanning history.
+    */
+  def streamingKmv(spark: SparkSession, sourceDir: String,
+      k: Int, maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val kmv = new graft.ops.SketchOps.KMinValues(k)
+    spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, String)],
+            state: GroupState[Seq[Long]]) =>
+          val updated = rows.foldLeft(state.getOption.getOrElse(kmv.zero)) {
+            (b, r) => kmv.reduce(b, r._2)
+          }
+          state.update(updated)
+          Iterator((etype, updated))
+      }
+      .toDF("event_type", "sketch")
+  }
+
   /** Streaming strict-sequence funnel: per-user step timestamps as KEYED
     * STREAMING STATE — the grow-forever form of q88
     * ([[graft.ops.FunnelOps.funnel]]). State is the user's filled step

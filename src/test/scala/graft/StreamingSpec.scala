@@ -441,6 +441,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= exact)
   }
 
+  test("streaming HLL and KMV states are split-invariant and equal the batch fold") {
+    // the remaining two merge-tree-independent sketches get the CMS
+    // treatment: any trigger split must land on the identical state,
+    // equal to a one-shot batch fold of the same ids — so with CMS this
+    // completes 'every sketch tier has a streaming twin with the
+    // strongest equivalence its structure allows' (MG/KLL carry their
+    // guarantee-level equivalence instead; their content is tree-shaped)
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val dir = java.nio.file.Files.createTempDirectory("events-hllkmv")
+    val ids = scala.collection.mutable.ArrayBuffer[String]()
+    Seq(0, 1).foreach { f =>
+      val rows = (0 until 700).map { i =>
+        val uid = rnd.nextInt(400).toLong
+        ids += uid.toString
+        (f * 100000L + i, 1700000000000000000L + i * 1000000L,
+          uid, "type0", 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    def lastRow(df: org.apache.spark.sql.DataFrame, qn: String): org.apache.spark.sql.Row = {
+      val q = df.writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(qn).collect().last
+    }
+    val hll = new graft.ops.SketchOps.HyperLogLog(12)
+    val est1 = lastRow(EventStream.streamingDistinct(spark, dir.toString, 12, 1), "s_hll1").getLong(1)
+    val est2 = lastRow(EventStream.streamingDistinct(spark, dir.toString, 12, 2), "s_hll2").getLong(1)
+    val batchEst = hll.finish(ids.foldLeft(hll.zero)(hll.reduce))
+    assert(est1 == est2 && est1 == batchEst,
+      s"HLL streaming estimate depended on the split: $est1 / $est2 / $batchEst")
+
+    val kmv = new graft.ops.SketchOps.KMinValues(64)
+    val sk1 = lastRow(EventStream.streamingKmv(spark, dir.toString, 64, 1), "s_kmv1").getSeq[Long](1)
+    val sk2 = lastRow(EventStream.streamingKmv(spark, dir.toString, 64, 2), "s_kmv2").getSeq[Long](1)
+    val batchSk = ids.foldLeft(kmv.zero)(kmv.reduce)
+    assert(sk1 == sk2 && sk1 == batchSk, "KMV streaming state depended on the split")
+  }
+
   test("streaming funnel state equals the batch funnel under in-order delivery") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events-funnel")
