@@ -451,6 +451,43 @@ object Relational {
     },
     None)
 
+  /** FULL OUTER join — the one join type the surface lacked a graded
+    * form of: per-customer order counts in 1996 vs 1998, keeping
+    * customers active in EITHER year (nulls on the inactive side, both
+    * null sides genuinely populated on this corpus). The USING-form join
+    * coalesces the key identically in both engines.
+    *
+    * Scale shape: both sides are post-aggregation (customer-sized,
+    * partial-agg'd map-side behind a PUSHED year filter — the two scans
+    * are genuinely different reads, so there is nothing for
+    * ReuseExchange to dedupe) and hash-partition on the SAME key, so
+    * the full-outer SMJ is co-partitioned. (The single-pass
+    * alternative — one scan with two conditional counts — is the right
+    * production shape when both columns come from one table; this query
+    * exists to grade the OPERATOR, and says so.)
+    */
+  val q93 = Q(
+    "q93_full_outer",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def yr(y: Int) =
+        o.filter(col("o_orderdate") >= lit(s"$y-01-01") &&
+            col("o_orderdate") < lit(s"${y + 1}-01-01"))
+          .groupBy("o_custkey").agg(count(lit(1)).as(s"n_$y"))
+      yr(1996).join(yr(1998), Seq("o_custkey"), "full_outer")
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+           b AS (SELECT o_custkey, count(*) AS n_1998 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                   AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1)
+      SELECT o_custkey, n_1996, n_1998
+      FROM a FULL OUTER JOIN b USING (o_custkey)
+      ORDER BY o_custkey"""))
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93)
 }
