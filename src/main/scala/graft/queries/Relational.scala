@@ -486,7 +486,9 @@ object Relational {
                    AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1)
       SELECT o_custkey, n_1996, n_1998
       FROM a FULL OUTER JOIN b USING (o_custkey)
-      ORDER BY o_custkey"""))
+      ORDER BY o_custkey"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q93)

@@ -110,7 +110,10 @@ object ScaleEvidence {
     // round 11: orders-only relational headliners (o_custkey shifts with
     // the copy, so q02's month buckets and q13's per-customer windows
     // replicate at 10x customers with unchanged per-customer depth)
-    "q02_monthly_rollup", "q13_window_frames")
+    "q02_monthly_rollup", "q13_window_frames",
+    // round 11 late: the full-outer join — 10x customers on both
+    // aggregated sides of the co-partitioned FullOuter SMJ
+    "q93_full_outer")
 
   /** Queries joining orders TO lineitem — both shifts move the shared
     * orderkey by the same k*CopyShift, so copy k's orders join exactly
