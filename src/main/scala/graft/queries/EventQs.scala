@@ -413,5 +413,100 @@ object EventQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88, q92)
+  /** SCD2 change-interval build — the change-data-capture operator that
+    * turns an ordered attribute stream into a type-2 dimension: each
+    * user's item assignment (`props.k`) becomes one validity interval
+    * per RUN of equal values, `[valid_from_us, valid_to_us)` with an
+    * open (NULL) end on the current version and a per-user version
+    * ordinal. Run-length encoding of ordered state — the missing link
+    * between an event log and a point-in-time dimension (q54's as-of
+    * join is its read-side twin: as-of against the raw log ≡ equi-join
+    * against this interval table).
+    *
+    * [[graft.ops.ScdOps.history]] runs two window passes over the SAME
+    * (user_id, (us, event_id)) sort — `lag` marks run starts, then, on
+    * the change rows only (a filter that preserves both partitioning and
+    * order, so Catalyst plans ONE exchange and one sort for both
+    * windows), `lead`/`row_number` close the intervals. All integers:
+    * hash-exact. `ScdSpec` pins run collapsing, NULL-gap semantics, and
+    * the open current version on constructed data.
+    *
+    * Scale: per-user windows (activity-bounded, the session-window
+    * posture); output is change-bounded, not event-bounded — exactly why
+    * SCD2 is the 100-TB representation of slowly-changing state.
+    */
+  val q94 = Q(
+    "q94_scd2_history",
+    (s, d) => {
+      val assigns = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item")
+        .select(col("user_id"), col("item"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"), col("version"))
+        .orderBy("user_id", "version")
+    },
+    Some("""
+      WITH a AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      ch AS (
+        SELECT user_id, event_id, us, item,
+          lag(item) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_item
+        FROM a),
+      v AS (
+        SELECT user_id, event_id, us, item FROM ch
+        WHERE prev_item IS NULL OR prev_item <> item)
+      SELECT user_id, item, us AS valid_from_us,
+        lead(us) OVER w AS valid_to_us,
+        CAST(row_number() OVER w AS BIGINT) AS version
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ORDER BY user_id, version"""))
+
+  /** Trailing 1-hour per-user rolling aggregates — TIME-RANGE window
+    * frames (`RANGE BETWEEN <µs> PRECEDING AND CURRENT ROW` over
+    * `ts_us`), the variable-width sibling of q13's fixed ROWS frames:
+    * each event sees however many events fall in its trailing hour, not
+    * a fixed row count. The rate/velocity feature shape (events-per-hour,
+    * spend-per-hour) that fraud and engagement pipelines compute.
+    *
+    * The frame bound lives in the integer µs domain on both sides, so
+    * frame membership is exact; the sum is decimal-exact per the [[Det]]
+    * convention (a window frame is a deterministic SET, and decimal
+    * addition makes its sum order-independent). One exchange + one
+    * per-user sort carries both aggregates.
+    */
+  val q99 = Q(
+    "q99_rolling_1h",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us").as("us"),
+          col("value").cast(DecimalType(30, 6)).as("dv"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("dv")).over(w).cast("double"))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(value AS DECIMAL(30,6)) AS dv
+        FROM events)
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_1h,
+        CAST(sum(dv) OVER w AS DOUBLE) AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88,
+    q92, q94, q99)
 }

@@ -148,5 +148,39 @@ object GraphQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q63, q90)
+  /** Hop-distance map from the low-id seed items over the DIRECTED
+    * transition graph ([[GraphOps.bfs]], ≤ 4 hops) — the traversal
+    * primitive the graph family lacked beside ranking (q63) and density
+    * (q90): "how far does influence propagate from these sources"
+    * (contamination spread, recommendation reach). The engine runs a
+    * frontier-synchronous BFS whose disjoint layers make the layer index
+    * the distance; the oracle walks a recursive CTE over (node, depth)
+    * pairs and min-collapses. Identical integers — hash-graded.
+    */
+  val q95 = Q(
+    "q95_bfs_hops",
+    (s, d) => {
+      val edges = transitions(s, d)
+        .select(col("item").as("src"), col("next_item").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      GraphOps.bfs(edges, nodes.filter(col("node") < 5), maxHops = 4)
+        .select(col("node").as("item"), col("dist"))
+        .orderBy("item")
+    },
+    Some(s"""
+      WITH RECURSIVE $TransitionsCte,
+      edges AS (
+        SELECT DISTINCT item AS src, next_item AS dst FROM tr
+        WHERE item IS NOT NULL AND next_item IS NOT NULL AND item <> next_item),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      walk(node, d) AS (
+        SELECT node, 0 FROM nodes WHERE node < 5
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < 4)
+      SELECT node AS item, CAST(min(d) AS BIGINT) AS dist
+      FROM walk GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[Q] = Seq(q63, q90, q95)
 }

@@ -131,4 +131,44 @@ class GraphOpsSpec extends AnyFunSuite {
     // and the count is partitioning-invariant (exchanges are keyed)
     assert(triangles(messy, parts = 1) == triangles(messy, parts = 7))
   }
+
+  private def bfsMap(es: Seq[(Long, Long)], seeds: Seq[Long], hops: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.bfs(es.toDF("src", "dst"), seeds.toDF("node"), hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs: chain distances, hop bound, and branch min") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfsMap(chain, Seq(0L), 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a shortcut 0->3 wins over the 3-hop chain path
+    assert(bfsMap(chain :+ (0L, 3L), Seq(0L), 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // two seeds: every node takes its NEAREST seed
+    assert(bfsMap(chain, Seq(0L, 4L), 1) ==
+      Map(0L -> 0L, 1L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("bfs: direction respected, cycles terminate, early exit on empty frontier") {
+    // edges point INTO the seed: nothing reachable but the seed itself
+    assert(bfsMap(Seq((1L, 0L), (2L, 1L)), Seq(0L), 4) == Map(0L -> 0L))
+    // a 3-cycle: all nodes found once, loop must stop re-visiting
+    assert(bfsMap(Seq((0L, 1L), (1L, 2L), (2L, 0L)), Seq(0L), 10) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // maxHops 0: just the deduped seed layer
+    assert(bfsMap(Seq((0L, 1L)), Seq(0L, 0L), 0) == Map(0L -> 0L))
+  }
+
+  test("bfs: duplicate edges/seeds tolerated and partitioning-invariant") {
+    import spark.implicits._
+    val es = Seq((0L, 1L), (0L, 1L), (1L, 2L), (1L, 2L))
+    val got = GraphOps.bfs(
+      es.toDF("src", "dst").repartition(7), Seq(0L, 0L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // layers are disjoint: one row per node, no duplicate distances
+    val rows = GraphOps.bfs(es.toDF("src", "dst"), Seq(0L).toDF("node"), 2).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
 }
