@@ -288,5 +288,93 @@ object StatQs {
         ${if (num) s"avg($c)" else "CAST(NULL AS DOUBLE)"} AS num_mean
       FROM documents"""}.mkString(" UNION ALL ") + " ORDER BY col_name"))
 
-  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80)
+  /** Robust anomaly detection — the median/MAD 3-sigma-free outlier rule
+    * per event type, computed ENTIRELY on a value histogram: one corpus
+    * exchange builds (event_type, cents, count) — map-side partially
+    * aggregated, ~types × distinct-cents rows — and every later step
+    * (median prefix-scan, deviation re-histogram, MAD prefix-scan,
+    * outlier roll-up) runs on that histogram-sized relation. This is the
+    * low-cardinality-group answer to q65's caveat: with ~5 event types a
+    * per-group WINDOW sort would put a fifth of the corpus in one
+    * partition; the histogram path never sorts corpus rows at all.
+    *
+    * Medians are count-weighted LOWER-median selections on the histogram
+    * (smallest value whose cumulative count reaches (n−1) div 2 + 1 —
+    * integer-identical to q65's convention; floor(value·100) is monotone,
+    * so the cents-domain selection picks the true median's bucket).
+    * MAD = lower median of |v − med| on the re-histogrammed deviations;
+    * outliers are |v − med| > 3·MAD. Everything after the one IEEE
+    * floor(value·100) — mirrored literally by the oracle — is integer
+    * arithmetic: hash-exact.
+    */
+  val q97 = Q(
+    "q97_mad_outliers",
+    (s, d) => {
+      val wv = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wd = Window.partitionBy("event_type").orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // hist feeds the median scan, the deviation re-histogram, AND the
+      // final roll-up — Catalyst does not dedupe common subtrees, so
+      // persist the (tiny) histogram once
+      val hist = graft.Memo.ensurePersisted(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+          .groupBy("event_type", "v").agg(count(lit(1)).as("c")))
+      val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+      val med = hist.withColumn("cum", sum(col("c")).over(wv))
+        .join(tot, "event_type")
+        .filter(col("cum") >= expr("(n - 1) div 2 + 1"))
+        .groupBy("event_type").agg(min("v").as("med"))
+      val dev = hist.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("v") - col("med")).as("dv"), col("c"))
+        .groupBy("event_type", "dv").agg(sum("c").as("c"))
+      val mad = dev.withColumn("cum", sum(col("c")).over(wd))
+        .join(tot, "event_type")
+        .filter(col("cum") >= expr("(n - 1) div 2 + 1"))
+        .groupBy("event_type").agg(min("dv").as("mad"))
+      hist.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .withColumn("is_out", abs(col("v") - col("med")) > lit(3L) * col("mad"))
+        .groupBy("event_type", "med", "mad")
+        .agg(
+          sum(when(col("is_out"), col("c")).otherwise(lit(0L))).as("n_outliers"),
+          min(when(col("is_out"), col("v"))).as("min_out"),
+          max(when(col("is_out"), col("v"))).as("max_out"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH hist AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(c) AS n FROM hist GROUP BY 1),
+      med AS (
+        SELECT h.event_type, min(v) AS med
+        FROM (SELECT event_type, v,
+                sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+              FROM hist) h
+        JOIN tot USING (event_type)
+        WHERE cum >= (n - 1) // 2 + 1
+        GROUP BY 1),
+      dev AS (
+        SELECT h.event_type, abs(v - med) AS dv, sum(c) AS c
+        FROM hist h JOIN med USING (event_type) GROUP BY 1, 2),
+      mad AS (
+        SELECT d.event_type, min(dv) AS mad
+        FROM (SELECT event_type, dv,
+                sum(c) OVER (PARTITION BY event_type ORDER BY dv) AS cum
+              FROM dev) d
+        JOIN tot USING (event_type)
+        WHERE cum >= (n - 1) // 2 + 1
+        GROUP BY 1)
+      SELECT h.event_type, med, mad,
+        CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN c ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        min(CASE WHEN abs(v - med) > 3 * mad THEN v END) AS min_out,
+        max(CASE WHEN abs(v - med) > 3 * mad THEN v END) AS max_out
+      FROM hist h JOIN med USING (event_type) JOIN mad USING (event_type)
+      GROUP BY 1, 2, 3 ORDER BY 1"""))
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80, q97)
 }

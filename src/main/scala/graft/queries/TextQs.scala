@@ -617,7 +617,97 @@ object TextQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64, q81, q82, q84)
+  /** Approximate STRING matching — fuzzy entity resolution of the corpus
+    * vocabulary against a canonical dictionary (the product words in
+    * `part.p_name`), edit distance ≤ 1: the spell-normalization /
+    * entity-linking operator (map "widgt" → "widget") that none of the
+    * set-similarity dedup family (minhash/simhash/Jaccard are token-SET
+    * measures) covers — this one is character-level.
+    *
+    * Candidate generation is LENGTH-BLOCKED, not all-pairs: each
+    * dictionary word emits three block keys (len−1, len, len+1 — edit
+    * distance ≥ length difference, so distance-1 matches cannot cross a
+    * wider gap), tokens equi-join on their length, and only blocked
+    * candidates pay the `levenshtein` (a codegen'd built-in both engines
+    * implement with identical unit-cost semantics). Per (token, word)
+    * pair exactly one block key can match, so blocking introduces no
+    * duplicates.
+    *
+    * Scale: the token side is vocabulary-bounded (one corpus exchange to
+    * distinct it); the dictionary broadcasts; blocking divides the
+    * candidate space by the length spread. A 1e8-type vocabulary would
+    * add a first-character block dimension — same join, finer keys.
+    */
+  val q96 = Q(
+    "q96_fuzzy_match",
+    (s, d) => {
+      val dict = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word")).distinct()
+        .select(col("word"),
+          explode(sequence(length(col("word")) - 1, length(col("word")) + 1))
+            .as("blen"))
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_occ"))
+      toks.join(broadcast(dict), length(col("token")) === col("blen"))
+        .filter(levenshtein(col("token"), col("word")) <= 1)
+        .select(col("token"), col("word"),
+          levenshtein(col("token"), col("word")).cast("long").as("dist"),
+          col("n_occ"))
+        .orderBy("token", "word")
+    },
+    Some("""
+      WITH dict AS (
+        SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part),
+      dk AS (
+        SELECT word, unnest([length(word)-1, length(word), length(word)+1]) AS blen
+        FROM dict),
+      toks AS (
+        SELECT token, count(*) AS n_occ
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY 1)
+      SELECT token, word, CAST(levenshtein(token, word) AS BIGINT) AS dist, n_occ
+      FROM toks JOIN dk ON length(token) = dk.blen
+      WHERE levenshtein(token, word) <= 1
+      ORDER BY token, word"""))
+
+  /** Sharded inverted-index build — token → sorted doc-id posting lists,
+    * SEGMENTED by doc-id range (shard = doc_id div 100): the
+    * index-construction operator behind retrieval/decontamination at
+    * scale. Sharding is the 100-TB answer to the "common token = one
+    * giant posting row" skew: a term's postings land as one bounded
+    * array per segment (the Lucene/ES segment posture), and segment
+    * assignment is pure arithmetic on the key — no extra exchange beyond
+    * the one (token, shard) aggregate after the distinct.
+    *
+    * Postings are sorted in-plan and graded through a canonical string
+    * image (`array_join`) — the full posting CONTENT is hash-compared,
+    * not just counts, while keeping every graded column scalar (the
+    * driver's cell-hash contract is only exercised on scalars).
+    */
+  val q98 = Q(
+    "q98_posting_lists",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+        .withColumn("shard", expr("doc_id div 100"))
+        .groupBy("token", "shard")
+        .agg(count(lit(1)).as("df_shard"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        .orderBy("token", "shard")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents))
+      SELECT token, doc_id // 100 AS shard, count(*) AS df_shard,
+        array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+      FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
+    q81, q82, q84, q96, q98)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
