@@ -1,34 +1,39 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Dev-only inspector (not part of the library surface): prints the
-  * formatted physical plan and three timed noop-sink runs for each named
-  * query — `runMain graft.Scratch <sfDir> <q1,q2,…> [plan|time|both]`.
-  */
+/** Dev scratchpad main (not part of the library surface) — rebuilt per
+  * investigation; currently: q94 10x-tier stage profile. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args(1).split(",").toSeq else Seq("q01_pricing_summary")
-    val mode = args.lift(2).getOrElse("both")
-    val spark = Tables.configure(SparkSession.builder(),
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    names.foreach { n =>
-      val fn = Queries.byName(n).fn
-      if (mode != "time") {
-        println(s"\n===================== $n =====================")
-        println(fn(spark, d).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+    val d = args.headOption.getOrElse("/tmp/graft-scale-x10")
+    val s = Tables.configure(SparkSession.builder(), "32").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+
+    def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      s.sharedState.cacheManager.clearCache()
+      df.write.format("noop").mode("overwrite").save()
+      val ts = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }
-      if (mode != "plan") (1 to args.lift(3).map(_.toInt).getOrElse(3)).foreach { i =>
-        t(s"$n run$i")(fn(spark, d).write.format("noop").mode("overwrite").save())
-      }
+      println(f"$tag: ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
-    spark.stop()
+
+    val assigns = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+
+    time("assigns only")(assigns)
+    time("scd2 no orderBy")(
+      graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item"))
+    time("scd2 + orderBy")(
+      graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item")
+        .orderBy("user_id", "version"))
+    time("full q94")(Queries.byName("q94_scd2_history").fn(s, d))
+    s.stop()
   }
 }

@@ -464,7 +464,9 @@ object EventQs {
         lead(us) OVER w AS valid_to_us,
         CAST(row_number() OVER w AS BIGINT) AS version
       FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-      ORDER BY user_id, version"""))
+      ORDER BY user_id, version"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   /** Trailing 1-hour per-user rolling aggregates — TIME-RANGE window
     * frames (`RANGE BETWEEN <µs> PRECEDING AND CURRENT ROW` over
@@ -505,7 +507,9 @@ object EventQs {
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY us
                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-      ORDER BY event_id"""))
+      ORDER BY event_id"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88,
     q92, q94, q99)

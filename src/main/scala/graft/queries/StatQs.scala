@@ -374,7 +374,9 @@ object StatQs {
         min(CASE WHEN abs(v - med) > 3 * mad THEN v END) AS min_out,
         max(CASE WHEN abs(v - med) > 3 * mad THEN v END) AS max_out
       FROM hist h JOIN med USING (event_type) JOIN mad USING (event_type)
-      GROUP BY 1, 2, 3 ORDER BY 1"""))
+      GROUP BY 1, 2, 3 ORDER BY 1"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80, q97)
 }

@@ -50,7 +50,15 @@ object ScaleEvidence {
     // round 11: the remaining documents-family headliners — term
     // frequency (vocabulary AND corpus 10× under the word salt) and the
     // stratified sample (langs unsalted: same strata, 10× rows each)
-    "q30_term_frequency", "q47_balanced_sample")
+    "q30_term_frequency", "q47_balanced_sample",
+    // round 11 late: the sharded inverted index — 10× docs AND 10×
+    // vocabulary under the word salt (each copy's tokens are disjoint),
+    // so posting ROWS grow 10× at unchanged per-row array size; and the
+    // length-blocked fuzzy match — the token-vocabulary side grows 10×
+    // while the dictionary side stays the FIXED canonical part vocab
+    // (replication copies `part` verbatim), i.e. the production shape:
+    // corpus grows, dictionary doesn't
+    "q98_posting_lists", "q96_fuzzy_match")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -86,7 +94,20 @@ object ScaleEvidence {
     // per-user history depth; the one exchange carries 3 longs/event
     // with no map-side combine (inherent to sequential state), so this
     // row measures exactly that linear shuffle term
-    "q92_user_ewma")
+    "q92_user_ewma",
+    // round 11 late additions:
+    // - SCD2: 10x users at unchanged per-user item streams (props
+    //   verbatim under the id shift) — 10x the change intervals through
+    //   the same one-exchange two-window plan
+    // - BFS: the item graph is corpus-size-invariant (q63/q90 posture) —
+    //   measures the edge-build window + fixed frontier rounds
+    // - MAD outliers: value column verbatim, so the histogram KEY space
+    //   is unchanged while every count grows 10x — isolates the one
+    //   corpus scan + map-side partial aggregation
+    // - rolling 1h: 10x users at unchanged per-user event times — 10x
+    //   the range-frame windows at the same per-partition depth
+    "q94_scd2_history", "q95_bfs_hops", "q97_mad_outliers",
+    "q99_rolling_1h")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
@@ -232,6 +253,15 @@ object ScaleEvidence {
         col("lang"), col("source"), col("n_chars")))
   }
 
+  /** q96's dictionary side, copied VERBATIM: the canonical vocabulary is
+    * a fixed reference relation — replication grows the corpus it is
+    * matched against, never the dictionary itself. */
+  private def generatePart(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/part.parquet")
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    graft.Tables.read(spark, sfDir, "part").write.parquet(path.toString)
+  }
+
   /** 10x events: copy k shifts user_id and event_id, so every copy keeps
     * its per-user temporal structure exactly (same as-of matches, same
     * interval pairs, 10x of each) while no cross-copy row can ever join —
@@ -362,6 +392,7 @@ object ScaleEvidence {
       names.exists(n => filter.forall(selects(_, n)))
     if (wants(QueryNames ++ DocumentVariants.map(_._1)))
       generate(spark, sfDir, outDir, factor)
+    if (wants(Seq("q96_fuzzy_match"))) generatePart(spark, sfDir, outDir)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
     if (wants(LineitemQueryNames ++ JoinQueryNames))
       generateLineitem(spark, sfDir, outDir, factor)

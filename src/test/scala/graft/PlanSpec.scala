@@ -202,4 +202,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       "daily counts not partial — every event row would shuffle")
   }
+
+  test("q94: both SCD2 window passes ride ONE user-keyed exchange and sort") {
+    val p = plan("q94_scd2_history")
+    // the run-start filter preserves partitioning+order, so the
+    // lead/row_number pass must NOT re-exchange or re-sort: exactly two
+    // exchanges total (the data one + the final presentation orderBy).
+    // Formatted mode prints each node once in the tree ("Exchange (4)")
+    // and once as a detail header ("(4) Exchange") — count the headers.
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges (data + orderBy), got $exchanges")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).length >= 2,
+      "both window passes should partition by user_id")
+  }
+
+  test("q96: dictionary broadcast on blocked keys — hash join, no nested loop") {
+    val p = plan("q96_fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"),
+      "length-blocked match lost its broadcast equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fuzzy match fell back to an unblocked pair scan")
+  }
+
+  test("q97: ONE corpus scan feeds the cached histogram; medians broadcast back") {
+    val df = Queries.byName("q97_mad_outliers").fn(spark, sf)
+    val sp = df.queryExecution.sparkPlan
+    // every consumer (median scan, deviation re-histogram, roll-up) must
+    // read the persisted histogram, not re-scan events: zero file scans
+    // in the main plan (the one corpus scan lives INSIDE the cached
+    // relation), >= 3 cache reads, broadcast joins for median/MAD
+    val fileScans = sp.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.length
+    val cacheReads = sp.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c }.length
+    assert(fileScans == 0, s"histogram not reused — $fileScans direct file scans")
+    assert(cacheReads >= 3, s"expected >= 3 histogram cache reads, got $cacheReads")
+    assert(sp.toString.contains("BroadcastHashJoin"), "median/MAD joins not broadcast")
+  }
+
+  test("q99: time-range window keeps its per-user partitioning") {
+    val p = plan("q99_rolling_1h")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "rolling window lost its user partitioning — corpus would single-partition")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      "frame degraded from RANGE to ROWS semantics")
+  }
 }
