@@ -490,6 +490,75 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** CDC merge — [[graft.ops.MergeOps.applyChanges]] applying a derived
+    * changeset (updates + deletes + inserts, the three MERGE INTO arms)
+    * to the customer snapshot: the incremental-table-maintenance
+    * primitive behind every Delta/Hudi/Iceberg-style upsert pipeline.
+    * The changeset is built deterministically from 1998 order activity:
+    * every 10th active customer is DELETED, the rest are UPDATED
+    * (balance := 1998 order count, segment := 'UPDATED'), and every 7th
+    * spawns an INSERT under a shifted key — so all three arms, plus
+    * untouched pass-through rows, are graded in one result. Pure
+    * value passthrough/replacement: hash-exact.
+    *
+    * Shape: one keyed full-outer join (AQE broadcasts the changeset
+    * when small — the common CDC case); payload resolution is a
+    * codegen'd per-column when/otherwise. `MergeSpec` pins the arm
+    * semantics (incl. NULL-payload upserts and delete-absent no-ops)
+    * on constructed data.
+    */
+  val q101 = Q(
+    "q101_cdc_merge",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val ch98 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("1999-01-01"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n98"))
+      val upd = ch98.filter(col("c_custkey") % 10 =!= 0)
+        .join(cust, "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("n98").cast("double").as("c_acctbal"),
+          lit("UPDATED").as("c_mktsegment"), lit("U").as("__op"))
+      val del = ch98.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"), lit("D").as("__op"))
+      val ins = ch98.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          concat(lit("New Customer#"), col("c_custkey")).as("c_name"),
+          (col("c_custkey") % 25).cast("int").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment"),
+          lit("U").as("__op"))
+      graft.ops.MergeOps.applyChanges(cust,
+          upd.unionByName(del).unionByName(ins), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      WITH ch AS (
+        SELECT o_custkey AS k, count(*) AS n98 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+      upd AS (
+        SELECT c.c_custkey, c.c_name, c.c_nationkey,
+          CAST(ch.n98 AS DOUBLE) AS c_acctbal, 'UPDATED' AS c_mktsegment
+        FROM ch JOIN customer c ON c.c_custkey = ch.k
+        WHERE ch.k % 10 <> 0),
+      ins AS (
+        SELECT k + 10000000 AS c_custkey, 'New Customer#' || k AS c_name,
+          CAST(k % 25 AS INTEGER) AS c_nationkey,
+          CAST(0.0 AS DOUBLE) AS c_acctbal, 'NEWSEG' AS c_mktsegment
+        FROM ch WHERE k % 7 = 0)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM (
+        SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+        UNION ALL SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+          c.c_mktsegment
+        FROM customer c WHERE c.c_custkey NOT IN (SELECT k FROM ch))
+      ORDER BY c_custkey"""))
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101)
 }

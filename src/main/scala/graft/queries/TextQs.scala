@@ -710,8 +710,94 @@ object TextQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Collocation mining — the top-20 bigrams by pointwise LIFT
+    * (P(xy)/P(x)P(y), the exponential of PMI): the phrase-detection
+    * signal (word2vec-phrases / n-gram LM feature selection) beside
+    * q30's raw frequency and q49's tf·idf. A high-lift bigram is a
+    * PHRASE (its parts co-occur far above chance), a high-frequency one
+    * may just be two common words.
+    *
+    * Graded WITHOUT transcendentals: PMI itself is a log, whose libm
+    * rounding differs across engines, so the graded score is the lift
+    * ratio — `(c_xy·N·N) / (M·c_x·c_y)` evaluated in IEEE doubles in the
+    * SAME association order on both sides (each step correctly rounded ⇒
+    * bit-identical), with the exact integer counts alongside and the
+    * (lift DESC, x, y) ranking breaking ties lexically. log is monotone,
+    * so the lift ranking IS the PMI ranking. The stepwise double chain
+    * also sidesteps the int64 overflow `c_xy·N²` would hit at corpus
+    * scale (doubles near 2^53 ≫ any realistic count product's mantissa
+    * needs — and the ratio, not the raw product, is the signal).
+    *
+    * Shape: one bigram aggregate (map-side combined, pipelined from the
+    * transform — no window), one unigram aggregate, two broadcast joins
+    * of the vocabulary-sized unigram relation, scalar N/M broadcast,
+    * and the global top-20 as TakeOrderedAndProject (per-partition
+    * heaps) — the bigram vocabulary never single-partitions.
+    */
+  val q100 = Q(
+    "q100_collocations",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+      // uni feeds both join sides + the N scalar, bi feeds the scoring
+      // join + the M scalar — persist both (vocabulary-sized) so the
+      // corpus is scanned exactly twice: once per aggregate, the
+      // inherent cost. Catalyst does not dedupe common subtrees.
+      val uni = graft.Memo.ensurePersisted(
+        docs.select(explode(col("toks")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c")))
+      val bi = graft.Memo.ensurePersisted(
+        docs.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+            .as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c_xy"))
+          .select(expr("split(g, ' ')[0]").as("x"),
+            expr("split(g, ' ')[1]").as("y"), col("c_xy")))
+      val n = uni.agg(sum(col("c")).as("n"))
+      val m = bi.agg(sum(col("c_xy")).as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift").desc, col("x"), col("y"))
+      // top-20 via orderBy+limit (plans as the distributed
+      // TakeOrderedAndProject — per-partition heaps, never a global
+      // sort); the unpartitioned rank window only ever sees 20 rows
+      bi.join(broadcast(uni.select(col("t").as("x"), col("c").as("c_x"))), "x")
+        .join(broadcast(uni.select(col("t").as("y"), col("c").as("c_y"))), "y")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .withColumn("lift",
+          col("c_xy").cast("double") * col("n") * col("n") /
+            (col("m").cast("double") * col("c_x") * col("c_y")))
+        .orderBy(col("lift").desc, col("x"), col("y")).limit(20)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select("rn", "x", "y", "c_xy", "c_x", "c_y", "lift")
+        .orderBy("rn")
+    },
+    Some("""
+      WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM w)
+              GROUP BY 1),
+      ntot AS (SELECT sum(c) AS n FROM uni),
+      bi AS (
+        SELECT string_split(g, ' ')[1] AS x, string_split(g, ' ')[2] AS y, c_xy
+        FROM (
+          SELECT g, count(*) AS c_xy FROM (
+            SELECT unnest([toks[i] || ' ' || toks[i+1]
+              for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS g FROM w) t
+          GROUP BY 1)),
+      mtot AS (SELECT sum(c_xy) AS m FROM bi),
+      scored AS (
+        SELECT bi.x, bi.y, bi.c_xy, cx.c AS c_x, cy.c AS c_y,
+          CAST(bi.c_xy AS DOUBLE) * (SELECT n FROM ntot) * (SELECT n FROM ntot)
+            / (CAST((SELECT m FROM mtot) AS DOUBLE) * cx.c * cy.c) AS lift
+        FROM bi
+        JOIN uni cx ON cx.t = bi.x
+        JOIN uni cy ON cy.t = bi.y)
+      SELECT CAST(row_number() OVER (ORDER BY lift DESC, x, y) AS BIGINT) AS rn,
+        x, y, c_xy, c_x, c_y, lift
+      FROM scored QUALIFY rn <= 20 ORDER BY rn"""))
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98)
+    q81, q82, q84, q96, q98, q100)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

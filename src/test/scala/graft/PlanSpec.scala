@@ -240,6 +240,26 @@ class PlanSpec extends AnyFunSuite {
     assert(sp.toString.contains("BroadcastHashJoin"), "median/MAD joins not broadcast")
   }
 
+  test("q100: top-20 is TakeOrdered (no global sort); corpus scanned exactly twice") {
+    val df = Queries.byName("q100_collocations").fn(spark, sf)
+    val sp = df.queryExecution.sparkPlan
+    assert(sp.toString.contains("TakeOrderedAndProject"),
+      "global top-20 degraded to a full sort + limit")
+    val fileScans = sp.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.length
+    // uni+bi are cached: only their two builds may scan the corpus, and
+    // on a warm session even those serve from cache (0 direct scans)
+    assert(fileScans <= 2, s"expected <= 2 direct corpus scans, got $fileScans")
+  }
+
+  test("q101: merge is ONE keyed join per arm — no cartesian, no nested loop") {
+    val p = plan("q101_cdc_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "merge fell back to an unkeyed join")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      "snapshot/changeset join lost its full-outer form")
+  }
+
   test("q99: time-range window keeps its per-user partitioning") {
     val p = plan("q99_rolling_1h")
     assert(p.contains("windowspecdefinition(user_id"),
