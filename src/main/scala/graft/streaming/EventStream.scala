@@ -371,4 +371,57 @@ object EventStream {
       }
       .toDF("user_id", "step_ts")
   }
+
+  /** Streaming SCD2 — [[graft.ops.ScdOps.history]]'s twin as per-user
+    * keyed state: the state is the OPEN version `(item, valid_from_us,
+    * version)`; each batch folds its observations (item = `props.k`,
+    * NULLs dropped — the batch op's gap semantics) in (ts_us, event_id)
+    * order, and every value CHANGE closes the current interval (emitted
+    * downstream) and opens the next. Output rows are exactly the CLOSED
+    * intervals; the open current version lives only in state — the
+    * emit-on-close form a CDC feed into a dimension store wants (the
+    * batch op's NULL-valid_to row is the state, not an emission).
+    *
+    * Batch-equivalent under in-order delivery ACROSS batches (within a
+    * batch the fold sorts): the closed-interval set equals the batch
+    * op's non-NULL-valid_to rows, spec-pinned incl. a cross-batch run
+    * continuing (no spurious close at the batch boundary) and a
+    * cross-batch change closing the interval opened batches earlier. A
+    * LATE arrival (ts before the open version's valid_from) cannot
+    * rewrite an already-emitted interval — it is folded against the
+    * open state like any observation; feeds needing late rewrites
+    * re-run the batch op over the corrected log.
+    */
+  def streamingScd2(spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    withEventTs(spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir))
+      .select(col("user_id"), col("event_id"), unix_micros(col("event_ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          val closed = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+          var st = state.getOption
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, item) =>
+            st match {
+              case None => st = Some((item, us, 1L))
+              case Some((cur, from, ver)) if cur != item =>
+                closed += ((uid, cur, from, us, ver))
+                st = Some((item, us, ver + 1))
+              case _ => () // same value: the run continues
+            }
+          }
+          st.foreach(state.update)
+          closed.result().iterator
+      }
+      .toDF("user_id", "item", "valid_from", "valid_to", "version")
+  }
 }

@@ -545,4 +545,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCounts == batchCounts,
       s"stream $streamCounts != batch $batchCounts")
   }
+
+  test("streaming SCD2 closed intervals equal the batch history under in-order delivery") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-scd2")
+    val base = 1700000000000000000L
+    def ns(sec: Long): Long = base + sec * 1000000000L
+    def ev(id: Long, sec: Long, uid: Long, item: String): (Long, Long, Long, String, Double, String) =
+      (id, ns(sec), uid, "view", 0.0, if (item == null) "{}" else s"""{"k": $item}""")
+    // u1: run continues ACROSS the batch boundary (7,7 | 7,8) — the
+    // change in file 1 must close the interval opened in file 0;
+    // u2: whole history in file 1, with a NULL gap inside a run;
+    // u3: never changes — no closed interval ever; in-batch rows shuffled
+    val f0 = Seq(ev(2, 20, 1, "7"), ev(1, 10, 1, "7"), ev(3, 10, 3, "5"))
+    val f1 = Seq(ev(4, 30, 1, "8"), ev(5, 40, 2, "6"), ev(6, 50, 2, null),
+      ev(7, 60, 2, "6"), ev(8, 70, 2, "9"), ev(9, 80, 3, "5"))
+    Seq(0 -> f0, 1 -> f1).foreach { case (f, rs) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    val q = EventStream.streamingScd2(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("stream_scd2")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    def us(sec: Long): Long = ns(sec) / 1000L
+    assert(streamed == Set(
+      (1L, 7L, us(10), us(30), 1L), // closed ACROSS the boundary
+      (2L, 6L, us(40), us(70), 1L)), // NULL gap did not split the run
+      s"unexpected closed intervals: $streamed")
+    // == the batch op's closed (non-NULL valid_to) rows
+    val all = (f0 ++ f1).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val batchClosed = graft.ops.ScdOps.history(all, "user_id", "us", "event_id", "item")
+      .filter(col("valid_to").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batchClosed, s"stream $streamed != batch $batchClosed")
+  }
 }
