@@ -794,7 +794,9 @@ object TextQs {
         JOIN uni cy ON cy.t = bi.y)
       SELECT CAST(row_number() OVER (ORDER BY lift DESC, x, y) AS BIGINT) AS rn,
         x, y, c_xy, c_x, c_y, lift
-      FROM scored QUALIFY rn <= 20 ORDER BY rn"""))
+      FROM scored QUALIFY rn <= 20 ORDER BY rn"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
 
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100)

@@ -58,7 +58,12 @@ object ScaleEvidence {
     // while the dictionary side stays the FIXED canonical part vocab
     // (replication copies `part` verbatim), i.e. the production shape:
     // corpus grows, dictionary doesn't
-    "q98_posting_lists", "q96_fuzzy_match")
+    "q98_posting_lists", "q96_fuzzy_match",
+    // round 11 late: collocation mining — 10x docs, 10x the bigram AND
+    // unigram vocabularies under the word salt (each copy's phrase
+    // structure replicated verbatim); the top-20 heap and the two
+    // broadcast vocab joins are what the tier exercises
+    "q100_collocations")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -141,6 +146,13 @@ object ScaleEvidence {
     * copy k's lineitems: 10x the join on both sides, zero cross-copy
     * matches. */
   private val JoinQueryNames = Seq("q04_priority_revenue")
+
+  /** Queries joining orders TO customer (the custkey shifts move in
+    * lockstep, so copy k's changeset merges into copy k's snapshot):
+    * the CDC merge — 10x the snapshot AND 10x the changeset through the
+    * same one full-outer join, every arm (update/delete/insert/
+    * pass-through) replicated per copy. */
+  private val CustOrderQueryNames = Seq("q101_cdc_merge")
 
   /** Embeddings-based rows, against the signed-permutation replication
     * ([[generateEmbeddings]]). q41 (probes are the FIXED `vec_id < 5`
@@ -284,6 +296,18 @@ object ScaleEvidence {
       base.withColumn("l_orderkey", col("l_orderkey") + lit(k * CopyShift)))
   }
 
+  /** 10x customers: c_custkey shifts in lockstep with orders' o_custkey,
+    * so copy k's order-derived changeset lands on copy k's snapshot rows
+    * (q101's arm selectors are mod-10/mod-7 of the key — the 10^8 shift
+    * preserves mod 10 exactly and permutes mod 7 per copy, keeping each
+    * arm's ~density; insert keys stay inside their copy's id band). */
+  private def generateCustomer(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
+    val base = graft.Tables.read(spark, sfDir, "customer")
+    replicate(spark, outDir, "customer", base, Seq("c_custkey"), factor, k =>
+      base.withColumn("c_custkey", col("c_custkey") + lit(k * CopyShift)))
+  }
+
   private def generateOrders(spark: SparkSession, sfDir: String, outDir: String,
       factor: Int): Unit = {
     val base = graft.Tables.read(spark, sfDir, "orders")
@@ -396,8 +420,9 @@ object ScaleEvidence {
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
     if (wants(LineitemQueryNames ++ JoinQueryNames))
       generateLineitem(spark, sfDir, outDir, factor)
-    if (wants(OrdersQueryNames ++ JoinQueryNames))
+    if (wants(OrdersQueryNames ++ JoinQueryNames ++ CustOrderQueryNames))
       generateOrders(spark, sfDir, outDir, factor)
+    if (wants(CustOrderQueryNames)) generateCustomer(spark, sfDir, outDir, factor)
     if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = if (wants(QueryNames ++ DocumentVariants.map(_._1)))
@@ -405,7 +430,7 @@ object ScaleEvidence {
 
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames ++
-        JoinQueryNames)
+        JoinQueryNames ++ CustOrderQueryNames)
         .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants ++ DocumentVariants
     val selected = work.filter { case (n, _) => filter.forall(selects(_, n)) }
     val rows = selected.map { case (name, fn) =>
