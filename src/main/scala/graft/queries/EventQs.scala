@@ -511,6 +511,45 @@ object EventQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Time-series gap filling — regularize each user's event stream onto
+    * an hourly grid: every hour in the user's observed [first, last]
+    * span gets a row, zero-filled where no events landed. The
+    * resampling operator every downstream window/forecast feature needs
+    * (a missing hour must mean "0 events", not "no row" — q99's rolling
+    * frames, for one, see gaps only if they exist as rows).
+    *
+    * Shape: one (user, hour) count aggregate, a user-keyed span
+    * aggregate ON THE COUNTS (group-sized input), the grid exploded
+    * from `sequence(h0, h1)` (pipelined — no join against a calendar
+    * table), and one co-keyed left join. Output is span-bounded, not
+    * event-bounded. All integers: hash-exact.
+    */
+  val q105 = Q(
+    "q105_gap_fill",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), expr("ts_us div 3600000000").as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+      val grid = counts.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      grid.join(counts, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "h")
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+      g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM s)
+      SELECT g.user_id, g.h, coalesce(c.n, 0) AS n
+      FROM g LEFT JOIN c USING (user_id, h)
+      ORDER BY user_id, h"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88,
-    q92, q94, q99)
+    q92, q94, q99, q105)
 }

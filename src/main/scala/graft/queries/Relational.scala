@@ -561,6 +561,115 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Weighted systematic (PPS) sampling —
+    * [[graft.ops.SampleOps.weightedSystematic]]: one representative per
+    * 1000 units of quantity along the (orderkey, linenumber) walk,
+    * inclusion probability ∝ weight with ZERO randomness (same rows on
+    * every engine, run, and partitioning — the q44 stability bar applied
+    * to weighted designs). The cumulative weight rides PrefixOps'
+    * two-level scan, so nothing single-partitions: the naive
+    * `sum() OVER (ORDER BY …)` global window is exactly what the ORACLE
+    * runs and the engine refuses to. Selected rows carry their exclusive
+    * prefix, so the grade pins the entire walk, not just membership.
+    * `floor` before the bigint cast on both sides: Spark casts
+    * double→long by truncation, DuckDB by rounding — floor makes the
+    * (integral-valued) weights engine-identical by construction.
+    */
+  val q102 = Q(
+    "q102_weighted_sample",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("okey"),
+          col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("w"))
+      graft.ops.SampleOps.weightedSystematic(li, "okey", "w", step = 1000L)
+        .select("l_orderkey", "l_linenumber", "w", "cum_before")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+          l_orderkey * 10 + l_linenumber AS okey,
+          CAST(floor(l_quantity) AS BIGINT) AS w
+        FROM lineitem),
+      c AS (
+        SELECT l_orderkey, l_linenumber, w,
+          CAST(coalesce(sum(w) OVER (ORDER BY okey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cum_before
+        FROM li)
+      SELECT l_orderkey, l_linenumber, w, cum_before
+      FROM c
+      WHERE cum_before // 1000 < (cum_before + w) // 1000
+      ORDER BY l_orderkey, l_linenumber"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  /** Cross-table constraint audit — the data-quality operator beside
+    * q80's single-table profile: referential integrity (anti-join orphan
+    * counts) plus value-domain rules, one row per rule. Same-table value
+    * rules are FUSED into one conditional-sum scan per table (at 100 TB
+    * a rule catalogue must never mean a scan per rule) and stacked;
+    * referential rules are left-anti joins that reuse the join machinery.
+    * The oracle pays a NOT EXISTS per rule. All counts: hash-exact.
+    */
+  val q104 = Q(
+    "q104_constraint_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val liRules = li.agg(
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+            .otherwise(0L)).as("b"))
+        .select(expr(
+          "stack(2, 'lineitem_nonpositive_qty', a, 'lineitem_discount_range', b)" +
+            " AS (rule, n_violations)"))
+      val cRules = c.agg(
+          sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)).as("b"))
+        .select(expr(
+          "stack(2, 'customer_negative_acctbal', a, 'customer_null_segment', b)" +
+            " AS (rule, n_violations)"))
+      def orphans(rule: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(rule).as("rule"), col("n_violations"))
+      liRules.unionByName(cRules)
+        .unionByName(orphans("lineitem_orphan_order",
+          li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(orphans("order_orphan_customer",
+          o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+        .orderBy("rule")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'lineitem_nonpositive_qty' AS rule,
+          CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violations FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+          CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL
+        SELECT 'customer_negative_acctbal',
+          CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM customer
+        UNION ALL
+        SELECT 'customer_null_segment',
+          CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          FROM customer
+        UNION ALL
+        SELECT 'lineitem_orphan_order', CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'order_orphan_customer', CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ORDER BY rule"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q104)
 }

@@ -112,7 +112,11 @@ object ScaleEvidence {
     // - rolling 1h: 10x users at unchanged per-user event times — 10x
     //   the range-frame windows at the same per-partition depth
     "q94_scd2_history", "q95_bfs_hops", "q97_mad_outliers",
-    "q99_rolling_1h")
+    "q99_rolling_1h",
+    // round 11 late: gap filling — 10x users at unchanged per-user
+    // spans (ts verbatim), so the hourly grid and its co-keyed left
+    // join both grow exactly 10x
+    "q105_gap_fill")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
@@ -125,7 +129,13 @@ object ScaleEvidence {
     // and q16's pushed filters see 10x the rows; q17's per-partkey dedup
     // windows DEEPEN 10x (partkeys unshifted) — exactly the
     // WindowGroupLimit partial-pruning claim under test
-    "q01_pricing_summary", "q16_filter_scan", "q17_dedup_window")
+    "q01_pricing_summary", "q16_filter_scan", "q17_dedup_window",
+    // round 11 late: the weighted systematic sample — 10x the corpus
+    // through the two-level prefix scan; the bucket-totals relation is
+    // size-FIXED by construction, so the tier measures the scan +
+    // intra-bucket windows alone (the walk itself replicates per copy:
+    // okey shifts keep each copy's weight walk disjoint)
+    "q102_weighted_sample")
 
   /** Orders-table queries (q77's sketch-pruned quantiles) against a 10x
     * orders replication (o_orderkey/o_custkey shift, values verbatim —
@@ -152,7 +162,10 @@ object ScaleEvidence {
     * the CDC merge — 10x the snapshot AND 10x the changeset through the
     * same one full-outer join, every arm (update/delete/insert/
     * pass-through) replicated per copy. */
-  private val CustOrderQueryNames = Seq("q101_cdc_merge")
+  private val CustOrderQueryNames = Seq("q101_cdc_merge",
+    // the constraint audit ALSO reads lineitem — generated by the
+    // lineitem wants() clause below
+    "q104_constraint_audit")
 
   /** Embeddings-based rows, against the signed-permutation replication
     * ([[generateEmbeddings]]). q41 (probes are the FIXED `vec_id < 5`
@@ -418,7 +431,7 @@ object ScaleEvidence {
       generate(spark, sfDir, outDir, factor)
     if (wants(Seq("q96_fuzzy_match"))) generatePart(spark, sfDir, outDir)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
-    if (wants(LineitemQueryNames ++ JoinQueryNames))
+    if (wants(LineitemQueryNames ++ JoinQueryNames ++ Seq("q104_constraint_audit")))
       generateLineitem(spark, sfDir, outDir, factor)
     if (wants(OrdersQueryNames ++ JoinQueryNames ++ CustOrderQueryNames))
       generateOrders(spark, sfDir, outDir, factor)

@@ -260,6 +260,22 @@ class PlanSpec extends AnyFunSuite {
       "snapshot/changeset join lost its full-outer form")
   }
 
+  test("q102: every data-sized window is bucket-partitioned (two-level scan held)") {
+    val p = plan("q102_weighted_sample")
+    // the ONLY unpartitioned window allowed is the bounded bucket-totals
+    // cumsum (its windowspec orders by __bucket); the per-row cumsum must
+    // be partitioned by __bucket
+    assert(p.contains("windowspecdefinition(__bucket"),
+      "intra-bucket cumsum lost its bucket partitioning — corpus would single-partition")
+  }
+
+  test("q105: grid explodes from sequence, join stays keyed") {
+    val p = plan("q105_gap_fill")
+    assert(p.contains("sequence("), "hour grid not generated in-plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "grid join fell back to an unkeyed pairing")
+  }
+
   test("q99: time-range window keeps its per-user partitioning") {
     val p = plan("q99_rolling_1h")
     assert(p.contains("windowspecdefinition(user_id"),

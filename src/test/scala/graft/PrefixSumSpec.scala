@@ -96,4 +96,30 @@ class PrefixSumSpec extends AnyFunSuite {
     val got = PrefixOps.withExclusivePrefixSum(df, "id", "v", "got")
     assert(got.columns.contains("got") && got.count() === 0)
   }
+
+  test("weighted systematic sample: boundary crossings, certainty inclusion, invariance") {
+    import graft.ops.SampleOps
+    // weights 3,4,5,… over ids 0..: crossings of step 10 at cum 10,20,…
+    def ws(rows: Seq[(Long, Long)], step: Long, parts: Int = 3) = {
+      import spark.implicits._
+      SampleOps.weightedSystematic(
+          rows.toDF("id", "w").repartition(parts), "id", "w", step)
+        .select("id", "cum_before").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // cums before: 0,3,7,12,18,25 — rows crossing a multiple of 10:
+    // id2 (7→12 crosses 10), id4 (18→25 crosses 20); id0 crosses 0? no:
+    // 0 div 10 == 0 and (0+3) div 10 == 0 — the first boundary is at 10
+    val got = ws(Seq((0L, 3L), (1L, 4L), (2L, 5L), (3L, 6L), (4L, 7L)), 10L)
+    assert(got == Map(2L -> 7L, 4L -> 18L), s"got $got")
+    // a row heavier than the step ALWAYS crosses (certainty inclusion)
+    val heavy = ws(Seq((0L, 1L), (1L, 25L), (2L, 1L)), 10L)
+    assert(heavy.contains(1L), s"heavy row dropped: $heavy")
+    // membership is partitioning-invariant (the walk is keyed, not physical)
+    val rows = (0L until 500L).map(i => (i, i % 9 + 1))
+    assert(ws(rows, 50L, parts = 1) == ws(rows, 50L, parts = 13))
+    // expected sample size ~ totalWeight/step (systematic guarantee ±1 per bucket)
+    val total = rows.map(_._2).sum
+    assert(math.abs(ws(rows, 50L).size - total / 50L) <= 1)
+  }
 }
