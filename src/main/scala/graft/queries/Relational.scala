@@ -670,6 +670,36 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Salted skew join, GRADED: brand revenue through
+    * [[graft.ops.SkewOps.saltedJoin]] (large side salted 8 ways, small
+    * side replicated per salt) — the hot-key mitigation whose whole
+    * contract is "same result, different shuffle". The oracle runs the
+    * PLAIN join, so the grade pins exactly that contract: salting must
+    * be invisible in the answer. (SkewBucketSpec pins the mechanics on
+    * constructed skew; this pins result-identity on real data under the
+    * decimal-exact aggregate.) At 100 TB this is the shape for a fact
+    * table whose partkey histogram has a hot head — AQE's skew split
+    * handles stragglers adaptively, salting handles them structurally.
+    */
+  val q103 = Q(
+    "q103_salted_join",
+    (s, d) => {
+      graft.ops.SkewOps.saltedJoin(
+          Tables.lineitem(s, d), Tables.part(s, d),
+          "l_partkey", "p_partkey", saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("p_brand")
+    },
+    Some(s"""
+      SELECT p_brand, count(*) AS n_lines,
+        ${Det.dsumSql("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q104)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104)
 }

@@ -135,7 +135,12 @@ object ScaleEvidence {
     // size-FIXED by construction, so the tier measures the scan +
     // intra-bucket windows alone (the walk itself replicates per copy:
     // okey shifts keep each copy's weight walk disjoint)
-    "q102_weighted_sample")
+    "q102_weighted_sample",
+    // round 11 late: the salted join — the fact side grows 10x while
+    // the part dimension stays fixed (copied verbatim) and is
+    // replicated x8 by the salt: the tier measures exactly the salted
+    // shuffle the operator exists to spread
+    "q103_salted_join")
 
   /** Orders-table queries (q77's sketch-pruned quantiles) against a 10x
     * orders replication (o_orderkey/o_custkey shift, values verbatim —
@@ -429,7 +434,8 @@ object ScaleEvidence {
       names.exists(n => filter.forall(selects(_, n)))
     if (wants(QueryNames ++ DocumentVariants.map(_._1)))
       generate(spark, sfDir, outDir, factor)
-    if (wants(Seq("q96_fuzzy_match"))) generatePart(spark, sfDir, outDir)
+    if (wants(Seq("q96_fuzzy_match", "q103_salted_join")))
+      generatePart(spark, sfDir, outDir)
     if (wants(EventQueryNames)) generateEvents(spark, sfDir, outDir, factor)
     if (wants(LineitemQueryNames ++ JoinQueryNames ++ Seq("q104_constraint_audit")))
       generateLineitem(spark, sfDir, outDir, factor)
