@@ -520,5 +520,72 @@ object DedupQs {
     // family's production path and deserve their own perf gate
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83)
+  /** Bloom-prefiltered decontamination — q69's semantics through a
+    * sketch-accelerated scan: the probe 5-gram set builds ONE Bloom
+    * filter (3% fpp, `DataFrameStatFunctions.bloomFilter`), the
+    * training grams are pruned by it at scan speed, and only the
+    * bloom-survivors pay the exact semi-join that kills the false
+    * positives. The graded answer is BYTE-EQUAL to q69's (the oracle IS
+    * the exact computation): a bloom can only ADMIT extra candidates,
+    * never drop a true match, and the exact verify removes the extras —
+    * the sketch changes the plan, not the answer (q103's salting
+    * contract, applied to the sketch tier).
+    *
+    * 100-TB posture: q69's broadcast semi-join must ship the probe
+    * grams as a full hash relation; the bloom carries ~9 bits/gram, an
+    * order of magnitude less, so the scan-speed prune stays
+    * broadcastable far past the point the set form spills — and the
+    * exact join then runs over the ~fpp-sized survivor stream instead
+    * of every training gram. (Spark's own runtime bloom pruning — the
+    * PlanSpec-pinned injected form — covers equi-joins; this operator
+    * is the explicit form for when the probe relation is a separate
+    * curated set.)
+    */
+  val q106 = Q(
+    "q106_bloom_prefilter",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probeGrams = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
+        .distinct()
+      // driver-built over the (small, curated) probe side only — the
+      // same smallness contract q69's broadcast already assumes; sized
+      // from the actual distinct-gram count (a fixed 1M capacity shipped
+      // a ~1.2 MiB bloom in every task closure for a ~5k-gram set)
+      val expected = math.max(1000L, probeGrams.count())
+      val bloom = probeGrams.stat.bloomFilter("g", expected, 0.03)
+      val mightContain = udf((g: String) => bloom.mightContain(g))
+      val trainGrams = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
+        .filter(mightContain(col("g")))
+      val contaminated = trainGrams
+        .join(broadcast(probeGrams), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    // the oracle is exact decontamination — identical to q69's, which is
+    // precisely the point being graded
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+              [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+               for i in range(1, greatest(len(toks) - 4, 0) + 1)])) AS g
+            FROM t),
+      probe AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      cont AS (SELECT DISTINCT g.doc_id FROM g JOIN probe USING (g)
+               WHERE g.doc_id % 97 <> 0)
+      SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106)
 }

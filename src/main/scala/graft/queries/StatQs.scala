@@ -378,5 +378,59 @@ object StatQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80, q97)
+  /** EXACT least-squares regression aggregates — per event type, the
+    * slope of value (cents) against time (seconds since 2024-01-01) as
+    * an exact integer RATIONAL: numerator n·Σxy − Σx·Σy and denominator
+    * n·Σx² − (Σx)², every term an exact integer (per-row products fit
+    * int64; the sums ride DECIMAL(38,0) on the engine side and DuckDB's
+    * native HUGEINT on the oracle side — two different 128-bit integer
+    * representations of the SAME values, graded through their decimal
+    * string images). The trend-detection aggregate (drift monitoring,
+    * feature slopes) without the float `regr_slope` whose summation
+    * order no two engines share; callers divide the two exact integers
+    * in whatever precision they need.
+    *
+    * Shape: one map-side-combined grouped aggregate over a narrow
+    * integer projection — scan-bound, the q01 class; the rational
+    * arithmetic runs on the group-sized result.
+    */
+  val q107 = Q(
+    "q107_linreg",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("ts_us div 1000000 - 1704067200").as("x"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("y"))
+      e.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+        .select(col("event_type"), col("n"),
+          (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+            .cast("string").as("slope_num"),
+          (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("string").as("slope_den"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS x,
+          CAST(floor(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      a AS (
+        SELECT event_type, count(*) AS n,
+          sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        FROM e GROUP BY 1)
+      SELECT event_type, n,
+        CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+        CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
+      FROM a ORDER BY event_type"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q26, q27, q28, q65, q68, q77, q80, q97, q107)
 }

@@ -63,7 +63,12 @@ object ScaleEvidence {
     // unigram vocabularies under the word salt (each copy's phrase
     // structure replicated verbatim); the top-20 heap and the two
     // broadcast vocab joins are what the tier exercises
-    "q100_collocations")
+    "q100_collocations",
+    // round 11 late: the bloom-prefiltered decontamination — probe AND
+    // training sides grow 10x under the salt (disjoint per-copy gram
+    // spaces), so the driver-built bloom is 10x the probe grams and the
+    // scan-speed prune + survivor semi-join both grow linearly
+    "q106_bloom_prefilter")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -116,7 +121,12 @@ object ScaleEvidence {
     // round 11 late: gap filling — 10x users at unchanged per-user
     // spans (ts verbatim), so the hourly grid and its co-keyed left
     // join both grow exactly 10x
-    "q105_gap_fill")
+    "q105_gap_fill",
+    // round 11 late: exact regression aggregates — values and ts
+    // verbatim under replication, so every per-group sum grows 10x
+    // through one map-side-combined scan (q97's posture without the
+    // histogram: pure partial aggregation)
+    "q107_linreg")
 
   /** Lineitem-table queries (q68's two-pass histogram) measured against a
     * 10x lineitem replication: copy k shifts `l_orderkey` only — q68
