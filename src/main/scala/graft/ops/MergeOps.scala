@@ -39,8 +39,16 @@ object MergeOps {
     val expected = (keyCols ++ payload :+ opCol).sorted
     require(changes.columns.sorted.sameElements(expected),
       s"changes columns ${changes.columns.sorted.mkString(",")} != expected ${expected.mkString(",")}")
+    // op codes are VALIDATED in-plan: an unrecognized code (e.g. 'I' —
+    // some CDC feeds spell inserts that way — or a case typo) must fail
+    // loudly at execution, not silently fall through the 'U'-only keep
+    // filter below and DELETE the key
+    val opChecked = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("MergeOps.applyChanges: unknown op '"), col(opCol),
+        lit("' (expected 'U' or 'D'; collapse/translate the feed first)"))))
     val ch = changes.select(
-      (keyCols.map(col) :+ col(opCol).as("__op") :+ lit(true).as("__changed")) ++
+      (keyCols.map(col) :+ opChecked.as("__op") :+ lit(true).as("__changed")) ++
         payload.map(c => col(c).as(s"__ch_$c")): _*)
     snapshot.join(ch, keyCols, "full_outer")
       // drop deleted keys AND delete-rows for absent keys (an all-null

@@ -410,17 +410,27 @@ object DedupQs {
     * STRING shingles ([[graft.ops.TextOps.shingles]]) so the DuckDB
     * mirror builds the identical sets with a list comprehension.
     */
+  /** The decontamination pair's SHARED gram derivations (q69 exact,
+    * q106 bloom-prefiltered — one definition so the two graded paths
+    * cannot drift): distinct probe 5-grams (persisted — q106 hits it
+    * with three driver jobs: count, bloom build, broadcast) and the
+    * per-training-doc gram stream. */
+  private def probeGrams5(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "probe_grams5") {
+      Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+        .select(explode(TextOps.shingles(col("text"), 5)).as("g"))
+        .distinct()
+    }
+  private def trainGrams5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("g"))
+
   val q69 = Q(
     "q69_decontaminate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val probeGrams = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
-        .distinct()
-      val trainGrams = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
-      val contaminated = trainGrams
-        .join(broadcast(probeGrams), Seq("g"), "left_semi")
+      val contaminated = trainGrams5(s, d)
+        .join(broadcast(probeGrams5(s, d)), Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("contaminated", lit(true))
       docs.filter(col("doc_id") % 97 =!= 0)
@@ -545,9 +555,7 @@ object DedupQs {
     "q106_bloom_prefilter",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val probeGrams = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
-        .distinct()
+      val probeGrams = probeGrams5(s, d) // persisted — 3 driver jobs below
       // driver-built over the (small, curated) probe side only — the
       // same smallness contract q69's broadcast already assumes; sized
       // from the actual distinct-gram count (a fixed 1M capacity shipped
@@ -555,11 +563,8 @@ object DedupQs {
       val expected = math.max(1000L, probeGrams.count())
       val bloom = probeGrams.stat.bloomFilter("g", expected, 0.03)
       val mightContain = udf((g: String) => bloom.mightContain(g))
-      val trainGrams = docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"),
-          explode(graft.ops.TextOps.shingles(col("text"), 5)).as("g"))
+      val contaminated = trainGrams5(s, d)
         .filter(mightContain(col("g")))
-      val contaminated = trainGrams
         .join(broadcast(probeGrams), Seq("g"), "left_semi")
         .select("doc_id").distinct()
         .withColumn("contaminated", lit(true))

@@ -201,7 +201,11 @@ object UdfQs {
     (s, d) => {
       import s.implicits._
       val k = 2048
-      val dst = Tables.events(s, d).select("event_type", "user_id").distinct()
+      // dst feeds the eager sketch collect, `sizes`, and BOTH sides of
+      // the exact pair-join verify — Catalyst does not dedupe common
+      // subtrees (the q90/q97/q100 lesson), so persist the one distinct
+      val dst = graft.Memo.ensurePersisted(
+        Tables.events(s, d).select("event_type", "user_id").distinct())
       val kmv = udaf(new graft.ops.SketchOps.KMinValues(k))
       val sketches = dst.groupBy("event_type")
         .agg(kmv(col("user_id").cast("string")).as("sk"))

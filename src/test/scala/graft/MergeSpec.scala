@@ -49,6 +49,15 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("changes columns"))
   }
 
+  test("an unrecognized op code fails loudly instead of silently deleting") {
+    val e = intercept[Exception] {
+      run(snap((1L, "a", 10.0)), ch((1L, "a2", 11.0, "I")))
+    }
+    assert(e.getMessage != null && e.toString.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")),
+      s"expected the op-validation error, got: $e")
+  }
+
   test("empty changeset is the identity; result is partitioning-invariant") {
     val s = snap((1L, "a", 1.0), (2L, "b", 2.0))
     assert(run(s, ch()) == Set((1L, "a", Some(1.0)), (2L, "b", Some(2.0))))
