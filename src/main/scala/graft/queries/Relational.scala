@@ -700,6 +700,83 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Correlated SCALAR subqueries — "orders above twice their customer's
+    * average", written in the subquery form users actually type and left
+    * to Catalyst's DECORRELATION machinery: each subquery becomes an
+    * aggregate + broadcast join (the plan pin holds that NO per-row
+    * subquery execution survives — the naive semantics would re-run an
+    * aggregate per outer row). The two subqueries decorrelate into two
+    * aggregate joins (Spark's MergeScalarSubqueries does not fuse
+    * across the filter/join-condition split here — a cost-aware author
+    * writes the single-aggregate q93-style form; this entry grades the
+    * FRONT END's rewrite, not the hand-optimized shape). The threshold
+    * is the integer-exact cross-multiplied form (cents·n > 2·Σcents —
+    * no avg(double) whose summation order could flip a boundary row),
+    * so the selected SET is hash-exact.
+    */
+  val q108 = Q(
+    "q108_scalar_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_q108")
+      s.sql("""
+        WITH oc AS (SELECT o_orderkey, o_custkey,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders_q108)
+        SELECT o_orderkey, o_custkey, cents
+        FROM oc t
+        WHERE t.cents * (SELECT count(*) FROM oc i
+                         WHERE i.o_custkey = t.o_custkey)
+              > 2 * (SELECT sum(cents) FROM oc i
+                     WHERE i.o_custkey = t.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      WITH oc AS (SELECT o_orderkey, o_custkey,
+                    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+      SELECT o_orderkey, o_custkey, cents
+      FROM oc t
+      WHERE t.cents * (SELECT count(*) FROM oc i
+                       WHERE i.o_custkey = t.o_custkey)
+            > 2 * (SELECT sum(cents) FROM oc i
+                   WHERE i.o_custkey = t.o_custkey)
+      ORDER BY o_orderkey"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
+  /** LATERAL correlated subquery join — each nation's top-2 customers by
+    * balance through the `LATERAL (… ORDER BY … LIMIT 2)` form users
+    * write for dependent top-k: Catalyst decorrelates the limit into a
+    * per-key ranking (DecorrelateInnerQuery + RewriteLateralSubquery),
+    * so the executed plan is the same partial-pruned window q12's
+    * explicit form gets — the pin being that the LATERAL FRONT END
+    * reaches it. Ties broken by c_custkey in the sort, making the
+    * picked set deterministic; exact passthrough values: hash-exact.
+    */
+  val q109 = Q(
+    "q109_lateral_topk",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_q109")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q109")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_q109 n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer_q109 c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n_name, c_acctbal DESC, c_custkey""")
+    },
+    Some("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n_name, c_acctbal DESC, c_custkey"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104,
+    q108, q109)
 }

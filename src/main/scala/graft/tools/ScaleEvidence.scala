@@ -162,6 +162,10 @@ object ScaleEvidence {
     // the copy, so q02's month buckets and q13's per-customer windows
     // replicate at 10x customers with unchanged per-customer depth)
     "q02_monthly_rollup", "q13_window_frames",
+    // round 11 late: the decorrelated scalar subqueries — both
+    // aggregate joins see 10x customers at 10x orders (custkey shifts),
+    // every decorrelated aggregate partial-combines map-side
+    "q108_scalar_subquery",
     // round 11 late: the full-outer join — 10x customers on both
     // aggregated sides of the co-partitioned FullOuter SMJ
     "q93_full_outer")
@@ -177,6 +181,11 @@ object ScaleEvidence {
     * the CDC merge — 10x the snapshot AND 10x the changeset through the
     * same one full-outer join, every arm (update/delete/insert/
     * pass-through) replicated per copy. */
+  /** Customer-dimension queries: 10x customers against the FIXED nation
+    * dimension (copied verbatim) — q109's per-nation LATERAL top-2
+    * windows deepen 10x, the WindowGroupLimit partial-pruning claim. */
+  private val CustDimQueryNames = Seq("q109_lateral_topk")
+
   private val CustOrderQueryNames = Seq("q101_cdc_merge",
     // the constraint audit ALSO reads lineitem — generated by the
     // lineitem wants() clause below
@@ -296,6 +305,14 @@ object ScaleEvidence {
   /** q96's dictionary side, copied VERBATIM: the canonical vocabulary is
     * a fixed reference relation — replication grows the corpus it is
     * matched against, never the dictionary itself. */
+  /** q109's nation dimension, copied VERBATIM — same rationale as
+    * [[generatePart]]: the dimension is fixed, the fact side grows. */
+  private def generateNation(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/nation.parquet")
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    graft.Tables.read(spark, sfDir, "nation").write.parquet(path.toString)
+  }
+
   private def generatePart(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/part.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
@@ -451,7 +468,9 @@ object ScaleEvidence {
       generateLineitem(spark, sfDir, outDir, factor)
     if (wants(OrdersQueryNames ++ JoinQueryNames ++ CustOrderQueryNames))
       generateOrders(spark, sfDir, outDir, factor)
-    if (wants(CustOrderQueryNames)) generateCustomer(spark, sfDir, outDir, factor)
+    if (wants(CustOrderQueryNames ++ CustDimQueryNames))
+      generateCustomer(spark, sfDir, outDir, factor)
+    if (wants(CustDimQueryNames)) generateNation(spark, sfDir, outDir)
     if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = if (wants(QueryNames ++ DocumentVariants.map(_._1)))
@@ -459,7 +478,7 @@ object ScaleEvidence {
 
     val work: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       (QueryNames ++ EventQueryNames ++ LineitemQueryNames ++ OrdersQueryNames ++
-        JoinQueryNames ++ CustOrderQueryNames)
+        JoinQueryNames ++ CustOrderQueryNames ++ CustDimQueryNames)
         .map(n => n -> Queries.byName(n).fn) ++ EmbeddingVariants ++ DocumentVariants
     val selected = work.filter { case (n, _) => filter.forall(selects(_, n)) }
     val rows = selected.map { case (name, fn) =>

@@ -276,6 +276,22 @@ class PlanSpec extends AnyFunSuite {
       "grid join fell back to an unkeyed pairing")
   }
 
+  test("q108: correlated subqueries decorrelate — no per-row subquery execution") {
+    val p = plan("q108_scalar_subquery")
+    assert(!p.contains("Subquery") && !p.contains("CartesianProduct"),
+      "a correlated scalar subquery survived as per-row execution")
+    assert(p.contains("BroadcastHashJoin"),
+      "decorrelated aggregates not joined back by hash")
+  }
+
+  test("q109: LATERAL top-k reaches the partial-pruned ranking window") {
+    val p = plan("q109_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "lateral LIMIT not rewritten to a group-limit-pruned window")
+    assert(!p.contains("CartesianProduct"),
+      "lateral join fell back to a cartesian product")
+  }
+
   test("q99: time-range window keeps its per-user partitioning") {
     val p = plan("q99_rolling_1h")
     assert(p.contains("windowspecdefinition(user_id"),
