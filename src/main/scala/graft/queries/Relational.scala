@@ -776,7 +776,40 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Distribution window functions — `ntile` (equi-count bucketing),
+    * `percent_rank`, and `cume_dist` per market segment: the relative-
+    * standing family beside q12's ranking and q13's frames (quartile
+    * assignment, percentile scoring — the feature-engineering form of
+    * "where does this row sit in its group"). percent_rank/cume_dist
+    * are single IEEE divisions of window-integer numerators over
+    * group-count denominators — deterministic in any engine; the sort
+    * key (acctbal, custkey) is total, so tie placement is pinned. One
+    * keyed exchange carries all three functions on one sort.
+    */
+  val q110 = Q(
+    "q110_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104,
-    q108, q109)
+    q108, q109, q110)
 }

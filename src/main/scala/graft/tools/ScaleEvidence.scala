@@ -184,7 +184,11 @@ object ScaleEvidence {
   /** Customer-dimension queries: 10x customers against the FIXED nation
     * dimension (copied verbatim) — q109's per-nation LATERAL top-2
     * windows deepen 10x, the WindowGroupLimit partial-pruning claim. */
-  private val CustDimQueryNames = Seq("q109_lateral_topk")
+  private val CustDimQueryNames = Seq("q109_lateral_topk",
+    // and the distribution windows: 10x customers deepen each segment's
+    // window 10x on one keyed exchange (no group-limit pruning possible —
+    // every row is output; the honest per-row-window class)
+    "q110_window_distribution")
 
   private val CustOrderQueryNames = Seq("q101_cdc_merge",
     // the constraint audit ALSO reads lineitem — generated by the
