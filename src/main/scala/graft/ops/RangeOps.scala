@@ -62,4 +62,44 @@ object RangeOps {
     }
     joined.drop("__lb", "__rb")
   }
+
+  /** INTERVAL × INTERVAL overlap join — all pairs with
+    * `[ls, le] ∩ [rs, re] ≠ ∅` (closed intervals in a shared integer
+    * domain, e.g. epoch-µs; touching endpoints count): the concurrency
+    * primitive [[intervalJoin]]'s point-in-band form can't express,
+    * since BOTH sides have extent.
+    *
+    * Both sides replicate over the `widthUs` buckets their interval
+    * covers and equi-join on the bucket, so per-task work is bounded by
+    * bucket occupancy — never |left|×|right|. A candidate pair meets in
+    * EVERY shared bucket; the join keeps it only in the one bucket
+    * containing `greatest(ls, rs)` (the overlap's left edge — a bucket
+    * both sides by construction cover), so each pair survives exactly
+    * once with NO post-join distinct. Extra predicates (e.g. an
+    * anti-reflexivity key guard) belong in `extraCond`, INSIDE the join
+    * so they prune before the shuffle output materializes.
+    *
+    * Replication factor is `len/width + 1` per row — pick `widthUs`
+    * near the typical interval length (the [[intervalJoin]] sizing
+    * rule applied to two extended sides). Column-name contract: caller
+    * pre-renames so the frames share no names.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      widthUs: Long,
+      extraCond: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    require(widthUs > 0, s"bucket width must be positive, got $widthUs")
+    def bucket(a: org.apache.spark.sql.Column) =
+      call_function("div", a - pmod(a, lit(widthUs)), lit(widthUs))
+    val l = left.withColumn("__lb",
+      explode(sequence(bucket(col(lStart)), bucket(col(lEnd)))))
+    val r = right.withColumn("__rb",
+      explode(sequence(bucket(col(rStart)), bucket(col(rEnd)))))
+    l.join(r,
+        col("__lb") === col("__rb") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          bucket(greatest(col(lStart), col(rStart))) === col("__lb") &&
+          extraCond)
+      .drop("__lb", "__rb")
+  }
 }

@@ -550,6 +550,67 @@ object EventQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Interval OVERLAP join — concurrent sessions across users: every
+    * pair of DIFFERENT users' 10-minute-gap sessions whose [first, last]
+    * event spans intersect, with the overlap duration. The interval ×
+    * interval form q55's point-in-band join cannot express — both sides
+    * have extent — via [[graft.ops.RangeOps.overlapJoin]]'s bucketed
+    * replication with single-bucket pair ownership (no post-join
+    * distinct; the user_a < user_b guard prunes INSIDE the join). The
+    * concurrency/co-presence primitive (shared-session detection, ops
+    * incident correlation).
+    *
+    * Sessions are the q52 aggregates ([min, max] event time per
+    * session-window), so session identity is already graded; the oracle
+    * pays the naive all-pairs range self-join over its gaps-and-islands
+    * mirror. Exact integers end to end: hash-exact.
+    */
+  val q111 = Q(
+    "q111_overlap_join",
+    (s, d) => {
+      val sess = Tables.events(s, d)
+        .groupBy(session_window(col("event_ts"), "10 minutes").as("w"),
+          col("user_id"))
+        .agg(unix_micros(min(col("event_ts"))).as("ss"),
+          unix_micros(max(col("event_ts"))).as("se"))
+        .select("user_id", "ss", "se")
+      val a = sess.select(col("user_id").as("user_a"),
+        col("ss").as("sa"), col("se").as("ea"))
+      val b = sess.select(col("user_id").as("user_b"),
+        col("ss").as("sb"), col("se").as("eb"))
+      graft.ops.RangeOps.overlapJoin(a, b, "sa", "ea", "sb", "eb",
+          widthUs = 1800000000L, // 30 min ~ session scale
+          extraCond = col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"), col("sa").as("start_a"),
+          col("sb").as("start_b"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+            .as("overlap_us"))
+        .orderBy("user_a", "user_b", "start_a", "start_b")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      flagged AS (
+        SELECT user_id, t,
+          CASE WHEN lag(t) OVER w IS NULL
+                 OR t - lag(t) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      numbered AS (
+        SELECT user_id, t,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      sess AS (
+        SELECT user_id, epoch_us(min(t)) AS ss, epoch_us(max(t)) AS se
+        FROM numbered GROUP BY user_id, sid)
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+        a.ss AS start_a, b.ss AS start_b,
+        least(a.se, b.se) - greatest(a.ss, b.ss) AS overlap_us
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id AND a.ss <= b.se AND b.ss <= a.se
+      ORDER BY 1, 2, 3, 4"""),
+    // headline since round 11 (annex row in BASELINE.md)
+    headline = true)
+
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88,
-    q92, q94, q99, q105)
+    q92, q94, q99, q105, q111)
 }

@@ -122,6 +122,12 @@ object ScaleEvidence {
     // spans (ts verbatim), so the hourly grid and its co-keyed left
     // join both grow exactly 10x
     "q105_gap_fill",
+    // round 11 late: the interval-overlap join — 10x users on the SAME
+    // time span means cross-user session pairs (the OUTPUT) grow
+    // ~quadratically (~100x): this row measures an output-bound
+    // operator honestly, with the bucketed ownership join keeping the
+    // CANDIDATE work at per-bucket occupancy, never sessions x sessions
+    "q111_overlap_join",
     // round 11 late: exact regression aggregates — values and ts
     // verbatim under replication, so every per-group sum grows 10x
     // through one map-side-combined scan (q97's posture without the

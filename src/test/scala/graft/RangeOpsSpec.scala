@@ -106,4 +106,67 @@ class RangeOpsSpec extends AnyFunSuite {
       "v_user", "c_user", "view_ts", "click_ts", -1000000L, 1000000L))
     assert(got == Set((10L, 20L), (10L, 21L)))
   }
+
+  private def overlapPairs(
+      ls: Seq[(Long, Long, Long)], rs: Seq[(Long, Long, Long)],
+      width: Long): Seq[(Long, Long)] = {
+    import spark.implicits._
+    RangeOps.overlapJoin(
+        ls.toDF("lid", "lst", "len_"), rs.toDF("rid", "rst", "ren"),
+        "lst", "len_", "rst", "ren", width)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("overlap join: intersecting, touching, and disjoint intervals") {
+    val ls = Seq((1L, 100L, 200L), (2L, 500L, 600L))
+    val rs = Seq(
+      (10L, 150L, 250L), // overlaps 1
+      (11L, 200L, 300L), // touches 1's right edge — closed intervals match
+      (12L, 201L, 300L), // disjoint from 1
+      (13L, 400L, 500L), // touches 2's left edge
+      (14L, 601L, 700L)) // disjoint from 2
+    assert(overlapPairs(ls, rs, 50L).toSet ==
+      Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("overlap join: one survivor per pair even across many shared buckets") {
+    // two long intervals sharing 10 buckets at width 10 — ownership must
+    // keep exactly ONE copy of the pair
+    val got = overlapPairs(Seq((1L, 0L, 100L)), Seq((9L, 50L, 150L)), 10L)
+    assert(got == Seq((1L, 9L)), s"got $got")
+    // and the answer is width-invariant
+    for (w <- Seq(1L, 7L, 100L, 1000L))
+      assert(overlapPairs(Seq((1L, 0L, 100L)), Seq((9L, 50L, 150L)), w).size == 1,
+        s"width $w duplicated or dropped the pair")
+  }
+
+  test("overlap join matches the naive range join on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (idBase + i, s, s + 1 + rnd.nextInt(500))
+    }
+    val ls = mk(150, 0); val rs = mk(150, 1000)
+    val naive = (for {
+      (li, lst, len) <- ls; (ri, rst, ren) <- rs
+      if lst <= ren && rst <= len
+    } yield (li, ri)).toSet
+    for (w <- Seq(100L, 251L, 5000L)) {
+      val got = overlapPairs(ls, rs, w)
+      assert(got.size == got.toSet.size, s"width $w emitted duplicates")
+      assert(got.toSet == naive, s"width $w diverged from naive")
+    }
+  }
+
+  test("overlap join: extraCond prunes inside the join") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("lid", "lst", "len_")
+    val other = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("rid", "rst", "ren")
+    val got = RangeOps.overlapJoin(df, other, "lst", "len_", "rst", "ren", 50L,
+        extraCond = org.apache.spark.sql.functions.col("lid") <
+          org.apache.spark.sql.functions.col("rid"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
