@@ -292,6 +292,14 @@ class PlanSpec extends AnyFunSuite {
       "lateral join fell back to a cartesian product")
   }
 
+  test("q111: overlap join stays keyed on buckets — no cartesian, both sides replicated in-plan") {
+    val p = plan("q111_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "overlap join fell back to an all-pairs product")
+    assert("\\(\\d+\\) Generate\\b".r.findAllIn(p).length == 2,
+      "expected exactly two bucket-replication Generates (one per side)")
+  }
+
   test("q99: time-range window keeps its per-user partitioning") {
     val p = plan("q99_rolling_1h")
     assert(p.contains("windowspecdefinition(user_id"),
