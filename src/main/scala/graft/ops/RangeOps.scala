@@ -91,15 +91,32 @@ object RangeOps {
     require(widthUs > 0, s"bucket width must be positive, got $widthUs")
     def bucket(a: org.apache.spark.sql.Column) =
       call_function("div", a - pmod(a, lit(widthUs)), lit(widthUs))
-    val l = left.withColumn("__lb",
+    // INVERTED intervals (end < start) are DROPPED, not matched: an empty
+    // interval overlaps nothing. Without the guard, `sequence` would
+    // generate a DESCENDING bucket list for a malformed row (Spark flips
+    // the step to -1) and the band conjuncts can still hold — garbage
+    // matches shipping silently. The data-dependent analog of
+    // [[intervalJoin]]'s static lowerUs <= upperUs precondition,
+    // spec-pinned in RangeOpsSpec.
+    val l = left.filter(col(lEnd) >= col(lStart)).withColumn("__lb",
       explode(sequence(bucket(col(lStart)), bucket(col(lEnd)))))
-    val r = right.withColumn("__rb",
+    val r = right.filter(col(rEnd) >= col(rStart)).withColumn("__rb",
       explode(sequence(bucket(col(rStart)), bucket(col(rEnd)))))
-    l.join(r,
-        col("__lb") === col("__rb") &&
-          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
-          bucket(greatest(col(lStart), col(rStart))) === col("__lb") &&
-          extraCond)
-      .drop("__lb", "__rb")
+    val joined = l.join(r,
+      col("__lb") === col("__rb") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        bucket(greatest(col(lStart), col(rStart))) === col("__lb") &&
+        extraCond)
+    // like intervalJoin: mark the join as already binned so an extraCond
+    // that happens to carry a two-sided band on one column pair (e.g.
+    // "AND the starts are within an hour") can't make the injected
+    // BinnedIntervalJoin rule wrap a SECOND Generate around the
+    // already-exploded side
+    joined.queryExecution.analyzed.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.setTagValue(graft.plans.BinnedIntervalJoin.BinnedTag, true)
+      case _ => ()
+    }
+    joined.drop("__lb", "__rb")
   }
 }

@@ -568,12 +568,15 @@ object EventQs {
   val q111 = Q(
     "q111_overlap_join",
     (s, d) => {
-      val sess = Tables.events(s, d)
+      // both self-join sides consume sess — persist so the events scan +
+      // sessionization runs once (the q87/q106 lesson; nothing pins that
+      // ReuseExchange would dedupe the two aggregate subtrees)
+      val sess = graft.Memo.ensurePersisted(Tables.events(s, d)
         .groupBy(session_window(col("event_ts"), "10 minutes").as("w"),
           col("user_id"))
         .agg(unix_micros(min(col("event_ts"))).as("ss"),
           unix_micros(max(col("event_ts"))).as("se"))
-        .select("user_id", "ss", "se")
+        .select("user_id", "ss", "se"))
       val a = sess.select(col("user_id").as("user_a"),
         col("ss").as("sa"), col("se").as("ea"))
       val b = sess.select(col("user_id").as("user_b"),

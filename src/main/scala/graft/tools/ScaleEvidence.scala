@@ -182,11 +182,6 @@ object ScaleEvidence {
     * matches. */
   private val JoinQueryNames = Seq("q04_priority_revenue")
 
-  /** Queries joining orders TO customer (the custkey shifts move in
-    * lockstep, so copy k's changeset merges into copy k's snapshot):
-    * the CDC merge — 10x the snapshot AND 10x the changeset through the
-    * same one full-outer join, every arm (update/delete/insert/
-    * pass-through) replicated per copy. */
   /** Customer-dimension queries: 10x customers against the FIXED nation
     * dimension (copied verbatim) — q109's per-nation LATERAL top-2
     * windows deepen 10x, the WindowGroupLimit partial-pruning claim. */
@@ -196,6 +191,11 @@ object ScaleEvidence {
     // every row is output; the honest per-row-window class)
     "q110_window_distribution")
 
+  /** Queries joining orders TO customer (the custkey shifts move in
+    * lockstep, so copy k's changeset merges into copy k's snapshot):
+    * the CDC merge — 10x the snapshot AND 10x the changeset through the
+    * same one full-outer join, every arm (update/delete/insert/
+    * pass-through) replicated per copy. */
   private val CustOrderQueryNames = Seq("q101_cdc_merge",
     // the constraint audit ALSO reads lineitem — generated by the
     // lineitem wants() clause below
@@ -312,9 +312,6 @@ object ScaleEvidence {
         col("lang"), col("source"), col("n_chars")))
   }
 
-  /** q96's dictionary side, copied VERBATIM: the canonical vocabulary is
-    * a fixed reference relation — replication grows the corpus it is
-    * matched against, never the dictionary itself. */
   /** q109's nation dimension, copied VERBATIM — same rationale as
     * [[generatePart]]: the dimension is fixed, the fact side grows. */
   private def generateNation(spark: SparkSession, sfDir: String, outDir: String): Unit = {
@@ -323,6 +320,9 @@ object ScaleEvidence {
     graft.Tables.read(spark, sfDir, "nation").write.parquet(path.toString)
   }
 
+  /** q96's dictionary side, copied VERBATIM: the canonical vocabulary is
+    * a fixed reference relation — replication grows the corpus it is
+    * matched against, never the dictionary itself. */
   private def generatePart(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/part.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return

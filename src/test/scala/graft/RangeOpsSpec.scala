@@ -159,6 +159,17 @@ class RangeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("overlap join: inverted intervals are dropped, never matched") {
+    // [100, 50] is empty as an interval — without the guard, sequence()
+    // would emit a descending bucket list and the band conjuncts can
+    // still hold, shipping a garbage match silently
+    assert(overlapPairs(Seq((1L, 100L, 50L)), Seq((9L, 40L, 120L)), 10L).isEmpty)
+    assert(overlapPairs(Seq((1L, 40L, 120L)), Seq((9L, 100L, 50L)), 10L).isEmpty)
+    // well-formed rows alongside a malformed one still match
+    assert(overlapPairs(Seq((1L, 100L, 50L), (2L, 60L, 80L)),
+      Seq((9L, 40L, 120L)), 10L) == Seq((2L, 9L)))
+  }
+
   test("overlap join: extraCond prunes inside the join") {
     import spark.implicits._
     val df = Seq((1L, 0L, 100L), (2L, 50L, 150L)).toDF("lid", "lst", "len_")
