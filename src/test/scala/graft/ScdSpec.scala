@@ -55,6 +55,32 @@ class ScdSpec extends AnyFunSuite {
       (2L, 7L, 15L, null, 1L)))
   }
 
+  test("random streams match a naive per-key fold reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(94)
+    // 40 keys x ~50 observations, ~15% NULL gaps, values from a small
+    // alphabet so runs actually form; ord unique per key by construction
+    val rows = for {
+      k <- 0L until 40L
+      i <- 0 until (20 + rnd.nextInt(60))
+    } yield (k, i.toLong * 10 + rnd.nextInt(10), 0L,
+      if (rnd.nextInt(100) < 15) null else L(rnd.nextInt(4).toLong))
+    val dedup = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, ord)
+    val got = hist(dedup)
+    // naive reference: per key, sort, drop nulls, run-length encode
+    val expect = dedup.groupBy(_._1).flatMap { case (k, rs) =>
+      val obs = rs.sortBy(_._2).collect { case (_, ord, _, v) if v != null => (ord, v.longValue) }
+      val runs = obs.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (ord, v)) =>
+        if (acc.nonEmpty && acc.last._2 == v) acc else acc :+ (ord, v)
+      }
+      runs.zipWithIndex.map { case ((ord, v), i) =>
+        val to = if (i + 1 < runs.length) L(runs(i + 1)._1) else null
+        (k, v, ord, to, i + 1L)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("result is input-partitioning invariant") {
     import spark.implicits._
     val rows = (1L to 200L).map(i => (i % 5, i, 0L, L(i % 3)))
