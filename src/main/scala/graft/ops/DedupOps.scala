@@ -124,6 +124,46 @@ object DedupOps {
     * expensive expression in a verify join — is evaluated exactly once
     * per pair regardless of how the optimizer rewrites filters.
     */
+  /** Prefix-filter candidate pairs for an EXACT Jaccard >= thrNum/thrDen
+    * join (AllPairs/PPJoin — Bayardo WWW'07, Xiao WWW'08). Input:
+    * (idCol, setCol: array<element>) with DISTINCT elements per row.
+    * Elements are globally ordered rare-first by (df, element); each row
+    * keeps its first n − ceil(θ·n) + 1 elements; any pair at true
+    * J >= θ shares a kept element (if the order-smallest common element
+    * sat outside A's prefix, fewer than ceil(θ|A|) <= |A∩B| common
+    * elements could follow it). COMPLETE by that argument — callers
+    * exact-verify the candidates, so the filter only affects cost, never
+    * the answer. The exact size prefilter (den·min >= num·max, necessary
+    * for J >= θ) prunes pairs before the distinct.
+    *
+    * Scale posture: df is a vocabulary-sized aggregate; the prefix rank
+    * is an idCol-keyed window (per-row width bounded by the set size);
+    * the candidate join keys on ELEMENTS and its per-key fan-out is
+    * prefix-df² — prefix membership anti-correlates with df by
+    * construction (rare-first order), which is the whole trick.
+    */
+  def prefixFilterCandidates(sets: DataFrame, idCol: String,
+      setCol: String, thrNum: Long, thrDen: Long): DataFrame = {
+    val ex = sets.select(col(idCol), size(col(setCol)).as("n"),
+      explode(col(setCol)).as("g"))
+    val dfRel = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("df"), col("g"))
+    val prefix = ex.join(dfRel, "g")
+      .withColumn("rk", row_number().over(w))
+      // p = n − ceil(num·n/den) + 1; ceil exact on positives via
+      // (num·n + den − 1) div den
+      .filter(col("rk") <=
+        col("n") - expr(s"(${thrNum}L * n + ${thrDen - 1}L) div ${thrDen}L") + lit(1L))
+      .select(col("g"), col(idCol), col("n"))
+    val a = prefix.select(col("g"), col(idCol).as("doc_a"), col("n").as("n_a"))
+    val b = prefix.select(col("g"), col(idCol).as("doc_b"), col("n").as("n_b"))
+    a.join(b, "g")
+      .filter(col("doc_a") < col("doc_b") &&
+        lit(thrDen) * least(col("n_a"), col("n_b")) >=
+          lit(thrNum) * greatest(col("n_a"), col("n_b")))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   def jaccard(a: Column, b: Column): Column =
     jaccardFromSizes(size(array_intersect(a, b)), size(a), size(b))
 

@@ -592,5 +592,40 @@ object DedupQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106)
+  /** Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs
+    * posture — Xiao et al., WWW'08; Bayardo et al., WWW'07) at J >= 4/5:
+    * the third member of the exact-Jaccard family, with a different scale
+    * contract than its siblings. q38 bounds candidate generation by
+    * CAPPING shingle df (lossy above the cap, by a measured curve);
+    * minhash (q36) bounds it probabilistically (lossy by banding
+    * theory). Prefix filtering bounds it EXACTLY: order every shingle by
+    * global (df, fingerprint) rare-first, keep each doc's first
+    * n − ceil(θ·n) + 1 shingles, and ANY pair with true Jaccard >= θ
+    * must collide on a prefix shingle — if the smallest (in that order)
+    * common shingle g sat outside A's prefix, fewer than ceil(θ·|A|) <=
+    * |A∩B| common shingles could follow it, a contradiction. So the
+    * candidate join runs over the rarest ~20% of each doc's shingles
+    * (exactly the ones with small df — the join's per-key fan-out is
+    * df², and prefix membership anti-correlates with df BY CONSTRUCTION),
+    * with ZERO recall loss. The exact size prefilter (5·min >= 4·max) and
+    * the single-intersect rational verify are [[verified]], shared with
+    * the whole family.
+    *
+    * Shape at scale: shingle df is a vocabulary-sized aggregate; the
+    * per-doc prefix rank is a doc-keyed window over the exploded relation
+    * (bounded per-doc width); candidates group by shingle fingerprint —
+    * the one fan-out point, bounded by prefix-df, not raw df. Everything
+    * downstream of the distinct is candidate-sized.
+    */
+  val q114 = Q(
+    "q114_prefix_filter_join",
+    (s, d) => {
+      val cands = DedupOps.prefixFilterCandidates(
+        shingled(s, d), "doc_id", "shingles", 4L, 5L)
+      verified(s, d, cands, 4L, 5L)
+    },
+    Some(jaccardOracleSql(0.8)),
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114)
 }

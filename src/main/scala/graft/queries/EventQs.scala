@@ -614,6 +614,54 @@ object EventQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** First-order transition matrix over per-user event sequences — the
+    * Markov-chain estimate behind next-event prediction, anomaly scoring
+    * and session simulation. Each user's events in (ts, event_id) total
+    * order (the event_id tiebreak makes same-microsecond neighbors
+    * deterministic in both engines), consecutive pairs counted into a
+    * (prev, cur) matrix; the row-conditional probability is reported as
+    * the exact integer pair (n, tot) PLUS a 10^-6-quantized floor-div
+    * ratio — no IEEE division in the graded cells (q107's rational
+    * posture).
+    *
+    * Shape at scale: ONE user-keyed exchange+sort feeds the lag window
+    * (the q94/q99 partitioning), the pair count is a map-side-combined
+    * aggregate shrinking to |types|² rows, and the row-total is a window
+    * over that matrix-sized frame — never over data.
+    */
+  val q113 = Q(
+    "q113_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy("prev_type")))
+        .withColumn("p_q", expr("(1000000L * n) div tot"))
+        .select("prev_type", "cur_type", "n", "tot", "p_q")
+        .orderBy("prev_type", "cur_type")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      seq AS (
+        SELECT event_type AS cur_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        FROM e),
+      m AS (
+        SELECT prev_type, cur_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, cur_type, n,
+        CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS tot,
+        (1000000 * n) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_q
+      FROM m ORDER BY 1, 2"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q50, q51, q52, q53, q54, q55, q56, q58, q76, q88,
-    q92, q94, q99, q105, q111)
+    q92, q94, q99, q105, q111, q113)
 }

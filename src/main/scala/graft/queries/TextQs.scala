@@ -513,18 +513,25 @@ object TextQs {
     * The df relation is POST-aggregation (vocabulary-sized, zipf-small
     * next to the corpus), the classic broadcast side at scale.
     */
+  /** (doc_id, tok, tf) term-frequency relation, persisted ONCE per
+    * (session, dir) — cached like q36/q43's band relations: tf sits on
+    * the probe side AND under df's BroadcastExchange, where
+    * ReusedExchange can't fire, so uncached the tokenize→explode→
+    * (doc, tok) aggregation would run twice per query. Shared by q49
+    * (keyword extraction) and q112 (ranked retrieval) — one definition,
+    * one cache entry across a Verify/Bench run.
+    */
+  private def tfRelation(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "tfidf_tf") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    }
+
   val q49 = Q(
     "q49_tfidf_keywords",
     (s, d) => {
-      // cached like q36/q43's band relations: tf sits on the probe side
-      // AND under df's BroadcastExchange, where ReusedExchange can't
-      // fire — uncached, the tokenize→explode→(doc, tok) aggregation
-      // would run twice per query
-      val tf = graft.Memo.cached(s, d, "tfidf_tf") {
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      }
+      val tf = tfRelation(s, d)
       val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
@@ -798,8 +805,89 @@ object TextQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Fixed multi-term probe queries for q112 — drawn from the corpus
+    * vocabulary (TESTDATA.md's ~31-word generator) so every term matches,
+    * mirrored verbatim into the oracle's VALUES list. Deterministic
+    * in-plan literals, the q64/q96 planted-probe pattern.
+    */
+  private[graft] val RetrievalProbes: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("hash", "join", "merge"),
+    1L -> Seq("scan", "filter", "value"),
+    2L -> Seq("window", "agg", "batch"),
+    3L -> Seq("customer", "order", "slow"),
+    4L -> Seq("stream", "fast", "big"))
+
+  /** Ranked retrieval — BM25-shaped scoring over the q98 index family's
+    * data, graded hash-exact through QUANTIZED INTEGER arithmetic. True
+    * BM25 is a sum of `ln((N-df+0.5)/(df+0.5)) · tf(k1+1)/(tf+k1)` terms;
+    * the ln's last-ulp differences across libm implementations make it
+    * ungradable cross-engine (q100's problem), and unlike q100's single
+    * ratio a multi-term SUM has no monotone log-free equivalent. So the
+    * graft ranking function quantizes each factor to exact integers —
+    *   idf_q    = (10^6 · (2(N−df)+1)) div (2df+1)      [rational idf, b=0]
+    *   sattf_q  = (10^6 · 11·tf) div (5tf+6)            [k1 = 6/5: tf(k1+1)/(tf+k1)]
+    *   score    = Σ_terms idf_q · sattf_q               [BIGINT, ≤ 4·10^15 per term]
+    * — the same saturation/rarity shape (sattf is k1-saturating in tf,
+    * idf_q strictly decreasing in df), floor-div evaluated identically by
+    * Spark's `div` and DuckDB's `//` on positive BIGINTs. No length
+    * normalization (BM25 b=0): the corpus generator's doc lengths are
+    * uniform, and length-norm would add one more engine-shared division
+    * without changing the graded contract.
+    *
+    * Shape at scale: the probe relation is literal-tiny (broadcast), tf is
+    * the shared memoized (doc, tok, tf) relation — the probe join prunes
+    * it to matching terms BEFORE any per-doc work, df is vocabulary-sized
+    * (broadcast), and the per-query top-5 is a WindowGroupLimit-pruned
+    * ranking window keyed by query_id. Nothing data-sized single-partitions.
+    */
+  val q112 = Q(
+    "q112_bm25_retrieval",
+    (s, d) => {
+      val probes = broadcast(
+        s.createDataFrame(RetrievalProbes.flatMap { case (qid, ts) => ts.map(t => (qid, t)) })
+          .toDF("query_id", "tok"))
+      val tf = tfRelation(s, d)
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(probes, "tok")
+        .join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_q",
+          expr("(1000000L * (2L * (n_docs - df) + 1L)) div (2L * df + 1L)"))
+        .withColumn("sattf_q", expr("(1000000L * 11L * tf) div (5L * tf + 6L)"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("idf_q") * col("sattf_q")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH probes(query_id, tok) AS (VALUES ${RetrievalProbes
+        .flatMap { case (qid, ts) => ts.map(t => s"(${qid}, '${t}')") }
+        .mkString(", ")}),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT p.query_id, tf.doc_id,
+          CAST(sum(((1000000 * (2 * (n.n_docs - df.df) + 1)) // (2 * df.df + 1))
+             * ((1000000 * 11 * tf.tf) // (5 * tf.tf + 6))) AS BIGINT) AS score
+        FROM probes p JOIN tf ON p.tok = tf.tok JOIN df ON df.tok = p.tok, n
+        GROUP BY 1, 2)
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+        doc_id, score
+      FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100)
+    q81, q82, q84, q96, q98, q100, q112)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -307,4 +307,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("specifiedwindowframe(RangeFrame"),
       "frame degraded from RANGE to ROWS semantics")
   }
+
+  test("q112: probe/df/N relations broadcast; per-query top-5 partially pruned") {
+    val p = plan("q112_bm25_retrieval")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3,
+      "probe terms / df / N not all broadcast — a dimension-sized side shuffled")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-5 not group-limit pruned before the rank window")
+  }
+
+  test("q113: transition lag rides ONE user-keyed exchange; row-total windows the matrix, not the data") {
+    val p = plan("q113_event_transitions")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "lag window lost its user partitioning")
+    // exchanges: user-keyed (lag), matrix-keyed agg + its window, presentation sort —
+    // the load-bearing fact is the row-total window keys on prev_type (matrix-sized)
+    assert(p.contains("windowspecdefinition(prev_type"),
+      "row-total window not keyed on prev_type — would single-partition the corpus")
+  }
+
+  test("q114: prefix-filter join is keyed on shingles — no cartesian, df broadcastable") {
+    val p = plan("q114_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation fell back to an all-pairs product")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "prefix rank window lost its per-doc partitioning")
+  }
 }
