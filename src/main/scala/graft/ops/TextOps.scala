@@ -88,6 +88,37 @@ object TextOps {
   def shingleHashes(text: Column, n: Int = 3): Column =
     call_function("shingle_hash64", text, lit(n))
 
+  /** Every 1..maxN-gram of the text WITH MULTIPLICITY, tagged by order —
+    * the count-table extraction for n-gram language modeling (KenLM-style
+    * count files, interpolated-backoff estimation). Unlike [[shingles]]
+    * (a distinct SET for similarity), LM counts need every occurrence, so
+    * nothing is deduplicated. One UDF call emits all orders in one pass —
+    * the corpus is scanned ONCE for the whole (unigram, bigram, trigram)
+    * family instead of once per order. Same JVM-loop-over-HOF rationale
+    * as [[shingles]]: narrow map, codegen-opaque but allocation-lean.
+    */
+  def lmGrams(text: Column, maxN: Int = 3): Column = lmGramsUdf(text, lit(maxN))
+
+  private val lmGramsUdf = udf((text: String, maxN: Int) =>
+    if (text == null) Array.empty[(Int, String)]
+    else {
+      val toks = text.split(" ", -1)
+      val out = Array.newBuilder[(Int, String)]
+      var n = 1
+      while (n <= maxN) {
+        var i = 0
+        while (i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          out += ((n, sb.toString))
+          i += 1
+        }
+        n += 1
+      }
+      out.result()
+    })
+
   /** The plain-JVM reference implementation of [[shingleHashes]] — kept
     * as the oracle the native expression is spec-tested against. */
   private[graft] val shingleHashReference = udf((text: String, n: Int) =>

@@ -886,8 +886,41 @@ object TextQs {
       FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank"""),
     headline = true)
 
+  /** n-gram language-model count tables — the (unigram, bigram, trigram)
+    * occurrence counts KenLM-style estimation starts from, WITH
+    * multiplicity (the similarity family's distinct shingle sets are the
+    * wrong object here: P(w|h) needs every occurrence). ONE corpus scan
+    * emits all three orders ([[TextOps.lmGrams]] tags each gram with its
+    * order in a single pass), then one (order, gram)-keyed
+    * map-side-combined aggregate — count tables shrink to vocabulary^n
+    * rows, so the exchange is tiny next to the scan. Exact integer
+    * counts: hash-exact.
+    */
+  val q116 = Q(
+    "q116_lm_gram_counts",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextOps.lmGrams(col("text"), 3)).as("g"))
+        .select(col("g._1").as("gram_order"), col("g._2").as("gram"))
+        .groupBy("gram_order", "gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("gram_order", "gram")
+    },
+    Some("""
+      WITH a AS (SELECT string_split(text, ' ') AS t FROM documents),
+      grams AS (
+        SELECT 1 AS gram_order, unnest(t) AS gram FROM a
+        UNION ALL
+        SELECT 2, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) FROM a
+        UNION ALL
+        SELECT 3, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in range(1, greatest(len(t) - 2, 0) + 1)]) FROM a)
+      SELECT gram_order, gram, count(*) AS n
+      FROM grams GROUP BY 1, 2 ORDER BY 1, 2"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112)
+    q81, q82, q84, q96, q98, q100, q112, q116)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

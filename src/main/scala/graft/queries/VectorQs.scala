@@ -569,5 +569,57 @@ object VectorQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91)
+  /** Per-dimension feature statistics over the embedding corpus — the
+    * standardization/whitening pre-pass (feature scaling, PCA prep,
+    * quantizer training) every vector pipeline runs before indexing. One
+    * posexplode scan, one dim-keyed map-side-combined aggregate: count,
+    * exact quantized sums/sum-of-squares, float min/max, and the mean as
+    * a single IEEE division.
+    *
+    * Exactness contract: each float is quantized q = floor(f·2^20) — the
+    * f32→f64 widening and the 2^20 product are exponent-shift-exact, so q
+    * is deterministic in both engines — and the sums accumulate q (not f)
+    * in DECIMAL(38,0) vs DuckDB HUGEINT, graded through identical string
+    * images (the q107 128-bit posture; int64 sum-of-squares overflows at
+    * ~10^11 rows, DECIMAL(38,0) at ~10^25). min/max of floats are
+    * order-independent, safe to grade as doubles.
+    *
+    * Shape at scale: explode is a narrow map; 64 dim keys partial-agg to
+    * nothing. The ONE exchange carries 64 rows per map task.
+    */
+  val q115 = Q(
+    "q115_feature_stats",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+        .withColumn("q", expr("CAST(floor(CAST(f AS DOUBLE) * 1048576.0D) AS BIGINT)"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast(DecimalType(38, 0))).as("sq"),
+          sum((col("q").cast(DecimalType(38, 0)) * col("q").cast(DecimalType(38, 0))))
+            .as("sqq"),
+          min(col("f").cast("double")).as("min_f"),
+          max(col("f").cast("double")).as("max_f"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          col("sq").cast("string").as("sum_q"),
+          col("sqq").cast("string").as("sumsq_q"),
+          col("min_f"), col("max_f"),
+          (col("sq").cast("double") / col("n")).as("mean_q"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT u.dim, embedding[u.dim + 1] AS f
+        FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS dim) u),
+      qd AS (SELECT dim, f, CAST(floor(CAST(f AS DOUBLE) * 1048576.0) AS BIGINT) AS q FROM ex)
+      SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        CAST(sum(q) AS VARCHAR) AS sum_q,
+        CAST(sum(q*q) AS VARCHAR) AS sumsq_q,
+        CAST(min(f) AS DOUBLE) AS min_f, CAST(max(f) AS DOUBLE) AS max_f,
+        CAST(sum(q) AS DOUBLE) / count(*) AS mean_q
+      FROM qd GROUP BY 1 ORDER BY 1"""),
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115)
 }

@@ -326,6 +326,23 @@ class PlanSpec extends AnyFunSuite {
       "row-total window not keyed on prev_type — would single-partition the corpus")
   }
 
+  test("q115: dim stats partially aggregate before the one exchange") {
+    val p = plan("q115_feature_stats")
+    assert(p.contains("partial_count"),
+      "no map-side combine — every exploded element would shuffle")
+    assert(p.contains("hashpartitioning(dim"),
+      "aggregate not keyed on dim")
+  }
+
+  test("q116: gram counts partially aggregate; one corpus scan feeds all three orders") {
+    val p = plan("q116_lm_gram_counts")
+    assert("FileScan|Scan parquet".r.findAllIn(p).length <= 1 ||
+      "Location.*documents".r.findAllIn(p).length <= 1,
+      "documents scanned more than once — the one-pass lmGrams contract broke")
+    assert(p.contains("partial_count"),
+      "no map-side combine on (order, gram)")
+  }
+
   test("q114: prefix-filter join is keyed on shingles — no cartesian, df broadcastable") {
     val p = plan("q114_prefix_filter_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
