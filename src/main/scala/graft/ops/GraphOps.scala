@@ -215,4 +215,52 @@ object GraphOps {
     layers.map { case (df, dist) => df.withColumn("dist", lit(dist.toLong)) }
       .reduce(_ union _)
   }
+
+  /** Bounded-round WEIGHTED shortest paths (Bellman-Ford with a
+    * changed-vertex frontier) — [[bfs]]'s cost-aware sibling: after R
+    * rounds every node holds the exact minimum cost over paths of <= R
+    * edges from the seed set. Non-negative INTEGER weights only, so the
+    * result is hash-exact against an oracle that unrolls the same
+    * synchronous recurrence (no float accumulation order to diverge).
+    *
+    * Only nodes whose cost IMPROVED last round relax their out-edges
+    * (classical queue-based Bellman-Ford: an unimproved node re-relaxes
+    * to exactly what it already contributed), so per-round work is
+    * frontier x out-degree, not nodes x edges, and the loop exits early
+    * once no cost improves. Same per-round `localCheckpoint` lineage
+    * cuts and the same once-partitioned cached edge relation as [[bfs]].
+    *
+    * @param edges (src, dst, w) directed weighted edges, w >= 0 integer;
+    *              parallel edges tolerated (min is taken implicitly)
+    * @param seeds (node) cost-0 sources; dupes tolerated
+    * @param rounds inclusive path-length bound, >= 0
+    * @return (node: long, cost: long) — minimal <=rounds-edge path cost
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = graft.Memo.ensurePersisted(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .groupBy("src", "dst").agg(min(col("w")).as("w"))
+        .repartition(col("src")))
+    var best = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("cost", lit(0L)).localCheckpoint(true)
+    var frontier = best
+    var r = 0
+    while (r < rounds && !frontier.isEmpty) {
+      r += 1
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+      val improved = cand
+        .join(best.withColumnRenamed("cost", "old"), Seq("node"), "left")
+        .filter(col("old").isNull || col("cost") < col("old"))
+        .select("node", "cost").localCheckpoint(true)
+      best = best.join(improved.select(col("node").as("n2")),
+          col("node") === col("n2"), "left_anti")
+        .union(improved).localCheckpoint(true)
+      frontier = improved
+    }
+    best
+  }
 }

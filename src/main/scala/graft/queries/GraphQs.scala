@@ -184,5 +184,60 @@ object GraphQs {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
-  val defs: Seq[Q] = Seq(q63, q90, q95)
+  /** Weighted shortest paths over the item graph — q95's cost-aware
+    * sibling (affinity routing: "how far is every item from the seed set
+    * when rare transitions cost more"). Edge weight is the integer
+    * inverse-frequency w = (10^6 div cnt) + 1 — popular transitions are
+    * cheap, rare ones expensive, all weights positive integers so costs
+    * stay in the exact domain. Four rounds of
+    * [[GraphOps.sssp]]'s frontier Bellman-Ford; the oracle UNROLLS the
+    * same synchronous recurrence (relax-all + min per round — a
+    * recursive-CTE path walk would enumerate the exponential path space
+    * on this dense little graph), and only-improved-frontier vs
+    * relax-all provably agree after R rounds. Hash-exact integers.
+    *
+    * Scale shape: the weighted edge list is one (src,dst) aggregate off
+    * the shared transition window; each round is a frontier-sized probe
+    * of the once-partitioned cached edges plus two node-keyed exchanges.
+    */
+  val q117 = Q(
+    "q117_weighted_sssp",
+    (s, d) => {
+      val edges = transitions(s, d)
+        .groupBy(col("item").as("src"), col("next_item").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("w", expr("(1000000L div cnt) + 1L"))
+        .select("src", "dst", "w")
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      GraphOps.sssp(edges, nodes.filter(col("node") < 5), rounds = 4)
+        .select(col("node").as("item"), col("cost"))
+        .orderBy("item")
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""r$i AS (
+        SELECT e.dst AS node, min(d.cost + e.w) AS cost
+        FROM d${i - 1} d JOIN edges e ON e.src = d.node GROUP BY 1),
+      d$i AS (
+        SELECT node, min(cost) AS cost
+        FROM (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM r$i) GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $TransitionsCte,
+      ecnt AS (
+        SELECT item AS src, next_item AS dst, count(*) AS cnt FROM tr
+        WHERE item IS NOT NULL AND next_item IS NOT NULL AND item <> next_item
+        GROUP BY 1, 2),
+      edges AS (SELECT src, dst, (1000000 // cnt) + 1 AS w FROM ecnt),
+      d0 AS (
+        SELECT node, 0 AS cost FROM (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+        WHERE node < 5),
+      $rounds
+      SELECT node AS item, CAST(cost AS BIGINT) AS cost FROM d4 ORDER BY 1"""
+    },
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q63, q90, q95, q117)
 }

@@ -68,7 +68,18 @@ object ScaleEvidence {
     // training sides grow 10x under the salt (disjoint per-copy gram
     // spaces), so the driver-built bloom is 10x the probe grams and the
     // scan-speed prune + survivor semi-join both grow linearly
-    "q106_bloom_prefilter")
+    "q106_bloom_prefilter",
+    // round 11 session 4: ranked retrieval — the FIXED probe queries
+    // match only copy-0 words under the salt (corpus grows, the query
+    // doesn't: the production retrieval posture), so the tier measures
+    // the 10x tf build + broadcast probe prune at fixed match work;
+    // the prefix-filter join — within-copy Jaccard preserved, no
+    // cross-copy pairs, per-shingle df UNCHANGED (disjoint salted
+    // vocabularies) at 10x the shingle rows: candidates grow linearly,
+    // the zero-loss analogue of q38's df-capped tier; and the LM count
+    // tables — 10x corpus AND 10x vocabulary per order through the
+    // one-scan explode + map-side combine
+    "q112_bm25_retrieval", "q114_prefix_filter_join", "q116_lm_gram_counts")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -122,6 +133,17 @@ object ScaleEvidence {
     // spans (ts verbatim), so the hourly grid and its co-keyed left
     // join both grow exactly 10x
     "q105_gap_fill",
+    // round 11 session 4: the transition matrix — 10x users at
+    // unchanged per-user sequences (ts/type verbatim under the id
+    // shift), so the user-keyed lag exchange grows 10x while the
+    // (prev, cur) key space — and everything after the partial
+    // aggregate — is size-invariant
+    "q113_event_transitions",
+    // round 11 session 4: weighted SSSP — the item graph is corpus-
+    // size-invariant under event replication (q63/q90/q95 posture):
+    // measures the edge-build window + weight aggregate + fixed
+    // frontier rounds
+    "q117_weighted_sssp",
     // round 11 late: the interval-overlap join — 10x users on the SAME
     // time span means cross-user session pairs (the OUTPUT) grow
     // ~quadratically (~100x): this row measures an output-bound
@@ -243,7 +265,12 @@ object ScaleEvidence {
     // replication) — 10x the vectors through 10x-denser cells, i.e. the
     // within-cell pair work grows ~100x/cells: the honest fixed-k cost
     "q91_knn_graph [fixed-k]" -> ((s: SparkSession, d: String) =>
-      graft.queries.VectorQs.knnGraphQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
+      graft.queries.VectorQs.knnGraphQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")),
+    // round 11 session 4: per-dim feature stats — a pure scan + 64-key
+    // partial aggregate; the tier isolates the explode + map-side
+    // combine term (the exchange carries 64 rows per task at any scale)
+    "q115_feature_stats" -> ((s: SparkSession, d: String) =>
+      Queries.byName("q115_feature_stats").fn(s, d)))
 
   /** Documents-table variant measurements: the q37 wider-band form —
     * the documented production knob for the 8-bit level's quadratic

@@ -171,4 +171,52 @@ class GraphOpsSpec extends AnyFunSuite {
     val rows = GraphOps.bfs(es.toDF("src", "dst"), Seq(0L).toDF("node"), 2).collect()
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  private def ssspMap(es: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.sssp(es.toDF("src", "dst", "w"), seeds.toDF("node"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Naive reference: min cost over ALL paths of <= rounds edges. */
+  private def ssspNaive(es: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] = {
+    var best = seeds.distinct.map(_ -> 0L).toMap
+    (1 to rounds).foreach { _ =>
+      val relaxed = for ((s, d, w) <- es; c <- best.get(s)) yield d -> (c + w)
+      best = (best.toSeq ++ relaxed).groupMapReduce(_._1)(_._2)(math.min)
+    }
+    best
+  }
+
+  test("sssp: a cheap 2-hop path beats an expensive direct edge; hop bound flips it") {
+    val es = Seq((0L, 2L, 10L), (0L, 1L, 1L), (1L, 2L, 1L))
+    // 1 round: only the direct edge fits the bound
+    assert(ssspMap(es, Seq(0L), 1) == Map(0L -> 0L, 1L -> 1L, 2L -> 10L))
+    // 2 rounds: the 2-edge path (cost 2) wins
+    assert(ssspMap(es, Seq(0L), 2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("sssp: parallel edges take the min; negative-free cycles terminate; zero rounds") {
+    assert(ssspMap(Seq((0L, 1L, 5L), (0L, 1L, 3L)), Seq(0L), 1) ==
+      Map(0L -> 0L, 1L -> 3L))
+    assert(ssspMap(Seq((0L, 1L, 1L), (1L, 0L, 1L)), Seq(0L), 10) ==
+      Map(0L -> 0L, 1L -> 1L))
+    assert(ssspMap(Seq((0L, 1L, 1L)), Seq(0L, 0L), 0) == Map(0L -> 0L))
+  }
+
+  test("sssp: frontier form equals the relax-all reference on random graphs") {
+    val rnd = new scala.util.Random(117)
+    (1 to 5).foreach { _ =>
+      val n = 12
+      val es = Seq.fill(40)((rnd.nextLong(n), rnd.nextLong(n), rnd.nextLong(9) + 1))
+        .filter { case (a, b, _) => a != b }
+      val seeds = Seq(0L, rnd.nextLong(n))
+      (0 to 4).foreach { r =>
+        assert(ssspMap(es, seeds, r) == ssspNaive(es, seeds, r),
+          s"mismatch at rounds=$r for edges=$es seeds=$seeds")
+      }
+    }
+  }
 }
