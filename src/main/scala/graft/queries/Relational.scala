@@ -809,7 +809,65 @@ object Relational {
     // headline since round 11 (annex row in BASELINE.md)
     headline = true)
 
+  /** Multi-correlated EXISTS / NOT EXISTS — the TPC-H Q21 skeleton
+    * ("suppliers who were the SOLE problem in a multi-supplier order"),
+    * the one subquery shape q05/q06's single semi/anti joins and q108's
+    * scalar subqueries don't cover: TWO correlated subqueries against
+    * the same fact table with opposite polarities, plus a dimension
+    * join. Catalyst rewrites EXISTS to a left-semi and NOT EXISTS to a
+    * left-anti on the correlation key — three keyed joins over lineitem,
+    * no per-row subquery execution (plan-pinned). Count + LIMIT are
+    * exact/deterministic (ties broken by name), so the row set is
+    * hash-stable.
+    *
+    * Q21's receipt-vs-commit lateness predicate has no date columns in
+    * this corpus; the return flag plays the "problem line" role — the
+    * JOIN SHAPE, which is what this entry grades, is Q21's exactly.
+    */
+  val q120 = Q(
+    "q120_exists_chain",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q120")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q120")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q120")
+      s.sql("""
+        SELECT su.s_name, count(*) AS numwait
+        FROM lineitem_q120 l1
+        JOIN orders_q120 o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier_q120 su ON su.s_suppkey = l1.l_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_q120 l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_q120 l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10""")
+    },
+    Some("""
+      SELECT su.s_name, count(*) AS numwait
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN supplier su ON su.s_suppkey = l1.l_suppkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104,
-    q108, q109, q110)
+    q108, q109, q110, q120)
 }

@@ -621,5 +621,99 @@ object VectorQs {
       FROM qd GROUP BY 1 ORDER BY 1"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115)
+  /** Per-dimension feature HISTOGRAMS — q115's distribution-shaped
+    * sibling (drift detection, quantizer-training diagnostics): every
+    * (dim, bucket) occupancy over a fixed equal-width grid on [-1, 1),
+    * bucket = floor((f+1)·16), i.e. 32 buckets of width 1/16, with
+    * out-of-range values clamped into the edge buckets. Every step is
+    * IEEE-determined (f32→f64 exact, +1.0 correctly rounded identically
+    * in both engines, ·16 exponent-shift exact, floor exact), so bucket
+    * ids — and therefore counts — are engine-exact without quantization
+    * gymnastics. The per-dim share is the usual floor-div rational.
+    *
+    * Shape at scale: one posexplode scan into a (dim, bucket)-keyed
+    * map-side-combined aggregate (≤ 64·32 keys); the share window runs
+    * over the histogram-sized frame, never the corpus (q97's posture).
+    */
+  val q118 = Q(
+    "q118_feature_histogram",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+        .withColumn("bucket",
+          expr("greatest(0L, least(31L, CAST(floor((CAST(f AS DOUBLE) + 1.0D) * 16.0D) AS BIGINT)))"))
+        .groupBy("dim", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_q",
+          expr("(1000000L * n) div sum(n) OVER (PARTITION BY dim)"))
+        .select(col("dim").cast("long").as("dim"), col("bucket"), col("n"), col("share_q"))
+        .orderBy("dim", "bucket")
+    },
+    Some("""
+      WITH ex AS (
+        SELECT u.dim, embedding[u.dim + 1] AS f
+        FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS dim) u),
+      b AS (
+        SELECT dim,
+          greatest(0, least(31, CAST(floor((CAST(f AS DOUBLE) + 1.0) * 16.0) AS BIGINT))) AS bucket
+        FROM ex),
+      h AS (SELECT dim, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+      SELECT CAST(dim AS BIGINT) AS dim, bucket, n,
+        (1000000 * n) // CAST(sum(n) OVER (PARTITION BY dim) AS BIGINT) AS share_q
+      FROM h ORDER BY 1, 2"""),
+    headline = true)
+
+  /** Cluster purity — the standard clustering-vs-labels evaluation
+    * (how label-homogeneous is each IVF cell), over q78's SHARED
+    * memoized cell assignment (one argmax pass serves q78/q91/this).
+    * Per cell: population, majority label (ties to the smallest label id
+    * in both engines), and the floor-div purity rational. The oracle
+    * re-derives the flat assignment with the same (ccos, lowest-cid)
+    * tie-break and aggregates identically: hash-exact.
+    *
+    * Shape at scale: the label join is id-keyed; both windows run over
+    * the (cell × label) aggregate — cluster-count-sized, never corpus-
+    * sized.
+    */
+  private[graft] def clusterPurityQuery(s: SparkSession, d: String,
+      idCap: Long = Long.MaxValue, memoSuffix: String = ""): DataFrame = {
+    val cells = semanticCells(s, d, idCap, memoSuffix)
+      .select(col("id").as("vec_id"), col("cell"))
+    val cl = cells
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    cl.withColumn("n_vecs", sum(col("n")).over(Window.partitionBy("cell")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"),
+        col("label").cast("long").as("top_label"), col("n").as("n_top"),
+        expr("(1000000L * n) div n_vecs").as("purity_q"))
+      .orderBy("cell")
+  }
+
+  val q119 = Q(
+    "q119_cluster_purity",
+    (s, d) => clusterPurityQuery(s, d),
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "cent.cvec")} DESC, cent.cid) AS crn
+          FROM embeddings e CROSS JOIN cent) t WHERE crn = 1),
+      cl AS (
+        SELECT a.cell, e.label, count(*) AS n
+        FROM assign a JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2)
+      SELECT cell, CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS n_vecs,
+        CAST(label AS BIGINT) AS top_label, n AS n_top,
+        (1000000 * n) // CAST(sum(n) OVER (PARTITION BY cell) AS BIGINT) AS purity_q
+      FROM cl
+      QUALIFY row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) = 1
+      ORDER BY cell"""),
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115, q118, q119)
 }

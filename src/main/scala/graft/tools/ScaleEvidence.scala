@@ -202,7 +202,13 @@ object ScaleEvidence {
     * orderkey by the same k*CopyShift, so copy k's orders join exactly
     * copy k's lineitems: 10x the join on both sides, zero cross-copy
     * matches. */
-  private val JoinQueryNames = Seq("q04_priority_revenue")
+  private val JoinQueryNames = Seq("q04_priority_revenue",
+    // round 11 session 4: the Q21-shaped EXISTS chain — 10x lineitem
+    // and orders in lockstep (copy k's lines correlate only with copy
+    // k's lines on the shifted orderkey), the supplier dimension fixed:
+    // all three decorrelated joins grow linearly, the LIMIT heap stays
+    // 10 rows
+    "q120_exists_chain")
 
   /** Customer-dimension queries: 10x customers against the FIXED nation
     * dimension (copied verbatim) — q109's per-nation LATERAL top-2
@@ -270,7 +276,16 @@ object ScaleEvidence {
     // partial aggregate; the tier isolates the explode + map-side
     // combine term (the exchange carries 64 rows per task at any scale)
     "q115_feature_stats" -> ((s: SparkSession, d: String) =>
-      Queries.byName("q115_feature_stats").fn(s, d)))
+      Queries.byName("q115_feature_stats").fn(s, d)),
+    // same posture, (dim x bucket) keys instead of dim
+    "q118_feature_histogram" -> ((s: SparkSession, d: String) =>
+      Queries.byName("q118_feature_histogram").fn(s, d)),
+    // cluster purity in its fixed-k form (the %50 centroid relation
+    // must not grow with the replication — q42's harness rationale):
+    // 10x vectors through the N·k argmax + id-keyed label join, with
+    // the purity windows on the (cells x labels) frame at both scales
+    "q119_cluster_purity [fixed-k]" -> ((s: SparkSession, d: String) =>
+      graft.queries.VectorQs.clusterPurityQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
 
   /** Documents-table variant measurements: the q37 wider-band form —
     * the documented production knob for the 8-bit level's quadratic
@@ -341,6 +356,14 @@ object ScaleEvidence {
 
   /** q109's nation dimension, copied VERBATIM — same rationale as
     * [[generatePart]]: the dimension is fixed, the fact side grows. */
+  /** q120's supplier dimension, copied VERBATIM — same fixed-dimension
+    * rationale as [[generatePart]]/[[generateNation]]. */
+  private def generateSupplier(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/supplier.parquet")
+    if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
+    graft.Tables.read(spark, sfDir, "supplier").write.parquet(path.toString)
+  }
+
   private def generateNation(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/nation.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return
@@ -508,6 +531,7 @@ object ScaleEvidence {
     if (wants(CustOrderQueryNames ++ CustDimQueryNames))
       generateCustomer(spark, sfDir, outDir, factor)
     if (wants(CustDimQueryNames)) generateNation(spark, sfDir, outDir)
+    if (wants(Seq("q120_exists_chain"))) generateSupplier(spark, sfDir, outDir)
     if (wants(EmbeddingVariants.map(_._1))) generateEmbeddings(spark, sfDir, outDir, factor)
     val n1 = Tables.documents(spark, sfDir).count()
     val nX = if (wants(QueryNames ++ DocumentVariants.map(_._1)))

@@ -343,6 +343,21 @@ class PlanSpec extends AnyFunSuite {
       "no map-side combine on (order, gram)")
   }
 
+  test("q118: histogram counts partially aggregate; share window runs over the histogram") {
+    val p = plan("q118_feature_histogram")
+    assert(p.contains("partial_count"),
+      "no map-side combine — every exploded element would shuffle")
+    assert(p.contains("windowspecdefinition(dim"),
+      "share window lost its per-dim partitioning")
+  }
+
+  test("q120: both EXISTS decorrelate to semi/anti joins — no per-row subquery") {
+    val p = plan("q120_exists_chain")
+    assert(p.contains("LeftSemi"), "EXISTS not rewritten to a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS not rewritten to an anti join")
+    assert(!p.contains("CartesianProduct"), "correlation fell back to a cartesian")
+  }
+
   test("q114: prefix-filter join is keyed on shingles — no cartesian, df broadcastable") {
     val p = plan("q114_prefix_filter_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
