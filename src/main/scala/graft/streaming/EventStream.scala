@@ -424,4 +424,47 @@ object EventStream {
       }
       .toDF("user_id", "item", "valid_from", "valid_to", "version")
   }
+
+  /** Streaming transition pairs — q113's twin as per-user keyed state:
+    * the state is the LAST observed (ts_us, event_id, event_type); each
+    * batch folds its rows in the batch op's (ts_us, event_id) total
+    * order and emits one (prev, cur) pair per consecutive observation,
+    * INCLUDING the pair that spans the batch boundary (state → first
+    * row). Downstream counts/aggregations are the consumer's (the
+    * transition matrix is `groupBy(prev, cur).count` over the emitted
+    * pairs — kept outside so the emission stays a pure delta stream).
+    *
+    * Batch-equivalent under in-order delivery across batches (within a
+    * batch the fold sorts): the emitted pair multiset equals the batch
+    * op's lag-derived pairs under any trigger split — spec-pinned with
+    * a cross-batch boundary pair. Emission is delta-based, so a REPLAY
+    * of a processed batch re-emits its pairs: exactly-once counting
+    * needs the DocStream batch_id-partitioned idempotent sink posture.
+    */
+  def streamingTransitions(spark: SparkSession, sourceDir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    withEventTs(spark.readStream
+      .schema(schemaFor(spark, sourceDir))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("event_ts")).as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          val out = Vector.newBuilder[(Long, String, String)]
+          var prev = state.getOption
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, us, typ) =>
+            prev.foreach { case (_, _, ptyp) => out += ((uid, ptyp, typ)) }
+            prev = Some((us, eid, typ))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("user_id", "prev_type", "cur_type")
+  }
 }

@@ -591,4 +591,50 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batchClosed, s"stream $streamed != batch $batchClosed")
   }
+
+  test("streaming transition pairs equal the batch lag pairs under a 2-file split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-trans")
+    val base = 1700000000000000000L
+    def ns(sec: Long): Long = base + sec * 1000000000L
+    def ev(id: Long, sec: Long, uid: Long, typ: String) =
+      (id, ns(sec), uid, typ, 0.0, "{}")
+    // u1's pair SPANS the boundary (click in f0 -> view in f1); u2 is
+    // wholly in f1; u3 has a single event — no pair ever; same-second
+    // rows (u2 at sec 40) must break ties by event_id; in-batch rows
+    // written shuffled — the fold must sort
+    val f0 = Seq(ev(2, 20, 1, "click"), ev(1, 10, 1, "view"), ev(3, 5, 3, "error"))
+    val f1 = Seq(ev(6, 40, 2, "purchase"), ev(5, 40, 2, "view"),
+      ev(4, 30, 1, "view"))
+    Seq(0 -> f0, 1 -> f1).foreach { case (f, rs) =>
+      rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/f$f")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/f$f"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$dir/b$f.parquet"))
+    }
+    val q = EventStream.streamingTransitions(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("stream_trans")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_trans").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    // == the batch op's lag-derived pairs over the union of both files
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val batchPairs = (f0 ++ f1)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getString(3))).toSeq.sorted
+    assert(streamed == batchPairs, s"stream $streamed != batch $batchPairs")
+    assert(streamed.contains((1L, "click", "view")),
+      "boundary-spanning pair lost — state not carried across batches")
+    assert(streamed.contains((2L, "view", "purchase")),
+      "same-timestamp pair ordered wrong — event_id tiebreak broken")
+  }
 }
