@@ -55,7 +55,7 @@ object DedupQs {
     * shingle sets; the counts agree because the fingerprint is injective
     * on the corpus (64-bit, ~27 k distinct shingles at sf0.1).
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "doc_shingles") {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
@@ -627,5 +627,56 @@ object DedupQs {
     Some(jaccardOracleSql(0.8)),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114)
+  /** Cluster-representative selection — the step AFTER q39's clustering:
+    * a production dedup keeps the BEST document of each near-dup cluster
+    * (longest here — n_chars, ties to the smallest doc_id), not the
+    * arbitrary smallest-id canonical node. One map-side-combined
+    * `max_by(struct)` per component over the CC output joined to the
+    * corpus metadata — no window, no sort; the struct comparison
+    * realizes the (quality DESC, id ASC) policy exactly in both engines
+    * (negated doc_id in the ordering key). Exact integers: hash-exact.
+    */
+  val q122 = Q(
+    "q122_cluster_representatives",
+    (s, d) => {
+      val pairs = minhashNearDupPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val cc = DedupOps.connectedComponents(pairs)
+      cc.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          cc("id") === col("doc_id"))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(struct(col("doc_id").as("rep_doc_id"), col("n_chars").as("rep_chars")),
+            struct(col("n_chars"), negate(col("doc_id")))).as("rep"))
+        .select(col("comp"), col("n_docs"),
+          col("rep.rep_doc_id").as("rep_doc_id"), col("rep.rep_chars").as("rep_chars"))
+        .orderBy("comp")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(id, reach) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach),
+      cc AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id)
+      SELECT comp, n_docs, doc_id AS rep_doc_id, n_chars AS rep_chars FROM (
+        SELECT cc.comp, CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_docs,
+          d.doc_id, d.n_chars,
+          row_number() OVER (PARTITION BY comp ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM cc JOIN documents d ON d.doc_id = cc.id) t
+      WHERE rn = 1 ORDER BY comp"""),
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114, q122)
 }

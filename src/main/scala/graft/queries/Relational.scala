@@ -867,7 +867,44 @@ object Relational {
       LIMIT 10"""),
     headline = true)
 
+  /** MULTISET set operations — `INTERSECT ALL` / `EXCEPT ALL`, the
+    * multiplicity-preserving forms q14's distinct set ops don't cover
+    * (a customer with 3 orders in 1996 and 1 in 1998 contributes 1
+    * `both` row and 2 `only_1996` rows — per-key min / truncated
+    * difference of multiplicities). Spark plans both as aggregate-count
+    * + generate (replicate_rows over the min/diff), one exchange per
+    * side keyed on the value — never a row-by-row match join. Exact
+    * integer multiplicities: hash-exact.
+    */
+  val q121 = Q(
+    "q121_multiset_ops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def keysIn(year: Int): DataFrame =
+        o.filter(col("o_orderdate") >= lit(s"$year-01-01") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01"))
+          .select(col("o_custkey"))
+      val a = keysIn(1996)
+      val b = keysIn(1998)
+      a.intersectAll(b).select(lit("both").as("tag"), col("o_custkey"))
+        .unionAll(a.exceptAll(b).select(lit("only_1996").as("tag"), col("o_custkey")))
+        .unionAll(b.exceptAll(a).select(lit("only_1998").as("tag"), col("o_custkey")))
+        .orderBy("tag", "o_custkey")
+    },
+    Some("""
+      WITH a AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+      b AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01')
+      SELECT 'both' AS tag, * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'only_1996', * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      UNION ALL
+      SELECT 'only_1998', * FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+      ORDER BY tag, o_custkey"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104,
-    q108, q109, q110, q120)
+    q108, q109, q110, q120, q121)
 }

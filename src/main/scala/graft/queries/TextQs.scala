@@ -919,8 +919,50 @@ object TextQs {
       FROM grams GROUP BY 1, 2 ORDER BY 1, 2"""),
     headline = true)
 
+  /** Per-document NOVELTY scoring — what fraction of a document's
+    * distinct shingles first appear in IT, under the corpus's doc_id
+    * order (an append-ordered corpus: "how much genuinely new content
+    * does each document contribute"). The near-dup families find PAIRS;
+    * this is the monitoring view a growing training corpus watches —
+    * replicas score ~0, fresh content ~10^6. First-occurrence is a
+    * vocabulary-sized min-aggregate over the SHARED cached shingle
+    * relation (q36/q37/q38/q114's `doc_shingles` — one cache entry
+    * across the whole family); the per-doc count is a doc-keyed
+    * aggregate; the score is the floor-div rational. Exact integers:
+    * hash-exact (fingerprints are injective on the corpus, so counts
+    * agree with the oracle's string-shingle mirror).
+    */
+  val q123 = Q(
+    "q123_novelty_score",
+    (s, d) => {
+      val ex = DedupQs.shingled(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+      val firstDoc = ex.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      ex.join(firstDoc, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
+        .withColumn("novelty_q", expr("(1000000L * n_first) div n_grams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                  || ' ' || string_split(text, ' ')[i+2]
+                  for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)])) AS g
+        FROM documents),
+      fd AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT sh.doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        (1000000 * CAST(sum(CASE WHEN fd.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS novelty_q
+      FROM sh JOIN fd USING (g)
+      GROUP BY 1 ORDER BY 1"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

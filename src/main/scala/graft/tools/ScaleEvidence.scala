@@ -79,7 +79,14 @@ object ScaleEvidence {
     // the zero-loss analogue of q38's df-capped tier; and the LM count
     // tables — 10x corpus AND 10x vocabulary per order through the
     // one-scan explode + map-side combine
-    "q112_bm25_retrieval", "q114_prefix_filter_join", "q116_lm_gram_counts")
+    "q112_bm25_retrieval", "q114_prefix_filter_join", "q116_lm_gram_counts",
+    // round 11 session 4 late: cluster representatives — within-copy
+    // near-dup structure preserved under the salt, so clusters (and the
+    // per-cluster max_by) grow 10x in count at unchanged size; novelty —
+    // first-occurrence min over a 10x shingle vocabulary at unchanged
+    // per-shingle df, i.e. the vocabulary aggregate + doc-keyed count
+    // both grow linearly
+    "q122_cluster_representatives", "q123_novelty_score")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -186,6 +193,9 @@ object ScaleEvidence {
     * distribution: the sketch partials and the per-percentile bands stay
     * fixed-size, only the scans grow). */
   private val OrdersQueryNames = Seq("q77_kll_quantiles",
+    // round 11 session 4 late: multiset ops — 10x custkey multiplicities
+    // per copy through the per-side count aggregates and replicate-rows
+    "q121_multiset_ops",
     // round 11: orders-only relational headliners (o_custkey shifts with
     // the copy, so q02's month buckets and q13's per-customer windows
     // replicate at 10x customers with unchanged per-customer depth)

@@ -358,6 +358,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "correlation fell back to a cartesian")
   }
 
+  test("q121: multiset ops plan as count-aggregate + replicate-rows Generates, not match joins") {
+    val p = plan("q121_multiset_ops")
+    assert("\\(\\d+\\) Generate\\b".r.findAllIn(p).length == 3,
+      "expected one replicate_rows Generate per multiset operator")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "multiset op degraded to a row-match join")
+  }
+
+  test("q123: novelty first-occurrence aggregates partially; shingles served from the family cache") {
+    val p = plan("q123_novelty_score")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "no map-side combine on the first-occurrence aggregate")
+    assert(p.contains("InMemoryTableScan"),
+      "doc_shingles not served from the shared family cache")
+  }
+
   test("q114: prefix-filter join is keyed on shingles — no cartesian, df broadcastable") {
     val p = plan("q114_prefix_filter_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
