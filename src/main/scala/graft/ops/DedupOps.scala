@@ -114,16 +114,6 @@ object DedupOps {
         col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
   }
 
-  /** Exact Jaccard between two distinct-element arrays, as an IEEE double
-    * (identical in any engine given identical integer cardinalities).
-    *
-    * NOTE for hot paths: this inlines `array_intersect` into both the
-    * numerator and denominator of one expression tree; prefer binding
-    * `size(array_intersect(a, b))` to its own projected column first and
-    * using [[jaccardFromSizes]], so the intersection — the single most
-    * expensive expression in a verify join — is evaluated exactly once
-    * per pair regardless of how the optimizer rewrites filters.
-    */
   /** Prefix-filter candidate pairs for an EXACT Jaccard >= thrNum/thrDen
     * join (AllPairs/PPJoin — Bayardo WWW'07, Xiao WWW'08). Input:
     * (idCol, setCol: array<element>) with DISTINCT elements per row.
@@ -144,6 +134,11 @@ object DedupOps {
     */
   def prefixFilterCandidates(sets: DataFrame, idCol: String,
       setCol: String, thrNum: Long, thrDen: Long): DataFrame = {
+    // a bad denominator would NULL the prefix predicate under non-ANSI
+    // div and silently return ZERO candidates from a zero-recall-loss
+    // contract — fail loudly instead
+    require(thrNum >= 1 && thrDen >= thrNum,
+      s"threshold must satisfy 0 < thrNum/thrDen <= 1: $thrNum/$thrDen")
     val ex = sets.select(col(idCol), size(col(setCol)).as("n"),
       explode(col(setCol)).as("g"))
     val dfRel = ex.groupBy("g").agg(count(lit(1)).as("df"))
@@ -164,6 +159,16 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Exact Jaccard between two distinct-element arrays, as an IEEE double
+    * (identical in any engine given identical integer cardinalities).
+    *
+    * NOTE for hot paths: this inlines `array_intersect` into both the
+    * numerator and denominator of one expression tree; prefer binding
+    * `size(array_intersect(a, b))` to its own projected column first and
+    * using [[jaccardFromSizes]], so the intersection — the single most
+    * expensive expression in a verify join — is evaluated exactly once
+    * per pair regardless of how the optimizer rewrites filters.
+    */
   def jaccard(a: Column, b: Column): Column =
     jaccardFromSizes(size(array_intersect(a, b)), size(a), size(b))
 

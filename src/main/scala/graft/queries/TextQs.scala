@@ -502,17 +502,6 @@ object TextQs {
     // untouched) — the repetition filters are a core dedup-adjacent path
     headline = true)
 
-  /** Keyword extraction — top-3 terms per document by tf·idf ORDER,
-    * realized as the integer ranking (tf desc, df asc, token asc). For a
-    * fixed document this is exactly the tf·idf ordering wherever it is
-    * strict (idf strictly decreases in df), and the integer tiebreak
-    * makes the rest deterministic — no ln()/float scores whose last-ulp
-    * differences across engines would flip ranks in the oracle compare.
-    * Shape: explode → (doc, term) partial-agg → term-keyed df join →
-    * per-doc top-k window (WindowGroupLimit prunes before the exchange).
-    * The df relation is POST-aggregation (vocabulary-sized, zipf-small
-    * next to the corpus), the classic broadcast side at scale.
-    */
   /** (doc_id, tok, tf) term-frequency relation, persisted ONCE per
     * (session, dir) — cached like q36/q43's band relations: tf sits on
     * the probe side AND under df's BroadcastExchange, where
@@ -528,6 +517,17 @@ object TextQs {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     }
 
+  /** Keyword extraction — top-3 terms per document by tf·idf ORDER,
+    * realized as the integer ranking (tf desc, df asc, token asc). For a
+    * fixed document this is exactly the tf·idf ordering wherever it is
+    * strict (idf strictly decreases in df), and the integer tiebreak
+    * makes the rest deterministic — no ln()/float scores whose last-ulp
+    * differences across engines would flip ranks in the oracle compare.
+    * Shape: explode → (doc, term) partial-agg → term-keyed df join →
+    * per-doc top-k window (WindowGroupLimit prunes before the exchange).
+    * The df relation is POST-aggregation (vocabulary-sized, zipf-small
+    * next to the corpus), the classic broadcast side at scale.
+    */
   val q49 = Q(
     "q49_tfidf_keywords",
     (s, d) => {
@@ -826,7 +826,13 @@ object TextQs {
     * graft ranking function quantizes each factor to exact integers —
     *   idf_q    = (10^6 · (2(N−df)+1)) div (2df+1)      [rational idf, b=0]
     *   sattf_q  = (10^6 · 11·tf) div (5tf+6)            [k1 = 6/5: tf(k1+1)/(tf+k1)]
-    *   score    = Σ_terms idf_q · sattf_q               [BIGINT, ≤ 4·10^15 per term]
+    *   score    = Σ_terms idf_q · sattf_q
+    * The per-term product is ~1.5·10^12·N (idf_q ≈ 6.7·10^5·N at df=1,
+    * sattf_q saturating at 2.2·10^6), which overflows int64 around
+    * N ≈ 6·10^6 documents — so the product and sum accumulate in
+    * DECIMAL(38,0) vs the oracle's HUGEINT, graded through identical
+    * string images (the q107/q115 128-bit posture), headroom to
+    * N ≈ 10^25.
     * — the same saturation/rarity shape (sattf is k1-saturating in tf,
     * idf_q strictly decreasing in df), floor-div evaluated identically by
     * Spark's `div` and DuckDB's `//` on positive BIGINTs. No length
@@ -857,13 +863,15 @@ object TextQs {
           expr("(1000000L * (2L * (n_docs - df) + 1L)) div (2L * df + 1L)"))
         .withColumn("sattf_q", expr("(1000000L * 11L * tf) div (5L * tf + 6L)"))
         .groupBy("query_id", "doc_id")
-        .agg(sum(col("idf_q") * col("sattf_q")).as("score"))
+        .agg(sum(expr("CAST(idf_q AS DECIMAL(38,0)) * CAST(sattf_q AS DECIMAL(38,0))"))
+          .as("score_d"))
       val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id").asc)
+        .orderBy(col("score_d").desc, col("doc_id").asc)
       scored
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 5)
-        .select("query_id", "rank", "doc_id", "score")
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_d").cast("string").as("score"))
         .orderBy("query_id", "rank")
     },
     Some(s"""
@@ -876,13 +884,13 @@ object TextQs {
       n AS (SELECT count(*) AS n_docs FROM documents),
       scored AS (
         SELECT p.query_id, tf.doc_id,
-          CAST(sum(((1000000 * (2 * (n.n_docs - df.df) + 1)) // (2 * df.df + 1))
-             * ((1000000 * 11 * tf.tf) // (5 * tf.tf + 6))) AS BIGINT) AS score
+          sum(CAST((1000000 * (2 * (n.n_docs - df.df) + 1)) // (2 * df.df + 1) AS HUGEINT)
+             * CAST((1000000 * 11 * tf.tf) // (5 * tf.tf + 6) AS HUGEINT)) AS score_h
         FROM probes p JOIN tf ON p.tok = tf.tok JOIN df ON df.tok = p.tok, n
         GROUP BY 1, 2)
       SELECT CAST(query_id AS BIGINT) AS query_id,
-        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
-        doc_id, score
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_h DESC, doc_id) AS INT) AS rank,
+        doc_id, CAST(score_h AS VARCHAR) AS score
       FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank"""),
     headline = true)
 

@@ -434,12 +434,19 @@ object EventStream {
     * transition matrix is `groupBy(prev, cur).count` over the emitted
     * pairs — kept outside so the emission stays a pure delta stream).
     *
-    * Batch-equivalent under in-order delivery across batches (within a
-    * batch the fold sorts): the emitted pair multiset equals the batch
-    * op's lag-derived pairs under any trigger split — spec-pinned with
-    * a cross-batch boundary pair. Emission is delta-based, so a REPLAY
-    * of a processed batch re-emits its pairs: exactly-once counting
-    * needs the DocStream batch_id-partitioned idempotent sink posture.
+    * The state is MERGED INTO the batch's sorted order at its (ts_us,
+    * event_id) position rather than blindly used as the predecessor of
+    * the whole batch: a row that orders BEFORE the state (e.g. the
+    * same-microsecond sibling with the smaller event_id landing in the
+    * next trigger) pairs in the batch op's total order, not arrival
+    * order. Batch-equivalence therefore holds under any trigger split
+    * in which the state has not yet emitted a successor pair when the
+    * out-of-order row arrives; once a successor pair is out, a late
+    * arrival cannot retract it (the SCD2 twin's posture — feeds needing
+    * late rewrites re-run the batch op). Emission is delta-based, so a
+    * REPLAY of a processed batch re-emits its pairs: exactly-once
+    * counting needs the DocStream batch_id-partitioned idempotent sink
+    * posture.
     */
   def streamingTransitions(spark: SparkSession, sourceDir: String,
       maxFilesPerTrigger: Int): DataFrame = {
@@ -457,12 +464,18 @@ object EventStream {
         (uid: Long, rows: Iterator[(Long, Long, Long, String)],
             state: GroupState[(Long, Long, String)]) =>
           val out = Vector.newBuilder[(Long, String, String)]
-          var prev = state.getOption
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, us, typ) =>
-            prev.foreach { case (_, _, ptyp) => out += ((uid, ptyp, typ)) }
-            prev = Some((us, eid, typ))
+          // (us, event_id, type) observations: the state slots into the
+          // batch's total order like any other — the first element of
+          // the merged sequence emits no pair (its predecessor, if any,
+          // paired with it when IT was current state)
+          val incoming = rows.toSeq.map(r => (r._3, r._2, r._4))
+          val merged = (state.getOption.toSeq ++ incoming)
+            .sortBy(o => (o._1, o._2))
+          merged.sliding(2).foreach {
+            case Seq((_, _, ptyp), (_, _, typ)) => out += ((uid, ptyp, typ))
+            case _ => ()
           }
-          prev.foreach(state.update)
+          merged.lastOption.foreach(state.update)
           out.result().iterator
       }
       .toDF("user_id", "prev_type", "cur_type")

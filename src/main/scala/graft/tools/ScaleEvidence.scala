@@ -364,8 +364,6 @@ object ScaleEvidence {
         col("lang"), col("source"), col("n_chars")))
   }
 
-  /** q109's nation dimension, copied VERBATIM — same rationale as
-    * [[generatePart]]: the dimension is fixed, the fact side grows. */
   /** q120's supplier dimension, copied VERBATIM — same fixed-dimension
     * rationale as [[generatePart]]/[[generateNation]]. */
   private def generateSupplier(spark: SparkSession, sfDir: String, outDir: String): Unit = {
@@ -374,6 +372,8 @@ object ScaleEvidence {
     graft.Tables.read(spark, sfDir, "supplier").write.parquet(path.toString)
   }
 
+  /** q109's nation dimension, copied VERBATIM — same rationale as
+    * [[generatePart]]: the dimension is fixed, the fact side grows. */
   private def generateNation(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/nation.parquet")
     if (path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)) return

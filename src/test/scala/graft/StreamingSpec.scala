@@ -601,11 +601,14 @@ class StreamingSpec extends AnyFunSuite {
       (id, ns(sec), uid, typ, 0.0, "{}")
     // u1's pair SPANS the boundary (click in f0 -> view in f1); u2 is
     // wholly in f1; u3 has a single event — no pair ever; same-second
-    // rows (u2 at sec 40) must break ties by event_id; in-batch rows
-    // written shuffled — the fold must sort
-    val f0 = Seq(ev(2, 20, 1, "click"), ev(1, 10, 1, "view"), ev(3, 5, 3, "error"))
+    // rows (u2 at sec 40) must break ties by event_id; u4's
+    // same-second SMALLER-id sibling arrives in the LATER batch (the
+    // state must merge into the order, not act as blanket predecessor);
+    // in-batch rows written shuffled — the fold must sort
+    val f0 = Seq(ev(2, 20, 1, "click"), ev(1, 10, 1, "view"), ev(3, 5, 3, "error"),
+      ev(8, 40, 4, "purchase"))
     val f1 = Seq(ev(6, 40, 2, "purchase"), ev(5, 40, 2, "view"),
-      ev(4, 30, 1, "view"))
+      ev(4, 30, 1, "view"), ev(7, 40, 4, "view"))
     Seq(0 -> f0, 1 -> f1).foreach { case (f, rs) =>
       rs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(s"$dir/f$f")
@@ -636,5 +639,7 @@ class StreamingSpec extends AnyFunSuite {
       "boundary-spanning pair lost — state not carried across batches")
     assert(streamed.contains((2L, "view", "purchase")),
       "same-timestamp pair ordered wrong — event_id tiebreak broken")
+    assert(streamed.contains((4L, "view", "purchase")),
+      "cross-batch same-timestamp sibling paired in arrival order, not (ts, event_id) order")
   }
 }
