@@ -231,4 +231,93 @@ object TextOps {
     * [[graft.expressions.NgramHash128]]). Group on the whole struct. */
   def ngramHashes128(text: Column, n: Int): Column =
     call_function("ngram_hash128", text, lit(n))
+
+  /** BPE merge-table learning (Sennrich et al., ACL'16) over a weighted
+    * word-count relation — the tokenizer-training step of an LLM data
+    * pipeline. Words start as character sequences; each round counts
+    * adjacent symbol pairs weighted by word frequency, merges the
+    * heaviest pair ((weight DESC, left, right) — fully deterministic),
+    * and re-segments every word by that merge in a single left-to-right
+    * non-overlapping pass with REPLACE SEMANTICS: the match consumes the
+    * separator after the right symbol, so the immediately following
+    * symbol cannot open the next match — byte-identical to
+    * `replace(' '||join(syms,' ')||' ', ' l r ', ' lr ')`, which is what
+    * lets a SQL mirror reproduce the segmentation exactly (RE2-based
+    * engines have no lookahead to express the textbook greedy scan).
+    * The two contracts differ ONLY on >= 3 consecutive occurrences of
+    * the merged pair (e.g. "aaaa" merges to [aa, a, a] here vs textbook
+    * [aa, aa]) — a run-parity corner a real vocabulary essentially
+    * never exercises, traded for exact cross-engine gradability;
+    * `mergePair` is property-tested against the string-replace
+    * reference on exactly those adversarial runs.
+    *
+    * Shape at scale: the corpus is touched ONCE (the word-count input);
+    * every round runs on the VOCABULARY relation — pair explode (bounded
+    * by word length), one pair-keyed map-side-combined aggregate, a
+    * 1-row argmax collect (the q68 bounded-driver-action posture), and a
+    * narrow re-segment map with a `localCheckpoint` lineage cut (the
+    * iterative-dataflow lesson from CC/BFS). Zipf says the vocabulary is
+    * orders smaller than the corpus, which is what makes driver-looped
+    * rounds the right shape here.
+    *
+    * @param words  (wordCol: string, cntCol: long) weighted vocabulary
+    * @param rounds merge count, >= 1
+    * @return (round: int, left, right, merged: string, weight: long) —
+    *         one row per learned merge, in learning order; stops early
+    *         if no pair remains
+    */
+  def bpeMerges(words: DataFrame, wordCol: String, cntCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = words.sparkSession
+    var seg = words.select(
+        split(regexp_replace(col(wordCol), "(.)", "$1 "), " ")
+          .as("syms"), col(cntCol).cast("long").as("cnt"))
+      // the trailing empty element regexp_replace+split leaves behind
+      .withColumn("syms", expr("filter(syms, x -> x != '')"))
+      .localCheckpoint(true)
+    val learned = Vector.newBuilder[(Int, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      val best = seg
+        .select(posexplode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"))
+          .as(Seq("i", "p")), col("cnt"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(col("weight").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, ri, w) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, l, ri, l + ri, w))
+        seg = seg.withColumn("syms", mergePairUdf(col("syms"), lit(l), lit(ri)))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    learned.result()
+      .toDF("round", "left", "right", "merged", "weight")
+  }
+
+  /** Single-pair re-segmentation with replace semantics (see
+    * [[bpeMerges]]): a match emits the merged symbol and ALSO emits the
+    * next symbol unmerged (its leading separator was consumed by the
+    * match), mirroring one `replace` pass over the space-joined form. */
+  private[graft] def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r)
+        if (i + 2 < syms.length) out += syms(i + 2)
+        i += 3
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private val mergePairUdf = udf(mergePair _)
 }

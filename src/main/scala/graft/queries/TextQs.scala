@@ -969,8 +969,56 @@ object TextQs {
       GROUP BY 1 ORDER BY 1"""),
     headline = true)
 
+  /** BPE tokenizer training — five merge rounds of [[TextOps.bpeMerges]]
+    * over the corpus word counts: THE tokenizer-construction step of an
+    * LLM data pipeline (Sennrich ACL'16), graded as the learned merge
+    * table. The oracle UNROLLS the identical five rounds in SQL — per
+    * round one weighted pair count, one (weight DESC, left, right)
+    * argmax, and one `replace` re-segmentation of the space-joined
+    * symbol strings; the operator's replace-semantics merge contract
+    * (see [[TextOps.bpeMerges]]) exists precisely so that mirror is
+    * byte-exact. Corpus touched once (the word-count aggregate);
+    * everything iterative is vocabulary-sized.
+    */
+  val q124 = Q(
+    "q124_bpe_merges",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      TextOps.bpeMerges(words, "w", "cnt", rounds = 5).orderBy("round")
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""p$i AS (
+        SELECT l[i] AS lft, l[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS weight
+        FROM (SELECT string_split(trim(s), ' ') AS l, cnt FROM s${i - 1}) t,
+             LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+        GROUP BY 1, 2),
+      b$i AS (SELECT lft, rgt, weight FROM p$i ORDER BY weight DESC, lft, rgt LIMIT 1),
+      s$i AS (SELECT replace(s,
+                ' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
+                ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ') AS s, cnt
+              FROM s${i - 1})"""
+      }.mkString(",\n      ")
+      val sel = (1 to 5).map(i =>
+        s"""SELECT $i AS round, lft AS "left", rgt AS "right",
+           lft || rgt AS merged, weight FROM b$i""").mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH wc AS (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY 1),
+      s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt FROM wc),
+      $rounds
+      $sel
+      ORDER BY round"""
+    },
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -86,7 +86,12 @@ object ScaleEvidence {
     // first-occurrence min over a 10x shingle vocabulary at unchanged
     // per-shingle df, i.e. the vocabulary aggregate + doc-keyed count
     // both grow linearly
-    "q122_cluster_representatives", "q123_novelty_score")
+    "q122_cluster_representatives", "q123_novelty_score",
+    // round 11 session 4 late: BPE — the corpus-sized word-count scan
+    // grows 10x AND the salted vocabulary grows 10x (each copy's words
+    // are distinct strings with identical char statistics scaled 10x,
+    // so the same merges win by 10x the weight); rounds fixed at 5
+    "q124_bpe_merges")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
