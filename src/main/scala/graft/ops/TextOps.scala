@@ -320,4 +320,18 @@ object TextOps {
   }
 
   private val mergePairUdf = udf(mergePair _)
+
+  /** Apply a learned merge table ([[bpeMerges]] output order matters) to
+    * a word: chars, then each merge's [[mergePair]] pass in learning
+    * order — the ENCODE half of the tokenizer. The merge list is a
+    * driver-side literal (5-ish rows, the bounded-action posture), the
+    * application a narrow vocabulary-sized map. */
+  def applyMerges(merges: Seq[(String, String)]): Column => Column = {
+    val u = udf((w: String) =>
+      if (w == null) Seq.empty[String]
+      else merges.foldLeft(w.map(_.toString): Seq[String]) {
+        case (syms, (l, r)) => mergePair(syms, l, r)
+      })
+    (c: Column) => u(c)
+  }
 }

@@ -991,13 +991,13 @@ object TextQs {
     },
     Some {
       val rounds = (1 to 5).map { i =>
-        s"""p$i AS (
+        s"""p$i AS MATERIALIZED (
         SELECT l[i] AS lft, l[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS weight
         FROM (SELECT string_split(trim(s), ' ') AS l, cnt FROM s${i - 1}) t,
              LATERAL (SELECT unnest(range(1, len(l))) AS i) u
         GROUP BY 1, 2),
-      b$i AS (SELECT lft, rgt, weight FROM p$i ORDER BY weight DESC, lft, rgt LIMIT 1),
-      s$i AS (SELECT replace(s,
+      b$i AS MATERIALIZED (SELECT lft, rgt, weight FROM p$i ORDER BY weight DESC, lft, rgt LIMIT 1),
+      s$i AS MATERIALIZED (SELECT replace(s,
                 ' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
                 ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ') AS s, cnt
               FROM s${i - 1})"""
@@ -1010,15 +1010,68 @@ object TextQs {
         SELECT w, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' GROUP BY 1),
-      s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt FROM wc),
+      s0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt FROM wc),
       $rounds
       $sel
       ORDER BY round"""
     },
     headline = true)
 
+  /** BPE encoding — q124's other half: apply the learned merge table to
+    * the corpus and grade the resulting SYMBOL UNIGRAM TABLE (the
+    * statistic that drives vocabulary-size/compression decisions). The
+    * merge table is collected driver-side (<= 5 rows, the q68
+    * bounded-action posture) and applied as a narrow VOCABULARY-sized
+    * map — the corpus is touched exactly once, for the word counts;
+    * every occurrence of a word shares its segmentation, so symbol
+    * counts are Σ(word count × per-word symbol multiplicity). The
+    * oracle reuses the training mirror's round chain and reads the
+    * final segmentation relation. Exact integers: hash-exact.
+    */
+  val q125 = Q(
+    "q125_bpe_encode",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val merges = TextOps.bpeMerges(words, "w", "cnt", rounds = 5)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      words
+        .withColumn("syms", TextOps.applyMerges(merges)(col("w")))
+        .select(explode(col("syms")).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum(col("cnt")).as("n"))
+        .orderBy("sym")
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+        SELECT l[i] AS lft, l[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS weight
+        FROM (SELECT string_split(trim(s), ' ') AS l, cnt FROM s${i - 1}) t,
+             LATERAL (SELECT unnest(range(1, len(l))) AS i) u
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT lft, rgt, weight FROM p$i ORDER BY weight DESC, lft, rgt LIMIT 1),
+      s$i AS MATERIALIZED (SELECT replace(s,
+                ' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
+                ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ') AS s, cnt
+              FROM s${i - 1})"""
+      }.mkString(",\n      ")
+      s"""
+      WITH wc AS (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY 1),
+      s0 AS MATERIALIZED (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s, cnt FROM wc),
+      $rounds
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(trim(s), ' ')) AS sym, cnt FROM s5) t
+      GROUP BY 1 ORDER BY 1"""
+    },
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
