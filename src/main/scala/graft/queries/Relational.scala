@@ -904,7 +904,58 @@ object Relational {
       ORDER BY tag, o_custkey"""),
     headline = true)
 
+  /** Bucketed co-located join — the storage-layout machinery GRADED
+    * under q103's answer-invisible contract: both sides are written
+    * `bucketBy(16, custkey)` + sorted into the session warehouse, the
+    * join reads them back and must produce exactly the plain-join
+    * oracle's answer while the physical plan carries NO join-side
+    * exchange (plan-pinned — bucketing pre-paid the shuffle at write
+    * time, which is the whole 100-TB point: co-locate once, join many
+    * times for free). The write runs per invocation (idempotent
+    * overwrite into fixed table names); at scale that cost amortizes
+    * over every downstream co-keyed join and the graded read-side plan
+    * is the artifact under test.
+    */
+  val q126 = Q(
+    "q126_bucketed_join",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
+      // session + a prior session's files = LOCATION_ALREADY_EXISTS on
+      // overwrite) — drop the entry AND clear the stale location first
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      reset("graft_q126_orders")
+      reset("graft_q126_customer")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("graft_q126_orders")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("graft_q126_customer")
+      s.table("graft_q126_orders")
+        .join(s.table("graft_q126_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            .cast(DecimalType(38, 0))).cast("string").as("cents"))
+        .orderBy("nation")
+    },
+    Some("""
+      SELECT c_nationkey AS nation, count(*) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q93, q101, q102, q103, q104,
-    q108, q109, q110, q120, q121)
+    q108, q109, q110, q120, q121, q126)
 }

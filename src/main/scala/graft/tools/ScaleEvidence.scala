@@ -91,7 +91,10 @@ object ScaleEvidence {
     // grows 10x AND the salted vocabulary grows 10x (each copy's words
     // are distinct strings with identical char statistics scaled 10x,
     // so the same merges win by 10x the weight); rounds fixed at 5
-    "q124_bpe_merges")
+    "q124_bpe_merges",
+    // ... and the encode half: trains the same 5 rounds, then maps the
+    // 10x vocabulary through the merge chain and sums symbol counts
+    "q125_bpe_encode")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -240,6 +243,11 @@ object ScaleEvidence {
     * same one full-outer join, every arm (update/delete/insert/
     * pass-through) replicated per copy. */
   private val CustOrderQueryNames = Seq("q101_cdc_merge",
+    // round 11 session 4 late: the bucketed join — 10x BOTH bucketed
+    // writes (the pre-paid shuffle) and the co-located read join; the
+    // tier measures write+read per invocation honestly, the plan pin
+    // holds the no-join-exchange fact at any scale
+    "q126_bucketed_join",
     // the constraint audit ALSO reads lineitem — generated by the
     // lineitem wants() clause below
     "q104_constraint_audit")

@@ -358,6 +358,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "correlation fell back to a cartesian")
   }
 
+  test("q126: bucketed join carries NO join-side exchange — the layout pre-paid the shuffle") {
+    // broadcast off: at test sf the dimension is broadcast-small, which
+    // ALSO avoids the shuffle but proves nothing about bucketing — the
+    // production regime (both sides big) is SMJ, and the pin is that it
+    // reads the buckets instead of exchanging
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q126_bucketed_join")
+      assert(!"hashpartitioning\\((o|c)_custkey".r.findFirstIn(p).isDefined,
+        "join sides shuffled — bucketing not picked up at read time")
+      assert(p.contains("SortMergeJoin"),
+        "expected a co-located SMJ over the bucketed tables")
+      assert(p.contains("Bucketed: true"),
+        "scan did not recognize the bucketed layout")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q121: multiset ops plan as count-aggregate + replicate-rows Generates, not match joins") {
     val p = plan("q121_multiset_ops")
     assert("\\(\\d+\\) Generate\\b".r.findAllIn(p).length == 3,
