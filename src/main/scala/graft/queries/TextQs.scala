@@ -1070,8 +1070,48 @@ object TextQs {
     },
     headline = true)
 
+  /** Temperature-based mixture reweighting — the α=1/2 source-sampling
+    * recipe (multilingual/LM practice: raw-mass-proportional sampling
+    * over-serves the largest sources, uniform starves them; p^α with
+    * α∈(0,1) interpolates). Per source: character mass, the quantized
+    * temperature weight w_q = floor(10^6·√mass), and the integer quota
+    * out of a corpus-sized target, (w_q·N) div Σw_q. IEEE-754 requires
+    * sqrt be CORRECTLY ROUNDED, so — uniquely among transcendentals —
+    * √ is bit-identical across engines and the α=1/2 weight grades
+    * hash-exact where a pow()/ln() recipe could not (the q100/q112
+    * lesson; other α values would need a documented rational surrogate).
+    *
+    * Shape at scale: one map-side-combined scan to source-sized rows;
+    * the Σw_q window runs over the source table, never data.
+    */
+  val q127 = Q(
+    "q127_temperature_mixture",
+    (s, d) => {
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("mass"))
+        .withColumn("w_q",
+          expr("CAST(floor(1000000.0D * sqrt(CAST(mass AS DOUBLE))) AS BIGINT)"))
+        .crossJoin(broadcast(n))
+        .withColumn("quota",
+          expr("(w_q * n_docs) div sum(w_q) OVER ()"))
+        .select("source", "n", "mass", "w_q", "quota")
+        .orderBy("source")
+    },
+    Some("""
+      WITH m AS (
+        SELECT source, count(*) AS n, sum(n_chars) AS mass,
+          CAST(floor(1000000.0 * sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w_q
+        FROM documents GROUP BY 1),
+      t AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT source, n, CAST(mass AS BIGINT) AS mass, w_q,
+        (w_q * t.n_docs) // CAST(sum(w_q) OVER () AS BIGINT) AS quota
+      FROM m, t ORDER BY source"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -94,7 +94,9 @@ object ScaleEvidence {
     "q124_bpe_merges",
     // ... and the encode half: trains the same 5 rounds, then maps the
     // 10x vocabulary through the merge chain and sums symbol counts
-    "q125_bpe_encode")
+    "q125_bpe_encode",
+    // scan-shaped: one map-side-combined pass to source-sized rows
+    "q127_temperature_mixture")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
