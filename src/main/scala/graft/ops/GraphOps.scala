@@ -261,6 +261,12 @@ object GraphOps {
         .union(improved).localCheckpoint(true)
       frontier = improved
     }
+    // Unlike bfs/pageRank (whose RETURNED plan still references the cached
+    // edge relation, so the caller owns the entry), `best` is an eager
+    // localCheckpoint — nothing downstream reads `e`, so the entry is
+    // released here and repeated sssp calls over different edge sets do
+    // not accumulate MEMORY_AND_DISK entries until an external clearCache.
+    e.unpersist()
     best
   }
 }

@@ -271,7 +271,7 @@ object TextOps {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = words.sparkSession
     var seg = words.select(
-        split(regexp_replace(col(wordCol), "(.)", "$1 "), " ")
+        split(regexp_replace(col(wordCol), "(.)", "$1\u0000"), "\u0000")
           .as("syms"), col(cntCol).cast("long").as("cnt"))
       // the trailing empty element regexp_replace+split leaves behind
       .withColumn("syms", expr("filter(syms, x -> x != '')"))

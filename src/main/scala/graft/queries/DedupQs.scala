@@ -236,6 +236,26 @@ object DedupQs {
     * `spark.graft.ivf.probes` on q42/q66. Memo tags carry the width so
     * variant runs never share cached relations with the graded path.
     */
+  /** The PRODUCTION SimHash near-dup path: [[simhashQuery]] at the
+    * scale-safe banding width — `spark.graft.simhash.bandBits`
+    * defaulting to [[graft.ops.Conf.SimhashProductionBandBits]] (16).
+    * Ungraded on purpose: 16-bit bands deterministically reach only
+    * Hamming ≤ 3, so the answer is a documented ~9%-recall-reduced
+    * subset of the graded 8-bit q37 answer (the found-pair-delta table
+    * in SURVEY §2.0.2) in exchange for ~256× lower random bucket
+    * occupancy — the posture that survives production corpus density.
+    * `ConfSpec` pins the default resolution; q37 stays the 8-bit
+    * cross-validation grade.
+    */
+  def simhashNearDupes(s: SparkSession, d: String): DataFrame =
+    simhashQuery(s, d, bitsPerBand = productionBandBits(s))
+
+  /** `simhashNearDupes`'s width resolution: session knob, production
+    * default 16 (vs the graded q37's pinned default of 8). */
+  private[graft] def productionBandBits(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.simhash.bandBits")
+      .map(_.toInt).getOrElse(graft.ops.Conf.SimhashProductionBandBits)
+
   private[graft] def simhashQuery(s: SparkSession, d: String,
       bitsPerBand: Int): DataFrame = {
     // capped form memoized directly (same rationale as

@@ -923,10 +923,24 @@ object Relational {
       // the warehouse DIRECTORY outlives the in-memory catalog (a fresh
       // session + a prior session's files = LOCATION_ALREADY_EXISTS on
       // overwrite) — drop the entry AND clear the stale location first
+      // When the table EXISTS, its real location comes from the catalog
+      // (the warehouse dir may have moved between sessions, or the table
+      // may live in a non-default database) — deleting a string-concat
+      // guess could miss the actual directory and leave saveAsTable to
+      // fail with LOCATION_ALREADY_EXISTS. The constructed path is only
+      // the fallback for the orphaned-directory case (files on disk,
+      // no catalog entry — a prior session's debris).
       def reset(name: String): Unit = {
+        val catalogLoc = s.sessionState.catalog
+          .tableExists(org.apache.spark.sql.catalyst.TableIdentifier(name)) match {
+          case true => Some(new org.apache.hadoop.fs.Path(
+            s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(name)).location))
+          case false => None
+        }
         s.sql(s"DROP TABLE IF EXISTS $name")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+        val loc = catalogLoc.getOrElse(new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + name))
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       }
       reset("graft_q126_orders")

@@ -207,9 +207,20 @@ object UdfQs {
       val dst = graft.Memo.ensurePersisted(
         Tables.events(s, d).select("event_type", "user_id").distinct())
       val kmv = udaf(new graft.ops.SketchOps.KMinValues(k))
+      // BOUNDED COLLECT (q68/q125 convention): one row per event TYPE,
+      // each ≤ k longs — types × 2048 longs driver-resident, and the
+      // `combinations(2)` below is a QUADRATIC driver term (types² pairs,
+      // each an O(k) merge). Fine ≤ ~10³ types (≈ 500k pairs ≈ 8 GB·ops);
+      // the guard keeps a cardinality regression loud instead of letting
+      // the driver grind — past it, pair enumeration itself must become a
+      // distributed self-join of the sketch relation.
+      val MaxSketchTypes = 10000
       val sketches = dst.groupBy("event_type")
         .agg(kmv(col("user_id").cast("string")).as("sk"))
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      require(sketches.size <= MaxSketchTypes,
+        s"q87 driver-side pairwise overlap is bounded at $MaxSketchTypes event " +
+          s"types (got ${sketches.size}) — distribute the pair join past this")
       val estimates = sketches.keys.toSeq.sorted.combinations(2).map {
         case Seq(ta, tb) =>
           val (i, u) = graft.ops.SketchOps.KMinValues.overlap(

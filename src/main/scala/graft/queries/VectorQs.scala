@@ -631,6 +631,17 @@ object VectorQs {
     * ids — and therefore counts — are engine-exact without quantization
     * gymnastics. The per-dim share is the usual floor-div rational.
     *
+    * PRECONDITION (Det's convention): features must be FINITE. On a
+    * non-finite value the engines SILENTLY disagree rather than fail —
+    * Spark's non-ANSI `CAST(NaN AS BIGINT)` yields 0 (clamped into
+    * bucket 0) while DuckDB's cast errors; ±Inf clamps into the edge
+    * buckets on the Spark side only. The driver corpus is finite (the
+    * q115 decimal path grades the same assumption); a generator change
+    * that introduces NaN/Inf shows up as an oracle hash mismatch here,
+    * and the fix is an upstream `isnan`/`nanvl` guard, not a histogram
+    * change. Same contract for the streaming twin
+    * ([[graft.streaming.VecStream.streamingFeatureHistogram]]).
+    *
     * Shape at scale: one posexplode scan into a (dim, bucket)-keyed
     * map-side-combined aggregate (≤ 64·32 keys); the share window runs
     * over the histogram-sized frame, never the corpus (q97's posture).

@@ -434,6 +434,17 @@ object EventStream {
     * transition matrix is `groupBy(prev, cur).count` over the emitted
     * pairs — kept outside so the emission stays a pure delta stream).
     *
+    * CONSUMER CONTRACT for that count pattern: (a) MEMORY — each user's
+    * rows WITHIN one micro-batch are buffered on one task to sort into
+    * the total order (`rows.toSeq`), so per-user-per-batch volume must
+    * fit a task's heap; a skewed user is bounded by trigger sizing
+    * (`maxFilesPerTrigger`), not by this operator. (b) LATE DATA — a row
+    * arriving after its successor pair was emitted SILENTLY SKEWS the
+    * downstream matrix (the already-emitted pair is never retracted), so
+    * feeds that need late rewrites re-run the q113 batch op. (c) REPLAY
+    * — delta emission re-emits a reprocessed batch's pairs; exactly-once
+    * counts need the batch_id-idempotent sink posture.
+    *
     * The state is MERGED INTO the batch's sorted order at its (ts_us,
     * event_id) position rather than blindly used as the predecessor of
     * the whole batch: a row that orders BEFORE the state (e.g. the

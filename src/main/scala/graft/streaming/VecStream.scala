@@ -216,6 +216,12 @@ object VecStream {
     * assumptions at all), spec-pinned against q118's bucketing over the
     * unioned files. The monitoring view a vector-ingest pipeline keeps
     * live (drift shows up as bucket-mass movement between refreshes).
+    *
+    * PRECONDITION: features must be FINITE (q118's contract — see its
+    * docstring): a NaN lands in bucket 0 via Spark's non-ANSI cast and
+    * ±Inf clamps into the edge buckets, silently skewing the histogram
+    * rather than failing. Guard the ingest with `isnan`/`nanvl` if the
+    * producer can emit non-finite floats.
     */
   def streamingFeatureHistogram(spark: SparkSession, streamDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.Tables
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -33,7 +35,7 @@ object Scratch {
     time("scd2 + orderBy")(
       graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item")
         .orderBy("user_id", "version"))
-    time("full q94")(Queries.byName("q94_scd2_history").fn(s, d))
+    time("full q94")(graft.Queries.byName("q94_scd2_history").fn(s, d))
     s.stop()
   }
 }
