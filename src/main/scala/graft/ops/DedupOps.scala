@@ -397,4 +397,80 @@ object DedupOps {
             (c, i) => when(array_contains(col("keep"), i), c)),
             c => c.isNotNull), " ")).as("clean_text"))
   }
+
+  /** EXACT-SUBSTRING dedup — the suffix-array tier of the published LLM
+    * dedup stack (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): remove every repeated
+    * token span of length ≥ `k` at ARBITRARY alignment, keeping the
+    * corpus-first occurrence. [[spanDedup]] (q57) removes repeated
+    * fixed-k CHUNKS at chunk-aligned boundaries only; this operator is
+    * the general form — a span repeated at any offset is caught.
+    *
+    * Formulation: a span of length ≥ k repeats iff every k-gram START
+    * inside it repeats, so (1) fingerprint every overlapping k-gram with
+    * its position ([[graft.ops.TextOps.ngramHashes]] — one native-
+    * expression pass, position order preserved); (2) corpus-wide
+    * keep-first: the lexicographically smallest (id, pos) occurrence of
+    * each fingerprint survives, every other occurrence marks tokens
+    * [pos, pos+k) for removal; (3) per-document interval union (the
+    * gaps-and-islands running-max window) merges overlapping marks into
+    * maximal spans — exactly the "remove any repeated span ≥ k tokens"
+    * semantics, reassembled per document. Equivalent to the suffix-array
+    * formulation on these semantics without a global suffix sort: the
+    * sorted structure lives implicitly in the fingerprint-keyed argmin.
+    *
+    * Scale posture: the corpus-wide exchange carries (hash, id, pos)
+    * longs — never text (the q57 convention); the winner argmin
+    * partial-aggregates map-side; dup starts re-join winners on the
+    * fingerprint (same exchange key, no extra shuffle partitioning);
+    * islands merge inside a per-document window whose rows are the
+    * document's OWN duplicate starts (bounded by tokens/doc); the final
+    * reassembly is one id-keyed join of the span relation back to the
+    * doc row — text crosses exactly zero exchanges, and the per-token
+    * coverage check is an `exists` over the document's merged spans
+    * (spans per doc ≤ tokens/(k+1) after the union).
+    *
+    * Identity is the 64-bit FNV fingerprint of the k-gram byte span —
+    * the accepted shingle-convention collision class (birthday ~n²/2⁶⁵;
+    * a collision could only over-remove one span, never resurrect one).
+    *
+    * @return (id, n_tokens, n_spans, n_removed, clean_text) — one row
+    *         per input doc; a fully-duplicated doc keeps an empty
+    *         clean_text ("") with n_removed == n_tokens
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "minimum span length must be positive")
+    val grams = docs.select(col(idCol),
+      posexplode(graft.ops.TextOps.ngramHashes(col(textCol), k)).as(Seq("pos", "h")))
+    val winners = grams.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val dupStarts = grams.join(winners, "h")
+      .filter(!(col(idCol) === col(s"w.$idCol") && col("pos") === col("w.pos")))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val islands = dupStarts
+      .withColumn("__pmax", max(col("pos") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("pos") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + k).cast("long").as("e"))
+    val spansByDoc = islands.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("n_removed"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    docs.join(spansByDoc, Seq(idCol), "left")
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(filter(toks, (t, i) =>
+          !exists(coalesce(col("__spans"),
+              array().cast("array<struct<s:long,e:long>>")),
+            sp => sp.getField("s") <= i && i < sp.getField("e"))), " ")
+          .as("clean_text"))
+  }
 }

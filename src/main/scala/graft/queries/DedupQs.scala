@@ -414,6 +414,48 @@ object DedupQs {
     // headline since round 7 (annex row in BASELINE.md)
     headline = true)
 
+  /** Exact-substring dedup ([[graft.ops.DedupOps.exactSubstringDedup]],
+    * k = 8): the suffix-array tier — repeated spans ≥ 8 tokens at
+    * ARBITRARY alignment removed corpus-wide keep-first, where q57 only
+    * removes chunk-ALIGNED repeats. The oracle mirrors every stage on
+    * gram STRINGS (fingerprints are the accepted 64-bit collision
+    * class): positional 8-grams, keep-first row_number, the identical
+    * gaps-and-islands interval union, and the per-token span-coverage
+    * filter via DuckDB's indexed list lambdas.
+    */
+  val q128 = Q(
+    "q128_substring_dedup",
+    (s, d) =>
+      graft.ops.DedupOps.exactSubstringDedup(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+            FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i) u),
+      d AS (SELECT doc_id, pos FROM (
+              SELECT doc_id, pos,
+                row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g) x
+            WHERE rn > 1),
+      m AS (SELECT doc_id, pos,
+              CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS newi
+            FROM d),
+      i2 AS (SELECT doc_id, pos, sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m),
+      sp AS (SELECT doc_id, isl, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + 8 AS BIGINT) AS e
+             FROM i2 GROUP BY 1, 2),
+      agg AS (SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS n_removed,
+                list(s ORDER BY s) AS ss, list(e ORDER BY s) AS es
+              FROM sp GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+        CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        coalesce(array_to_string(list_filter(t.toks,
+          (tok, i) -> len(list_filter(coalesce(a.ss, CAST([] AS BIGINT[])),
+              (s2, j) -> s2 <= i - 1 AND i - 1 < a.es[j])) = 0), ' '), '') AS clean_text
+      FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      ORDER BY t.doc_id"""),
+    headline = true)
+
   /** Test-set DECONTAMINATION — the benchmark-overlap pass every
     * pretraining pipeline runs before a corpus ships: a training document
     * is contaminated when it shares any 5-token n-gram with the held-out
@@ -698,5 +740,6 @@ object DedupQs {
       WHERE rn = 1 ORDER BY comp"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114, q122)
+  val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114,
+    q122, q128)
 }

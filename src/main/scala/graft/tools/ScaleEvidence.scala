@@ -36,6 +36,10 @@ object ScaleEvidence {
     // are scan-shaped (profile Expand, hash filter, gate projection)
     "q80_data_profile", "q81_mixture_sample", "q82_filter_cascade",
     "q83_incremental_dedup",
+    // round 12: the suffix-array dedup tier — 10x the docs means 10x the
+    // positional grams through the fingerprint-keyed argmin; the
+    // replicated copies are token-salted so gram identity stays 1x-like
+    "q128_substring_dedup",
     // round 9: the composed cascade joins q82's projection with q48's
     // two n-gram aggregations — both components' growth already
     // measured alone, this row measures their doc-keyed join
@@ -326,7 +330,7 @@ object ScaleEvidence {
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
-  private val CopyShift = 100000000L
+  private[tools] val CopyShift = 100000000L
 
   /** `factor` salted copies of `table` into `outDir` (skipped if
     * present): copy 0 verbatim, copies 1..factor-1 through `salt(k)`.
@@ -459,7 +463,7 @@ object ScaleEvidence {
     * the linear shape the vector operators claim. Copy 0 is verbatim,
     * so id-capped fixed-k parameter relations are byte-identical to the
     * 1x run's. */
-  private def generateEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
+  private[tools] def generateEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
       factor: Int): Unit = {
     val base = graft.Tables.read(spark, sfDir, "embeddings")
     replicate(spark, outDir, "embeddings", base, Seq("vec_id"), factor, { k =>

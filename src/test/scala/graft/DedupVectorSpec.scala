@@ -368,8 +368,11 @@ class DedupVectorSpec extends AnyFunSuite {
     val ivf = VectorQs.q42.fn(spark, sf)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    info(f"IVF probe-3 recall@5: $recall%.2f")
-    assert(recall >= 0.4) // probe-3 of 10 cells on unclustered data
+    info(f"IVF recall@5 at the default probe budget: $recall%.2f")
+    // the round-12 recall contract: >= 0.8 at every measured tier
+    // (SURVEY §2.0.2's recall-vs-probe table); at this corpus size the
+    // probe-24 default covers every cell, so the index is exhaustive
+    assert(recall >= 0.8)
   }
 
   test("IVF-PQ top-5 overlaps brute-force top-5 (recall@5 measured), deterministic") {
@@ -381,10 +384,10 @@ class DedupVectorSpec extends AnyFunSuite {
     val first = run()
     val pq = first.map { case (q, v, _) => (q, v) }.toSet
     val recall = pq.intersect(brute).size.toDouble / brute.size
-    info(f"IVF-PQ probe-3 recall@5: $recall%.2f")
-    // PQ adds quantization error on top of probe-3's cell misses; the
-    // 30-deep exact re-rank recovers most of it
-    assert(recall >= 0.4)
+    info(f"IVF-PQ recall@5 at the default probe budget: $recall%.2f")
+    // same >= 0.8 contract as plain IVF: the shortlist scales with the
+    // probed pool, so PQ quantization error cannot undercut it here
+    assert(recall >= 0.8)
     // the approximate path must still be reproducible run-to-run
     assert(run() == first)
   }
