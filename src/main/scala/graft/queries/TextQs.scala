@@ -1110,8 +1110,79 @@ object TextQs {
       FROM m, t ORDER BY source"""),
     headline = true)
 
+  /** MODEL-based quality scoring — the fastText-shaped filter tier
+    * beyond the heuristic cascades (q82/q84): a hashed-n-gram LINEAR
+    * classifier (the CCNet/fastText quality-model architecture —
+    * Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    * Classification") over unigram + bigram features hashed into
+    * [[QualityBuckets]] buckets by the engine-portable md5 convention
+    * (q44's `SampleOps.hashBucket` hash). The weight vector is a
+    * PLANTED deterministic table — `w(b) = (b·2654435761) mod 1000003
+    * − 501001`, materialized as a 4096-entry plan literal — so the
+    * oracle recomputes the identical dot product from the formula; a
+    * real deployment swaps the literal for its trained weights and
+    * keeps the plan.
+    *
+    * Shape at scale: one corpus scan — features (unigrams ++ bigrams)
+    * explode NARROWLY (a document's features stay in its task), the
+    * md5-bucket-`element_at` weight lookup runs per feature row inside
+    * whole-stage codegen (a fold through the `aggregate` HOF was
+    * measured 4× slower: higher-order lambdas evaluate INTERPRETED, and
+    * md5+conv per element in interpreted mode dominated the scan), and
+    * the per-document dot product partial-combines map-side, so the one
+    * exchange carries a single (doc, sum, count) row per document —
+    * never a feature, never text. All-integer weights make the dot
+    * product exact; the mean is one IEEE division of exactly-
+    * representable integers, so even the double column grades
+    * hash-exact.
+    */
+  private val QualityBuckets = 4096
+  private[graft] val qualityWeights: Seq[Long] =
+    (0 until QualityBuckets).map(b => (b.toLong * 2654435761L) % 1000003L - 501001L)
+
+  val q129 = Q(
+    "q129_model_quality",
+    (s, d) => {
+      val wTab = typedlit(qualityWeights)
+      val toks = split(col("text"), " ")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
+        .select(col("doc_id"), element_at(wTab,
+          (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+            % QualityBuckets + 1).cast("int")).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+        .select(col("doc_id"), col("n_feats"), col("score"),
+          (col("score").cast("double") / col("n_feats")).as("mean_w"),
+          (col("score") > 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      f AS (SELECT doc_id, len(toks) AS n_uni,
+              coalesce(list_sum([
+                ((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 4096)
+                  * 2654435761) % 1000003 - 501001
+                for tok in toks]), 0) AS uni,
+              coalesce(list_sum([
+                ((CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 4)) AS BIGINT) % 4096)
+                  * 2654435761) % 1000003 - 501001
+                for i in range(1, greatest(len(toks) - 1, 0) + 1)]), 0) AS big
+            FROM t)
+      SELECT doc_id,
+        CAST(n_uni + greatest(n_uni - 1, 0) AS BIGINT) AS n_feats,
+        CAST(uni + big AS BIGINT) AS score,
+        CAST(uni + big AS DOUBLE) / (n_uni + greatest(n_uni - 1, 0)) AS mean_w,
+        (uni + big) > 0 AS keep
+      FROM f ORDER BY doc_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

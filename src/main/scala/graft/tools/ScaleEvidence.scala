@@ -40,6 +40,9 @@ object ScaleEvidence {
     // positional grams through the fingerprint-keyed argmin; the
     // replicated copies are token-salted so gram identity stays 1x-like
     "q128_substring_dedup",
+    // round 12: the hashed-n-gram linear quality scorer — pure scan
+    // (one narrow projection, no shuffle), q82's growth class
+    "q129_model_quality",
     // round 9: the composed cascade joins q82's projection with q48's
     // two n-gram aggregations — both components' growth already
     // measured alone, this row measures their doc-keyed join
