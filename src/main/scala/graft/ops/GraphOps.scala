@@ -238,11 +238,17 @@ object GraphOps {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = graft.Memo.ensurePersisted(
-      edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-        .groupBy("src", "dst").agg(min(col("w")).as("w"))
-        .repartition(col("src")))
+    val ePlan = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .repartition(col("src"))
+    // CacheManager entries key on the canonicalized plan, so a concurrent
+    // graph op over the same edge relation SHARES the entry — unpersist
+    // below only when THIS call created it (storageLevel here reflects a
+    // CacheManager lookup, not object state), otherwise the first call to
+    // finish would evict a peer's cache mid-iteration.
+    val ownsCache = ePlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val e = graft.Memo.ensurePersisted(ePlan)
     var best = seeds.select(col("node").cast("long").as("node"))
       .distinct().withColumn("cost", lit(0L)).localCheckpoint(true)
     var frontier = best
@@ -266,7 +272,8 @@ object GraphOps {
     // localCheckpoint — nothing downstream reads `e`, so the entry is
     // released here and repeated sssp calls over different edge sets do
     // not accumulate MEMORY_AND_DISK entries until an external clearCache.
-    e.unpersist()
+    // Released only if this call persisted it (see ownsCache above).
+    if (ownsCache) e.unpersist()
     best
   }
 }

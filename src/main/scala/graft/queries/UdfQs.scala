@@ -211,10 +211,10 @@ object UdfQs {
       // each ≤ k longs — types × 2048 longs driver-resident, and the
       // `combinations(2)` below is a QUADRATIC driver term (types² pairs,
       // each an O(k) merge). Fine ≤ ~10³ types (≈ 500k pairs ≈ 8 GB·ops);
-      // the guard keeps a cardinality regression loud instead of letting
-      // the driver grind — past it, pair enumeration itself must become a
-      // distributed self-join of the sketch relation.
-      val MaxSketchTypes = 10000
+      // the guard is set AT that envelope so it fires before the driver
+      // grinds, not after — past it, pair enumeration itself must become
+      // a distributed self-join of the sketch relation.
+      val MaxSketchTypes = 1000
       val sketches = dst.groupBy("event_type")
         .agg(kmv(col("user_id").cast("string")).as("sk"))
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap

@@ -375,6 +375,52 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("IVF at a small probe budget is genuinely approximate: recall holds the documented floor") {
+    // At this corpus (10 cells) the probe-24 default is exhaustive, so
+    // the >= 0.8 assertions above cannot exercise the approximate
+    // regime — this one does: probes=3 scans ~3/10 of the corpus, the
+    // documented curve point (SURVEY §2.0.2: 0.28 at probes=3). Floor
+    // set with margin below the measured value; the info line records
+    // the actual number per run.
+    val brute = VectorQs.q41.fn(spark, sf).filter(col("rn") <= 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.ivf.probes", "3")
+    try {
+      val ivf = VectorQs.q42.fn(spark, sf)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = ivf.intersect(brute).size.toDouble / brute.size
+      info(f"IVF recall@5 at probes=3 (10 cells): $recall%.2f")
+      assert(recall >= 0.15, "probe-3 recall fell below the documented floor's margin")
+      // every probed result is still a REAL corpus vector per query
+      assert(ivf.forall { case (q, v) => q != v })
+    } finally spark.conf.unset("spark.graft.ivf.probes")
+  }
+
+  test("probe-32 is the documented high-recall tier: knob resolves, recall >= default's") {
+    // SURVEY §2.0.2's curve records probes=32 at 0.96/1.00/1.00 — the
+    // high-recall configuration row. Pin the knob plumbing: setting it
+    // must strictly widen the scanned fraction, so recall at 32 can
+    // never undercut the probe-24 default on the same corpus.
+    val brute = VectorQs.q41.fn(spark, sf).filter(col("rn") <= 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(probes: Option[Int]): Double = {
+      probes match {
+        case Some(p) => spark.conf.set("spark.graft.ivf.probes", p.toString)
+        case None => spark.conf.unset("spark.graft.ivf.probes")
+      }
+      try {
+        val got = VectorQs.q42.fn(spark, sf)
+          .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(brute).size.toDouble / brute.size
+      } finally spark.conf.unset("spark.graft.ivf.probes")
+    }
+    val atDefault = recallAt(None)
+    val at32 = recallAt(Some(32))
+    info(f"recall@5 default=$atDefault%.2f probe32=$at32%.2f")
+    assert(at32 >= atDefault)
+    assert(at32 >= 0.9)
+  }
+
   test("IVF-PQ top-5 overlaps brute-force top-5 (recall@5 measured), deterministic") {
     val brute = VectorQs.q41.fn(spark, sf).filter(col("rn") <= 5)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
