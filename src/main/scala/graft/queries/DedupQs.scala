@@ -288,6 +288,107 @@ object DedupQs {
     // headline since round 9 (annex row in BASELINE.md)
     headline = true)
 
+  /** The PRODUCTION 16-bit-band SimHash shape, ORACLE-GRADED (round 13
+    * — before this, the shipped default's recall structure had no
+    * CORRECTNESS entry; q37 pins 8-bit). Grading an APPROXIMATE
+    * candidate generator hash-exactly requires the oracle to reproduce
+    * banding reachability, i.e. the signatures themselves — so this
+    * path hashes tokens with `ngram_hash64(text, 1)`'s FNV-1a (a
+    * byte-walk DuckDB mirrors with a `list_reduce` over HUGEINT
+    * mod-2^64 arithmetic; Spark's xxhash64 has no feasible SQL mirror)
+    * and keys bands on the EXACT 16-bit signature slices
+    * ([[DedupOps.simhashBandsExact]]) so the candidate set is a pure
+    * function of the signatures, no murmur coincidences. Both engines
+    * then apply the identical pipeline: 4 × 16-bit band levels →
+    * Hamming ≤ [[SimHamMax]] post-filter → exact-Jaccard ≥ 0.8 verify.
+    * What the grade certifies is exactly the production trade promoted
+    * in round 12: deterministic recall to Hamming ≤ 3 via slice
+    * equality (≈ 256× lower random bucket occupancy than 8-bit),
+    * opportunistic recall beyond it, and a verified-exact output.
+    * Precondition shared with every text oracle here: the corpus is
+    * ASCII with single-space token separators (checked: max codepoint
+    * 121 at sf0.01/0.1), so DuckDB's per-char `unicode()` IS the byte
+    * walk.
+    */
+  private[graft] def simhash16Query(s: SparkSession, d: String): DataFrame = {
+    val capped = graft.Memo.cached(s, d, "simhash16_fnv_bands_capped") {
+      DedupOps.capBuckets(
+        graft.Memo.cached(s, d, "simhash16_fnv_bands") {
+          DedupOps.simhashBandsExact(
+            Tables.documents(s, d)
+              .select(col("doc_id"), TextOps.ngramHashes(col("text"), 1).as("hs")),
+            "doc_id", "hs", bitsPerBand = 16)
+        }, Seq("band_idx", "band_hash"), MaxBucket)
+    }
+    def side(n: String): DataFrame =
+      capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
+        col("band_idx"), col("band_hash"))
+    // 16-bit bands collide ~256x less than q37's 8-bit regime, so the
+    // candidate set is small and Catalyst broadcasts it into the verify
+    // joins on its own — no broadcastDocs override needed here.
+    val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b") &&
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= SimHamMax)
+      .select("doc_a", "doc_b").distinct()
+    verified(s, d, cands, 4, 5)
+  }
+
+  /** q130's DuckDB mirror: FNV-1a per token (HUGEINT mod-2^64 fold over
+    * the char codepoints — ASCII, so codepoint == byte), 64 sign-sums
+    * per doc, signature + exact 16-bit slices, band-equality join,
+    * `bit_count(xor)` ≤ 16, exact-Jaccard ≥ 0.8 verify. */
+  private def simhash16OracleSql: String = s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (
+        SELECT doc_id,
+          CAST(list_reduce(
+            list_prepend(CAST('14695981039346656037' AS HUGEINT),
+              [CAST(unicode(c) AS HUGEINT) for c in string_split(tok, '')]),
+            (h, b) -> (xor(h, b) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+            AS UBIGINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, k,
+          CASE WHEN sum(CASE WHEN (h >> CAST(k AS INT)) % 2 = 1
+                             THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS b
+        FROM th, (SELECT unnest(range(64)) AS k)
+        GROUP BY doc_id, k),
+      sigs AS (
+        SELECT doc_id,
+          CAST(sum(CAST(b AS HUGEINT) << CAST(k AS INT)) AS UBIGINT) AS sig
+        FROM bits GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, CAST(k // 16 AS INT) AS band_idx,
+          CAST(sum(CAST(b AS HUGEINT) << CAST(k % 16 AS INT)) AS BIGINT) AS slice
+        FROM bits GROUP BY doc_id, k // 16),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT ba.doc_id, ba.band_idx, ba.slice, sa.sig
+              FROM bands ba JOIN sigs sa USING (doc_id)) a
+        JOIN (SELECT bb.doc_id, bb.band_idx, bb.slice, sb.sig
+              FROM bands bb JOIN sigs sb USING (doc_id)) b
+          ON a.band_idx = b.band_idx AND a.slice = b.slice AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 16),
+      sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents)
+      SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+      FROM cands c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+      ORDER BY doc_a, doc_b"""
+
+  val q130 = Q(
+    "q130_simhash16",
+    (s, d) => simhash16Query(s, d),
+    Some(simhash16OracleSql),
+    headline = true)
+
   /** Exact n-gram Jaccard pairs (J >= 0.5) via inverted-index join:
     * explode shingles, shuffle on the SHINGLE (the standard exact path —
     * common-shingle counting, no cross join), then closed-form Jaccard
@@ -741,5 +842,5 @@ object DedupQs {
     headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114,
-    q122, q128)
+    q122, q128, q130)
 }

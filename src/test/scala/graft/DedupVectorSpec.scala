@@ -375,6 +375,23 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("q130 graded 16-bit simhash: subset of the exact J>=0.8 pairs, output verified-exact") {
+    // The 16-bit production shape may MISS pairs beyond its Hamming
+    // radius (the documented ~9% delta at replicated tiers) but can
+    // never emit a pair the exact verify rejects — so its output must
+    // be a subset of the exact all-pairs answer, with every surviving
+    // jaccard >= 0.8.
+    val exact = DedupQs.q38.fn(spark, sf).filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = DedupQs.q130.fn(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"16-bit FNV banding found ${got.size} of ${exact.size} exact pairs at sf0.001")
+    assert(got.subsetOf(exact))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+    assert(got.nonEmpty)
+  }
+
   test("IVF at a small probe budget is genuinely approximate: recall holds the documented floor") {
     // At this corpus (10 cells) the probe-24 default is exhaustive, so
     // the >= 0.8 assertions above cannot exercise the approximate
