@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.ops.TextOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -904,16 +904,22 @@ object TextQs {
     * rows, so the exchange is tiny next to the scan. Exact integer
     * counts: hash-exact.
     */
-  val q116 = Q(
-    "q116_lm_gram_counts",
-    (s, d) => {
+  /** The (gram_order, gram, n) count relation behind q116, persisted
+    * ONCE per (session, dir): q131's perplexity scorer derives its
+    * probabilities from THIS relation (not a re-derivation), so the
+    * count tables and the scores built on them cannot drift. */
+  private[graft] def lmGramCounts(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "lm_gram_counts") {
       Tables.documents(s, d)
         .select(explode(TextOps.lmGrams(col("text"), 3)).as("g"))
         .select(col("g._1").as("gram_order"), col("g._2").as("gram"))
         .groupBy("gram_order", "gram")
         .agg(count(lit(1)).as("n"))
-        .orderBy("gram_order", "gram")
-    },
+    }
+
+  val q116 = Q(
+    "q116_lm_gram_counts",
+    (s, d) => lmGramCounts(s, d).orderBy("gram_order", "gram"),
     Some("""
       WITH a AS (SELECT string_split(text, ' ') AS t FROM documents),
       grams AS (
@@ -1181,8 +1187,101 @@ object TextQs {
       FROM f ORDER BY doc_id"""),
     headline = true)
 
+  /** LM-PERPLEXITY document scoring — the CCNet filter tier (Wenzek et
+    * al. 2020: rank documents by language-model perplexity and keep the
+    * low-perplexity head) between the heuristic cascades (q82/q84) and
+    * the classifier (q129). Trigram model with add-1 smoothing over
+    * q116's SHARED count relation ([[lmGramCounts]] — the scorer
+    * consumes the exact persisted table it grades, so model and counts
+    * cannot drift): P(w3 | w1 w2) = (c3 + 1) / (c2 + V), V = unigram
+    * vocabulary size; per-doc NLL = Σ −log2 P over its trigram stream
+    * (multiplicity included), perplexity-per-gram = NLL / n_tri.
+    *
+    * GRADED EXACTLY by quantizing log2 in pure integer ops: lq(x) =
+    * e·2^16 + (x − 2^e)·2^16 div 2^e where e = ⌊log2 x⌋ comes from the
+    * binary-string length (`bin`/`length` — both engines compute it
+    * without touching floats), i.e. the classic piecewise-linear log2
+    * (max error 0.086 bits, monotone, deterministic). nlp(gram) =
+    * lq(den) − lq(num) ≥ 0; NLL sums and the final div stay in BIGINT,
+    * so every column is hash-exact — the same no-IEEE-at-the-boundary
+    * posture as q112's quantized BM25 factors.
+    *
+    * Shape at scale: count tables are vocabulary-sized (built once,
+    * memoized); the per-trigram score table joins tri→prefix(bigram)
+    * broadcast-or-shuffled at vocabulary size, never corpus size; the
+    * corpus-sized work is ONE trigram stream keyed on gram for the
+    * score lookup, then a doc-keyed partial-combined aggregate — the
+    * exchanges carry (gram, doc_id) and (doc_id, sums), never text.
+    * Docs with < 3 tokens have no trigram stream and drop out (none at
+    * the graded scales).
+    */
+  val q131 = Q(
+    "q131_lm_perplexity",
+    (s, d) => {
+      val counts = lmGramCounts(s, d)
+      val tri = counts.filter(col("gram_order") === 3)
+        .select(col("gram"), col("n").as("c3"))
+      val big = counts.filter(col("gram_order") === 2)
+        .select(col("gram").as("prefix"), col("n").as("c2"))
+      val vocab = counts.filter(col("gram_order") === 1).agg(count(lit(1)).as("v"))
+      // piecewise-linear fixed-point log2: e*2^16 + frac (see scaladoc)
+      def lq(x: String): String = {
+        val e = s"(length(bin($x)) - 1)"
+        val p2 = s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"
+        s"($e * 65536L + (($x - $p2) * 65536L) div $p2)"
+      }
+      val nlp = tri
+        .withColumn("prefix", substring_index(col("gram"), " ", 2))
+        .join(big, "prefix")
+        .crossJoin(broadcast(vocab))
+        .withColumn("num", col("c3") + lit(1L))
+        .withColumn("den", col("c2") + col("v"))
+        .select(col("gram"), (expr(lq("den")) - expr(lq("num"))).as("nlp_q"))
+      val docTri = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.lmGrams(col("text"), 3)).as("g"))
+        .filter(col("g._1") === 3)
+        .select(col("doc_id"), col("g._2").as("gram"))
+      docTri.join(nlp, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum(col("nlp_q")).as("nll_q"))
+        .withColumn("ppl_q", expr("nll_q div n_tri"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH a AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      tri0 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS gram
+        FROM a),
+      tric AS (SELECT gram, count(*) AS c3 FROM tri0 GROUP BY 1),
+      bigc AS (
+        SELECT gram, count(*) AS c2 FROM (
+          SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram FROM a)
+        GROUP BY 1),
+      v AS (SELECT count(DISTINCT gram) AS v FROM (SELECT unnest(t) AS gram FROM a)),
+      nlp AS (
+        SELECT t.gram,
+          ((length(bin(t.c2v)) - 1) * 65536
+             + ((t.c2v - (CAST(1 AS BIGINT) << (length(bin(t.c2v)) - 1))) * 65536)
+               // (CAST(1 AS BIGINT) << (length(bin(t.c2v)) - 1)))
+          - ((length(bin(t.c31)) - 1) * 65536
+             + ((t.c31 - (CAST(1 AS BIGINT) << (length(bin(t.c31)) - 1))) * 65536)
+               // (CAST(1 AS BIGINT) << (length(bin(t.c31)) - 1))) AS nlp_q
+        FROM (
+          SELECT tric.gram, CAST(tric.c3 + 1 AS BIGINT) AS c31,
+            CAST(bigc.c2 + v.v AS BIGINT) AS c2v
+          FROM tric
+          JOIN bigc ON bigc.gram = array_to_string(string_split(tric.gram, ' ')[1:2], ' ')
+          CROSS JOIN v) t)
+      SELECT doc_id, count(*) AS n_tri,
+        CAST(sum(nlp_q) AS BIGINT) AS nll_q,
+        CAST(sum(nlp_q) AS BIGINT) // count(*) AS ppl_q
+      FROM tri0 JOIN nlp USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -118,4 +118,30 @@ class RepetitionBitsSpec extends AnyFunSuite {
     try assert(run() == narrow)
     finally spark.conf.unset("spark.graft.repetition.fingerprintBits")
   }
+
+  test("q131 perplexity: exact quantized-log values on a hand-computed corpus") {
+    import spark.implicits._
+    // 3 copies of "a b c" + 1 "x y z": V = 6 distinct unigrams.
+    //  - "a b c": c3 = 3, prefix "a b" c2 = 3 → num = 4, den = 9
+    //    lq(9) = 3·65536 + 65536//8 = 204800; lq(4) = 131072 → nlp 73728
+    //  - "x y z": c3 = 1, c2 = 1 → num = 2, den = 7
+    //    lq(7) = 2·65536 + 3·65536//4 = 180224; lq(2) = 65536 → nlp 114688
+    // The repeated doc scores LOWER perplexity — the CCNet keep-head.
+    val docs = Seq(1L -> "a b c", 2L -> "a b c", 3L -> "a b c", 4L -> "x y z")
+    val dir = java.nio.file.Files.createTempDirectory("ppl-docs")
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQs.q131.fn(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 73728L, 73728L)), 2L -> ((1L, 73728L, 73728L)),
+      3L -> ((1L, 73728L, 73728L)), 4L -> ((1L, 114688L, 114688L))),
+      s"quantized perplexity diverged: $got")
+  }
+
+  test("q131 on the corpus: every doc scored, perplexity strictly positive") {
+    val out = graft.queries.TextQs.q131.fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(3) > 0L))
+  }
 }
