@@ -191,5 +191,115 @@ object MultimodalQs {
     Some(fixtures.map { case (id, kind, fmt, hx) => oracleRow(id, kind, fmt, hx) }
       .mkString("", " UNION ALL ", " ORDER BY media_id")))
 
-  val defs: Seq[Q] = Seq(q86)
+  /** Planted ASCII captions for the cross-modal pairing (q132) —
+    * hex-encoded once like the media payloads so the oracle runs the
+    * same byte walk over both modalities. */
+  private val captions: Seq[(Long, String)] = Seq(
+    (1L, "a large landscape bitmap of a sunset over the bay"),
+    (2L, "a tiny top down bitmap icon with an alpha channel"),
+    (3L, "a full hd truecolor png screenshot with transparency"),
+    (4L, "a small grayscale png depth chart at sixteen bits"),
+    (5L, "a retro gif title screen at three twenty by two hundred"),
+    (6L, "a baseline jpeg photo of a mountain trail in summer"),
+    (7L, "a high precision monochrome jpeg scan of a manuscript"),
+    (8L, "a short stereo cd quality wav clip of applause"),
+    (9L, "a long mono telephone quality wav voicemail recording"))
+
+  private def asciiHex(s2: String): String =
+    hex(s2.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** DuckDB mirror of [[MultimodalOps.FakeDecoder.pseudoEmbedding]] over
+    * a hex column `hx`: Java `Arrays.hashCode`'s 31·h+b int32-overflow
+    * fold (HUGEINT arithmetic recentred into [−2^31, 2^31) each step),
+    * then component i = float32(wrap32(h·(i+1))) / float32(2^31−1) —
+    * REAL casts reproduce the JVM's exact float rounding (verified
+    * bit-identical). Emitted as a SELECT producing ($idCol, emb). */
+  private def pseudoEmbSql(src: String, idCol: String): String = s"""
+        SELECT $idCol,
+          [CAST(CAST(((h*(i+1) + 2147483648) % 4294967296 + 4294967296) % 4294967296
+                     - 2147483648 AS BIGINT) AS REAL)
+             / CAST(2147483647 AS REAL) for i in range(0, 8)] AS emb
+        FROM (
+          SELECT $idCol, list_reduce(list_prepend(CAST(1 AS HUGEINT),
+              [CASE WHEN u > 127 THEN u - 256 ELSE u END
+               for u in [CAST(CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) AS HUGEINT)
+                         for i in range(0, CAST(length(hx)//2 AS INT))]]),
+            (h, x) -> ((31*h + x + 2147483648) % 4294967296 + 4294967296) % 4294967296
+                      - 2147483648) AS h
+          FROM $src)"""
+
+  private def dot8(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 9)])"
+  private def cos8(a: String, b: String): String =
+    s"(${dot8(a, b)} / (sqrt(${dot8(a, a)}) * sqrt(${dot8(b, b)})))"
+
+  /** CROSS-MODAL pairing — the retrieval step after feature extraction:
+    * media payloads and text captions both reduce to embeddings, then
+    * every medium ranks the caption set by exact cosine (q41's verified
+    * double-fold convention) and keeps its top 3. The media side runs
+    * the REAL `mapPartitions` decoder path (`extractFeatures` →
+    * pseudo-embedding of the payload bytes); the caption side runs the
+    * same path over caption bytes (the stand-in for a text encoder —
+    * swapping a real CLIP-style model in is one more [[MultimodalOps
+    * .MediaDecoder]] branch, the plumbing under grade here is schema,
+    * batching, join direction and ranking). Oracle = the q86 hex-mirror
+    * convention extended to the embedding fold: q86 drops the embedding
+    * because ITS graded object is the header decoders; here the PAIRING
+    * is the graded object, so the oracle must (and does) reproduce the
+    * fold bit-exactly — see [[pseudoEmbSql]].
+    *
+    * Scale shape: caption/query side broadcast (q41's posture), media
+    * corpus scans once, the ranking window sees only (media_id, cap_id,
+    * cos) — vectors never enter the sort (the round-12 q42 lesson).
+    */
+  val q132 = Q(
+    "q132_crossmodal_match",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val media = fixtures
+        .map { case (id, kind, fmt, hx) => (id, kind, s"mem://$id.$fmt", hx) }
+        .toDF("media_id", "kind", "uri", "hex")
+        .select(col("media_id"), col("kind"), col("uri"),
+          unhex(col("hex")).as("bytes"))
+        .as[MediaRow]
+      val mediaEmb = MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("embedding"))
+      val caps = captions
+        .map { case (id, text) => (id, "text", s"mem://cap/$id",
+          text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) }
+        .toDF("media_id", "kind", "uri", "bytes")
+        .as[MediaRow]
+      val capEmb = MultimodalOps.extractFeatures(caps).toDF()
+        .select(col("media_id").as("cap_id"), col("embedding").as("cap_emb"))
+      val w = Window.partitionBy("media_id").orderBy(col("cos").desc, col("cap_id"))
+      mediaEmb.crossJoin(broadcast(capEmb))
+        .select(col("media_id"), col("cap_id"),
+          graft.ops.VectorOps.cosine(col("embedding"), col("cap_emb")).as("cos"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("media_id", "rank", "cap_id", "cos")
+        .orderBy("media_id", "rank")
+    },
+    Some {
+      val mediaVals = fixtures
+        .map { case (id, _, _, hx) => s"($id, '$hx')" }.mkString(", ")
+      val capVals = captions
+        .map { case (id, text) => s"($id, '${asciiHex(text)}')" }.mkString(", ")
+      s"""
+      WITH mraw(media_id, hx) AS (VALUES $mediaVals),
+      craw(cap_id, hx) AS (VALUES $capVals),
+      me AS (${pseudoEmbSql("mraw", "media_id")}),
+      ce AS (${pseudoEmbSql("craw", "cap_id")})
+      SELECT CAST(media_id AS BIGINT) AS media_id, rank,
+        CAST(cap_id AS BIGINT) AS cap_id, cos
+      FROM (
+        SELECT m.media_id, c.cap_id, ${cos8("m.emb", "c.emb")} AS cos,
+          CAST(row_number() OVER (PARTITION BY m.media_id
+            ORDER BY ${cos8("m.emb", "c.emb")} DESC, c.cap_id) AS INT) AS rank
+        FROM me m CROSS JOIN ce c) t
+      WHERE rank <= 3 ORDER BY media_id, rank"""
+    })
+
+  val defs: Seq[Q] = Seq(q86, q132)
 }

@@ -234,4 +234,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 3)
     assert(joined.filter($"media_id" === 99L).select("n_bytes").head().isNullAt(0))
   }
+
+  test("q132 cross-modal pairing: full top-3 per medium, valid cosines, deterministic") {
+    def run() = graft.queries.MultimodalQs.q132.fn(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val rows = run()
+    assert(rows.length == 27) // 9 media x top-3
+    val byMedia = rows.groupBy(_._1)
+    assert(byMedia.keySet == (1L to 9L).toSet)
+    byMedia.values.foreach { g =>
+      assert(g.map(_._2).sorted == Seq(1, 2, 3))
+      // ranks ordered by descending cosine
+      assert(g.sortBy(_._2).map(_._4).reverse == g.map(_._4).sorted.toSeq)
+    }
+    assert(rows.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
+    assert(run() == rows) // the mapPartitions decode path is deterministic
+  }
 }
