@@ -103,7 +103,19 @@ object ScaleEvidence {
     // 10x vocabulary through the merge chain and sums symbol counts
     "q125_bpe_encode",
     // scan-shaped: one map-side-combined pass to source-sized rows
-    "q127_temperature_mixture")
+    "q127_temperature_mixture",
+    // round 13: the GRADED 16-bit banding form (FNV token hashes, exact
+    // slice keys) — 10x the docs through 4 band levels of 65 536 slice
+    // values each: random bucket occupancy stays ~256x below q37's
+    // 8-bit regime, so the collision mass the band join materializes
+    // grows near-linearly here where the 8-bit row grows ~quadratically
+    "q130_simhash16",
+    // round 13: perplexity scoring — 10x corpus AND 10x gram vocabulary
+    // under the word salt (each copy's trigram/bigram/unigram spaces are
+    // disjoint with identical count structure), so the vocabulary-sized
+    // score table grows 10x while per-gram join fan-in is UNCHANGED; the
+    // corpus-sized trigram stream and the doc-keyed aggregate grow 10x
+    "q131_lm_perplexity")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -186,6 +198,11 @@ object ScaleEvidence {
     * the value distribution (same histogram shape, 10x the population in
     * every bucket — the linear-growth claim under test). */
   private val LineitemQueryNames = Seq("q68_global_quantiles",
+    // round 13: the graded approx-distinct — 10x rows per returnflag;
+    // the HLL++ estimate path ships fixed-size register partials at any
+    // scale, the exact count_distinct verify is the branch that grows
+    // (q79's posture: the verifier is the cost, the sketch is the product)
+    "q19_approx_distinct",
     // round 11: the relational headliners whose only table is lineitem —
     // the copy shift touches l_orderkey alone. q01's flag/status groups
     // and q16's pushed filters see 10x the rows; q17's per-partkey dedup

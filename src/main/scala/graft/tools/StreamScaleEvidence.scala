@@ -40,10 +40,128 @@ object StreamScaleEvidence {
     (corpus.toSeq ++ fresh).toDF("doc_id", "text")
   }
 
+  /** Max accrued batch_id dirs in any one bucket of `rel` — the
+    * pressure signal [[IndexLayout.maybeCompact]] triggers on, observed
+    * here WITHOUT compacting so the growth curve stays unreset. */
+  private def maxDirsPerBucket(spark: SparkSession, indexDir: String,
+      rel: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val g = IndexLayout.gen(spark, indexDir)
+    val buckets = graft.ops.Fs.list(s"$indexDir/$rel/gen=$g", hconf)
+      .filter(_.getPath.getName.startsWith("bucket="))
+    if (buckets.isEmpty) 0
+    else buckets.map(b => graft.ops.Fs.list(b.getPath.toString, hconf)
+      .count(_.getPath.getName.startsWith("batch_id="))).max
+  }
+
+  /** Resident-index GROWTH curve for the document-admission loop:
+    * steady-state probe cost as the trickle-batch count grows 0 → 200
+    * (10× the original 20-batch scenario), with the compaction trigger
+    * condition (maxDirsPerBucket > 32) OBSERVED at each checkpoint (not
+    * acted on, so the curve shows the uncompacted creep) and the real
+    * pressure-triggered [[DocStream.maybeCompactIndex]] run once at the
+    * end. What the curve should show: probe cost tracks FILES per
+    * probed bucket (one batch_id dir per admitting batch accrues), so
+    * it creeps between compactions and resets after — growth in cost
+    * is a layout artifact compaction owns, not an algorithmic slope. */
+  private def docGrowthCurve(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("doc-growth")
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    DocStream.seedIndex(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), indexDir)
+    var batchId = 0L
+    def admit(docs: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      DocStream.admitBatch(docs, indexDir, outDir, batchId)
+      batchId += 1
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    admit(probeDocs(spark, sfDir, 900000L)) // warm + admit the synthetics
+    val rnd = new scala.util.Random(7)
+    println("\nDocStream admission cost vs batches admitted (sf0.01 seed, nb=64):")
+    println("| trickle batches admitted | max dirs/bucket | trigger (>32) pressured | steady-state probe median (s) |")
+    println("|---|---|---|---|")
+    var admitted = 0
+    Seq(0, 50, 100, 200).foreach { target =>
+      while (admitted < target) {
+        admit(Seq((950000L + admitted,
+          Seq.fill(40)(s"t${rnd.nextInt(50000)}").mkString(" ")))
+          .toDF("doc_id", "text"))
+        admitted += 1
+      }
+      val dirs = maxDirsPerBucket(spark, indexDir, "bands")
+      val probe = median((1 to 3).map(i =>
+        admit(probeDocs(spark, sfDir, 900000L + (admitted + i) * 1000L))))
+      println(f"| $admitted | $dirs | ${dirs > 32} | $probe%.2f |")
+    }
+    val fired = DocStream.maybeCompactIndex(spark, indexDir)
+    val after = median((1 to 3).map(i =>
+      admit(probeDocs(spark, sfDir, 980000L + i * 1000L))))
+    println(f"| 200 + maybeCompact (fired=$fired) | ${maxDirsPerBucket(spark, indexDir, "bands")} | — | $after%.2f |")
+  }
+
+  /** The same growth curve for the SEMANTIC (vector) admission loop:
+    * trickle batches of random vectors classify `new` and GROW the
+    * resident (cell, vec) index; steady-state probes re-admit exact
+    * corpus copies (cos 1.0 → `dup_corpus`, never indexed). */
+  private def vecGrowthCurve(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("vec-growth")
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    graft.streaming.VecStream.seedIndex(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), indexDir)
+    val probeBase = Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").limit(3)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    var batchId = 0L
+    def admit(vecs: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.streaming.VecStream.admitBatch(vecs, indexDir, outDir, batchId)
+      batchId += 1
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def probeBatch(idBase: Long) =
+      probeBase.zipWithIndex.map { case (v, i) => (idBase + i, v) }
+        .toSeq.toDF("vec_id", "embedding")
+    val rnd = new scala.util.Random(11)
+    def freshVec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    admit(probeBatch(800000L)) // warm
+    println("\nVecStream admission cost vs batches admitted (sf0.01 seed, nb=64):")
+    println("| trickle batches admitted | max dirs/bucket | trigger (>32) pressured | steady-state probe median (s) |")
+    println("|---|---|---|---|")
+    var admitted = 0
+    Seq(0, 50, 100, 200).foreach { target =>
+      while (admitted < target) {
+        admit(Seq((850000L + admitted, freshVec())).toDF("vec_id", "embedding"))
+        admitted += 1
+      }
+      val dirs = maxDirsPerBucket(spark, indexDir, "vectors")
+      val probe = median((1 to 3).map(i =>
+        admit(probeBatch(800000L + (admitted + i) * 100L))))
+      println(f"| $admitted | $dirs | ${dirs > 32} | $probe%.2f |")
+    }
+    val fired = graft.streaming.VecStream.maybeCompactIndex(spark, indexDir)
+    val after = median((1 to 3).map(i =>
+      admit(probeBatch(890000L + i * 100L))))
+    println(f"| 200 + maybeCompact (fired=$fired) | ${maxDirsPerBucket(spark, indexDir, "vectors")} | — | $after%.2f |")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Tables.configure(
       SparkSession.builder().appName("stream-scale"), "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("--growth")) {
+      docGrowthCurve(spark)
+      vecGrowthCurve(spark)
+      spark.stop()
+      return
+    }
 
     val configs = Seq(
       ("/root/testdata/sf0.01", 64), ("/root/testdata/sf0.1", 64),

@@ -24,4 +24,15 @@ class SmokeSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
     assert(names.forall(_.matches("q\\d+[a-z0-9_]*")))
   }
+
+  test("README's surface inventory count matches the registry") {
+    // The README count drifted twice (rounds 11 and 12); pin it so a
+    // new query without the doc update fails loudly at land time.
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val m = "(\\d+) named queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md no longer states the named-query count")
+    assert(m.get.group(1).toInt == Queries.all.size,
+      s"README says ${m.get.group(1)} queries, registry has ${Queries.all.size} — update README.md")
+  }
 }
