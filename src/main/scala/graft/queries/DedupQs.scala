@@ -323,14 +323,20 @@ object DedupQs {
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
         col("band_idx"), col("band_hash"))
-    // 16-bit bands collide ~256x less than q37's 8-bit regime, so the
-    // candidate set is small and Catalyst broadcasts it into the verify
-    // joins on its own — no broadcastDocs override needed here.
+    // broadcastDocs = q37's measured verify posture. Alternatives were
+    // measured at the 10× tier and lost: un-hinted, Catalyst broadcasts
+    // the CACHED shingle relation (exact small-looking stats beat the
+    // candidates' huge post-join estimate) into both verify joins
+    // (4.19 s); explicitly broadcasting the candidate side chains two
+    // nested BroadcastExchanges whose builds serialize the stage graph
+    // (2.4 s even at 1×, OOM-prone at 10×). The doc-broadcast form
+    // shares the exchange across both joins and pipelines with the
+    // band build — same executor-memory validity bound as q37.
     val cands = side("a").join(side("b"), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b") &&
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= SimHamMax)
       .select("doc_a", "doc_b").distinct()
-    verified(s, d, cands, 4, 5)
+    verified(s, d, cands, 4, 5, broadcastDocs = true)
   }
 
   /** q130's DuckDB mirror: FNV-1a per token (HUGEINT mod-2^64 fold over
