@@ -1187,6 +1187,24 @@ object TextQs {
       FROM f ORDER BY doc_id"""),
     headline = true)
 
+  /** Fixed-point piecewise-linear log2, Spark-SQL text form (shared by
+    * q131/q133): lq(x) = e·2^16 + (x − 2^e)·2^16 div 2^e with
+    * e = ⌊log2 x⌋ from the binary-string length — no floats anywhere,
+    * so both engines agree bit-for-bit. Max error 0.086 bits, monotone.
+    * Requires x ≥ 1. */
+  private def lqSparkSql(x: String): String = {
+    val e = s"(length(bin($x)) - 1)"
+    val p2 = s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"
+    s"($e * 65536L + (($x - $p2) * 65536L) div $p2)"
+  }
+
+  /** The same quantized log2 as DuckDB SQL text (`//` div, `<<` shift). */
+  private def lqDuckSql(x: String): String = {
+    val e = s"(length(bin($x)) - 1)"
+    val p2 = s"(CAST(1 AS BIGINT) << $e)"
+    s"($e * 65536 + (($x - $p2) * 65536) // $p2)"
+  }
+
   /** LM-PERPLEXITY document scoring — the CCNet filter tier (Wenzek et
     * al. 2020: rank documents by language-model perplexity and keep the
     * low-perplexity head) between the heuristic cascades (q82/q84) and
@@ -1224,19 +1242,13 @@ object TextQs {
       val big = counts.filter(col("gram_order") === 2)
         .select(col("gram").as("prefix"), col("n").as("c2"))
       val vocab = counts.filter(col("gram_order") === 1).agg(count(lit(1)).as("v"))
-      // piecewise-linear fixed-point log2: e*2^16 + frac (see scaladoc)
-      def lq(x: String): String = {
-        val e = s"(length(bin($x)) - 1)"
-        val p2 = s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"
-        s"($e * 65536L + (($x - $p2) * 65536L) div $p2)"
-      }
       val nlp = tri
         .withColumn("prefix", substring_index(col("gram"), " ", 2))
         .join(big, "prefix")
         .crossJoin(broadcast(vocab))
         .withColumn("num", col("c3") + lit(1L))
         .withColumn("den", col("c2") + col("v"))
-        .select(col("gram"), (expr(lq("den")) - expr(lq("num"))).as("nlp_q"))
+        .select(col("gram"), (expr(lqSparkSql("den")) - expr(lqSparkSql("num"))).as("nlp_q"))
       val docTri = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextOps.lmGrams(col("text"), 3)).as("g"))
         .filter(col("g._1") === 3)
@@ -1247,7 +1259,7 @@ object TextQs {
         .withColumn("ppl_q", expr("nll_q div n_tri"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH a AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       tri0 AS (
         SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -1260,13 +1272,7 @@ object TextQs {
         GROUP BY 1),
       v AS (SELECT count(DISTINCT gram) AS v FROM (SELECT unnest(t) AS gram FROM a)),
       nlp AS (
-        SELECT t.gram,
-          ((length(bin(t.c2v)) - 1) * 65536
-             + ((t.c2v - (CAST(1 AS BIGINT) << (length(bin(t.c2v)) - 1))) * 65536)
-               // (CAST(1 AS BIGINT) << (length(bin(t.c2v)) - 1)))
-          - ((length(bin(t.c31)) - 1) * 65536
-             + ((t.c31 - (CAST(1 AS BIGINT) << (length(bin(t.c31)) - 1))) * 65536)
-               // (CAST(1 AS BIGINT) << (length(bin(t.c31)) - 1))) AS nlp_q
+        SELECT t.gram, ${lqDuckSql("t.c2v")} - ${lqDuckSql("t.c31")} AS nlp_q
         FROM (
           SELECT tric.gram, CAST(tric.c3 + 1 AS BIGINT) AS c31,
             CAST(bigc.c2 + v.v AS BIGINT) AS c2v
@@ -1280,8 +1286,94 @@ object TextQs {
       GROUP BY doc_id ORDER BY doc_id"""),
     headline = true)
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * an importance weight estimated from hashed n-gram features — the
+    * standard way a pretraining pipeline selects web data that "looks
+    * like" a high-quality target distribution. Target here = the `en`
+    * slice, raw = everything (the corpus scores itself; a deployment
+    * swaps the target predicate). Features are q129's EXACT hashed
+    * unigram+bigram buckets (md5 → [[QualityBuckets]] — one convention,
+    * two queries, cannot drift); per-bucket add-1 probabilities under
+    * target and raw give the per-feature log-likelihood ratio
+    * Δ(b) = lq(ct+1) − lq(nt+B) − lq(cr+1) + lq(nr+B) in q131's
+    * quantized integer log2, and a doc's weight is the sum of Δ over
+    * its feature OCCURRENCES — exactly the DSIR bag-of-hashed-ngrams
+    * estimator, graded deterministically (published DSIR then samples
+    * with Gumbel noise; the graded form takes the top-100 by weight
+    * with doc_id tiebreak — the deterministic core the sampling step
+    * wraps).
+    *
+    * Shape at scale: the bucket table is FIXED-size (B=4096 rows —
+    * broadcast), its totals one scalar; features explode narrowly (a
+    * doc's features stay in its task), the per-doc weight
+    * partial-combines map-side, and the global top-100 is a
+    * TakeOrderedAndProject heap — no shuffle carries anything
+    * corpus-sized but the one (doc, sums) exchange.
+    */
+  val q133 = Q(
+    "q133_dsir_selection",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(concat(toks, bigrams)).as("f"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+            % QualityBuckets).cast("int").as("b"))
+      val counts = feats.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+      val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val deltas = counts.crossJoin(broadcast(totals))
+        .select(col("b"),
+          (expr(lqSparkSql("ct + 1L")) - expr(lqSparkSql(s"nt + ${QualityBuckets}L"))
+            - expr(lqSparkSql("cr + 1L")) + expr(lqSparkSql(s"nr + ${QualityBuckets}L")))
+            .as("delta_q"))
+      val ranked = feats.join(broadcast(deltas), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("delta_q").as("weight_q"))
+        .orderBy(col("weight_q").desc, col("doc_id"))
+        .limit(100)
+      ranked
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("weight_q").desc, col("doc_id"))).cast("int"))
+        .select("rank", "doc_id", "n_feats", "weight_q")
+    },
+    Some {
+      val b = QualityBuckets
+      s"""
+      WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, lang,
+          CAST(CAST(concat('0x', substr(md5(g), 1, 4)) AS BIGINT) % $b AS INT) AS b
+        FROM (
+          SELECT doc_id, lang, unnest(toks) AS g FROM t
+          UNION ALL
+          SELECT doc_id, lang, unnest([toks[i] || ' ' || toks[i+1]
+                 for i in range(1, greatest(len(toks) - 1, 0) + 1)]) FROM t)),
+      c AS (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+            FROM f GROUP BY 1),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c),
+      dlt AS (SELECT b,
+        ${lqDuckSql("(ct + 1)")} - ${lqDuckSql(s"(nt + $b)")}
+          - ${lqDuckSql("(cr + 1)")} + ${lqDuckSql(s"(nr + $b)")} AS delta_q
+        FROM c, tot),
+      w AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(delta_q) AS BIGINT) AS weight_q
+            FROM f JOIN dlt USING (b) GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INT) AS rank,
+        doc_id, n_feats, weight_q
+      FROM w QUALIFY rank <= 100 ORDER BY rank"""
+    },
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
-    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131)
+    q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
+    q133)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -144,4 +144,33 @@ class RepetitionBitsSpec extends AnyFunSuite {
     assert(out.length == 500)
     assert(out.forall(r => r.getLong(3) > 0L))
   }
+
+  test("q133 DSIR: target-aligned docs outrank off-target docs; ranks well-formed") {
+    import spark.implicits._
+    // Planted separation: en docs use one closed vocabulary, the other
+    // lang another — a doc made of target-only features must outweigh a
+    // doc made of raw-only features under any add-1 estimate.
+    val en = (1L to 6L).map(i => (i, "alpha beta gamma delta alpha beta", "en", "s0", 30L))
+    val zh = (7L to 12L).map(i => (i, "omega sigma kappa theta omega sigma", "zh", "s0", 30L))
+    val dir = java.nio.file.Files.createTempDirectory("dsir-docs")
+    (en ++ zh).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQs.q133.fn(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // weights non-increasing down the ranking
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    val rankOf = rows.map(r => r._2 -> r._1).toMap
+    // every en doc above every zh doc
+    assert((1L to 6L).forall(e => (7L to 12L).forall(z => rankOf(e) < rankOf(z))),
+      s"target docs not ranked first: $rows")
+  }
+
+  test("q133 on the corpus: 100 selected, deterministic") {
+    def run() = graft.queries.TextQs.q133.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val first = run()
+    assert(first.length == 100)
+    assert(run() == first)
+  }
 }
