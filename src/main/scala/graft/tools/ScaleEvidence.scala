@@ -115,7 +115,14 @@ object ScaleEvidence {
     // disjoint with identical count structure), so the vocabulary-sized
     // score table grows 10x while per-gram join fan-in is UNCHANGED; the
     // corpus-sized trigram stream and the doc-keyed aggregate grow 10x
-    "q131_lm_perplexity")
+    "q131_lm_perplexity",
+    // round 13: DSIR selection — the lang column rides the replication
+    // verbatim, so the target/raw split replicates per copy; the bucket
+    // table stays FIXED at 4096 rows (hashed features from 10x the
+    // vocabulary fold into the same buckets), its broadcast and the
+    // top-100 heap are scale-invariant, and only the feature stream +
+    // the (doc, sums) exchange grow 10x
+    "q133_dsir_selection")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
