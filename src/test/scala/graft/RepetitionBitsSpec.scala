@@ -166,6 +166,24 @@ class RepetitionBitsSpec extends AnyFunSuite {
       s"target docs not ranked first: $rows")
   }
 
+  test("q135 source quota: exactly K per source, ranked by the shared q129 score") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextQs.q135.fn(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.size == 20)
+    bySrc.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length) && g.length <= 10)
+      // within a source, scores non-increasing down the ranking
+      val ordered = g.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    // every kept row's score matches q129's for the same doc
+    val q129Scores = graft.queries.TextQs.q129.fn(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.forall { case (_, _, doc, score) => q129Scores(doc) == score })
+  }
+
   test("q133 on the corpus: 100 selected, deterministic") {
     def run() = graft.queries.TextQs.q133.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
