@@ -400,4 +400,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"),
       "prefix rank window lost its per-doc partitioning")
   }
+
+  test("q130: sign-sums partially aggregate; band join keyed, never all-pairs") {
+    val p = plan("q130_simhash16")
+    assert(p.contains("partial_sum"),
+      "no map-side combine on the 64 per-doc sign sums")
+    assert(!p.contains("CartesianProduct"),
+      "band candidate generation fell back to a product")
+    assert(p.contains("bit_count"),
+      "Hamming post-filter missing — the collision mass would reach the verify")
+  }
+
+  test("q131: NLL aggregate partially combines; corpus text never enters an exchange") {
+    val p = plan("q131_lm_perplexity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side combine on the doc-keyed NLL aggregate")
+    assert(p.contains("hashpartitioning(gram") || p.contains("hashpartitioning(doc_id"),
+      "score lookup/aggregate lost its key")
+  }
+
+  test("q133: bucket table broadcast; per-doc weight partially aggregates; top-100 heap") {
+    val p = plan("q133_dsir_selection")
+    assert(p.contains("BroadcastExchange"),
+      "the 4096-row delta table not broadcast — a corpus-sized shuffle would appear")
+    assert(p.contains("partial_sum"),
+      "no map-side combine on the per-doc weight sum")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-100 not a bounded heap — a full sort would run at corpus size")
+  }
+
+  test("q135: per-source ranking prunes with a partial group limit before its exchange") {
+    val p = plan("q135_source_quota")
+    assert(p.contains("WindowGroupLimit"),
+      "quota rank not group-limit pruned — every scored row would shuffle")
+    assert(p.contains("windowspecdefinition(source"),
+      "ranking window lost its per-source partitioning")
+  }
+
+  test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
+    val p = plan("q19_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct"),
+      "HLL++ estimate lost its map-side partials — registers would not merge distributed")
+    assert(p.contains("count(distinct") || p.contains("count(l_partkey"),
+      "exact verify branch missing")
+  }
 }
