@@ -215,10 +215,33 @@ object VectorQs {
       WHERE rn <= 5 ORDER BY qid, rn"""),
     headline = true)
 
+  /** The seeded SRP plane matrix — object-level so the QUERY and its
+    * ORACLE derive from one definition (round 13: q43 flipped from
+    * rows-only to fully graded; the oracle inlines these planes as
+    * exact-decimal double literals). */
+  private[graft] lazy val srpPlanes: Seq[Seq[Float]] = {
+    val r = new java.util.Random(7)
+    Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
+  }
+
   /** Random-hyperplane (SRP) LSH near-dup: 8 tables x 8 sign bits,
-    * same-bucket candidates, exact-cosine verify >= 0.45. Deterministic
-    * (fixed seeded planes) but probabilistic recall — rows-only check;
-    * the ScalaTest suite measures recall against brute force.
+    * same-bucket candidates, exact-cosine verify >= 0.45.
+    *
+    * FULLY GRADED as of round 13 (was rows-only): every stage is a
+    * deterministic function of the seeded plane literals — sign bit p
+    * is `dot(vec, plane_p) > 0` in the same left-fold doubles both
+    * engines compute (q41's verified convention), bucket keys are
+    * integer bit-packs of those signs, candidates are bucket equality,
+    * and the verify compares identical doubles against 0.45 — so even
+    * AT a boundary both engines make the same call. The oracle inlines
+    * the planes as exact-decimal literals (`BigDecimal(f.toDouble)
+    * .toPlainString` — the double's exact value, so DuckDB's strtod
+    * reconstructs it bit-for-bit) and replays bits → buckets → join →
+    * verify. The 1000-cap on buckets is inert at the graded scale
+    * (max occupancy ~tens of 500 vectors over 256 buckets/table) and
+    * the oracle asserts nothing about it, same as q36/q37.
+    * `DedupVectorSpec` still measures recall against brute force —
+    * grading pins the answer, the spec pins the quality.
     */
   val q43 = Q(
     "q43_embedding_near_dup",
@@ -232,10 +255,7 @@ object VectorQs {
       // loops into one whole-stage-codegen method — past the JVM's 8 KB
       // JIT limit, measured ~6x slower than even the HOF form. Planes are
       // float and seeded, so buckets stay deterministic across runs.
-      val planes: Seq[Seq[Float]] = {
-        val r = new java.util.Random(7)
-        Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
-      }
+      val planes = srpPlanes
       // cached like q36's minhash bands: the cap's aggregate + semi-join
       // and both self-join sides consume this relation, and one side
       // feeds a BroadcastExchange so ReusedExchange can't fire — without
@@ -289,7 +309,35 @@ object VectorQs {
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")
     },
-    None,
+    Some {
+      // exact-decimal double literals of the seeded planes (see scaladoc)
+      val planesLit = srpPlanes.map(row => row.map(f =>
+        new java.math.BigDecimal(f.toDouble).toPlainString)
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""
+      WITH bits AS (
+        SELECT e.vec_id, t.p,
+          CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.pl[t.p][i]
+                              for i in range(1, 65)]) > 0
+               THEN 1 ELSE 0 END AS b
+        FROM embeddings e,
+             (SELECT unnest(range(1, 65)) AS p) t,
+             (SELECT $planesLit AS pl) pl),
+      bk AS (
+        SELECT vec_id, CAST((p - 1) // 8 AS INT) AS table_idx,
+          CAST(sum(b << CAST((p - 1) % 8 AS INT)) AS BIGINT) AS bits
+        FROM bits GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bk a JOIN bk b
+          ON a.table_idx = b.table_idx AND a.bits = b.bits AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+      FROM cands c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+      ORDER BY vec_a, vec_b"""
+    },
     // headline since round 5 (annex row in BASELINE.md — the frozen
     // round-4 table is untouched): the embedding-LSH path deserves a
     // perf gate now that its projections are a custom expression
@@ -426,10 +474,91 @@ object VectorQs {
         .orderBy("qid", "rn")
   }
 
+  /** q66's DuckDB mirror (round 13 — the LAST rows-only query flips to
+    * fully graded): every stage of the PQ pipeline is a deterministic
+    * function of the corpus, so the oracle replays it — q42's
+    * cent1/assign/probes CTEs, the sample codebook (codes dense in
+    * sample-id order per subspace), the L2 argmin encode with the same
+    * `(sq − 2·dot) + ncb` double association and (dist, code) tiebreak,
+    * ADC partial dot products summed through `Det.dsumSql` (the exact-
+    * decimal order-independent convention), the pool-scaled shortlist
+    * with its `greatest(100, probes·N/(2k))` depth in integer div, and
+    * q41's exact-cosine re-rank. Ranking doubles are identical on both
+    * sides (same folds, same literals), so every window tiebreak lands
+    * identically. */
+  private def ivfpqOracleSql: String = {
+    def dot8(a: String, b: String): String =
+      s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 9)])"
+    def sub(v: String, idx: String): String = s"$v[$idx*8+1 : $idx*8+8]"
+    s"""
+      WITH $kmeansCentSql,
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, cent1.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${cosSql("e.embedding", "cent1.cvec")} DESC, cent1.cid) AS crn
+          FROM embeddings e CROSS JOIN cent1) t WHERE crn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      probes AS (
+        SELECT qid, cell FROM (
+          SELECT q.qid, cent1.cid AS cell,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${cosSql("q.qe", "cent1.cvec")} DESC, cent1.cid) AS prn
+          FROM q CROSS JOIN cent1) t WHERE prn <= $DefaultIvfProbes),
+      smp AS (SELECT vec_id AS id, embedding AS vec FROM embeddings WHERE vec_id % 13 = 0),
+      subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub_idx),
+      cb AS (
+        SELECT sub_idx,
+          CAST(row_number() OVER (PARTITION BY sub_idx ORDER BY id) - 1 AS INT) AS code,
+          ${sub("vec", "sub_idx")} AS cvec
+        FROM smp, subs),
+      enc AS (
+        SELECT id, sub_idx, code FROM (
+          SELECT e.vec_id AS id, c.sub_idx, c.code,
+            row_number() OVER (PARTITION BY e.vec_id, c.sub_idx
+              ORDER BY (${dot8(s"${sub("e.embedding", "c.sub_idx")}", s"${sub("e.embedding", "c.sub_idx")}")}
+                        - 2 * ${dot8(s"${sub("e.embedding", "c.sub_idx")}", "c.cvec")})
+                       + ${dot8("c.cvec", "c.cvec")} ASC, c.code ASC) AS ern
+          FROM embeddings e CROSS JOIN cb c) t WHERE ern = 1),
+      qt AS (
+        SELECT q.qid, c.sub_idx, c.code,
+          ${dot8(s"${sub("q.qe", "c.sub_idx")}", "c.cvec")} AS pdot,
+          ${dot8("c.cvec", "c.cvec")} AS ncb
+        FROM q CROSS JOIN cb c),
+      cand AS (
+        SELECT DISTINCT p.qid, a.vec_id AS id FROM probes p
+        JOIN assign a ON p.cell = a.cell WHERE a.vec_id <> p.qid),
+      adc AS (
+        SELECT c.qid, c.id,
+          ${graft.Det.dsumSql("qt.pdot")} AS adc,
+          ${graft.Det.dsumSql("qt.ncb")} AS recon
+        FROM cand c
+        JOIN enc ON enc.id = c.id
+        JOIN qt ON qt.qid = c.qid AND qt.sub_idx = enc.sub_idx AND qt.code = enc.code
+        GROUP BY c.qid, c.id),
+      sk AS (
+        SELECT greatest(100, ($DefaultIvfProbes * (SELECT count(*) FROM embeddings))
+          // (2 * greatest((SELECT count(*) FROM cent1), 1))) AS k),
+      short AS (
+        SELECT qid, id FROM (
+          SELECT adc.qid, adc.id,
+            row_number() OVER (PARTITION BY adc.qid
+              ORDER BY (adc.adc / sqrt(adc.recon)) DESC, adc.id) AS srn
+          FROM adc) t, sk WHERE srn <= sk.k)
+      SELECT qid, vec_id, cos, rn FROM (
+        SELECT s.qid, s.id AS vec_id, ${cosSql("q.qe", "e.embedding")} AS cos,
+          CAST(row_number() OVER (PARTITION BY s.qid
+            ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, s.id) AS INT) AS rn
+        FROM short s
+        JOIN embeddings e ON e.vec_id = s.id
+        JOIN q ON q.qid = s.qid) t
+      WHERE rn <= 5 ORDER BY qid, rn"""
+  }
+
   val q66 = Q(
     "q66_ann_ivfpq",
     (s, d) => ivfpqQuery(s, d),
-    None,
+    Some(ivfpqOracleSql),
     // headline since round 8 (annex row in BASELINE.md; frozen table
     // untouched) — the memoized PQ index + ADC scoring path is the
     // 100-TB-resident search plan and deserves a perf gate
