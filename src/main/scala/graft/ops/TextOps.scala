@@ -334,4 +334,31 @@ object TextOps {
       })
     (c: Column) => u(c)
   }
+
+  /** Hashed-n-gram linear quality scorer core (the q129/q135 model and
+    * DocStream's streaming quality gate — ONE definition): md5-bucketed
+    * unigram+bigram features against the planted [[qualityWeights]]
+    * table, summed per doc in exact integers. Input needs (doc_id,
+    * text); output (doc_id, n_feats, score). Lives in ops so the
+    * streaming layer can consume it without depending on the query
+    * registry. */
+  val QualityBuckets = 4096
+  val qualityWeights: Seq[Long] =
+    (0 until QualityBuckets).map(b => (b.toLong * 2654435761L) % 1000003L - 501001L)
+
+  def modelScoresOf(docs: DataFrame): DataFrame = {
+    val wTab = typedlit(qualityWeights)
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), element_at(wTab,
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+          % QualityBuckets + 1).cast("int")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+  }
 }

@@ -1142,27 +1142,14 @@ object TextQs {
     * representable integers, so even the double column grades
     * hash-exact.
     */
-  private val QualityBuckets = 4096
-  private[graft] val qualityWeights: Seq[Long] =
-    (0 until QualityBuckets).map(b => (b.toLong * 2654435761L) % 1000003L - 501001L)
+  private val QualityBuckets = TextOps.QualityBuckets
+  private[graft] def qualityWeights: Seq[Long] = TextOps.qualityWeights
 
   /** The q129 scorer's (doc_id, n_feats, score) relation, shared with
-    * q135's quota selector — one scoring definition, two queries. */
-  private[graft] def modelScores(s: SparkSession, d: String): DataFrame = {
-    val wTab = typedlit(qualityWeights)
-    val toks = split(col("text"), " ")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
-      .select(col("doc_id"), element_at(wTab,
-        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
-          % QualityBuckets + 1).cast("int")).as("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
-  }
+    * q135's quota selector AND DocStream's streaming quality gate — the
+    * ONE scoring definition lives in [[TextOps.modelScoresOf]]. */
+  private[graft] def modelScores(s: SparkSession, d: String): DataFrame =
+    TextOps.modelScoresOf(Tables.documents(s, d))
 
   /** The q129 scorer's DuckDB mirror as a shareable CTE fragment
     * (`t`, `msc(doc_id, n_feats, score)`) — q129 and q135 both splice

@@ -73,6 +73,16 @@ object DocStream {
   /** Conf key for the index bucket count (see [[IndexLayout]]). */
   val BucketsConfKey: String = IndexLayout.BucketsConfKey
 
+  /** Conf key for the OPTIONAL streaming quality gate: when set to an
+    * integer threshold, each micro-batch is scored by the shared
+    * hashed-n-gram model ([[TextOps.modelScoresOf]] — the exact q129
+    * scorer) BEFORE dedup classification, and docs at or below the
+    * threshold are recorded `low_quality` and neither classified nor
+    * indexed — the standard pipeline order (quality filter, then
+    * dedup), applied at the admission boundary. Unset (default) the
+    * gate is off and admission behavior is byte-identical to before. */
+  val MinScoreConfKey = "spark.graft.stream.minScore"
+
   private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
   private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
     pmod(xxhash64(id), lit(nb.toLong)).cast("int")
@@ -152,7 +162,21 @@ object DocStream {
       outDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     val nb = IndexLayout.numBuckets(spark, indexDir)
-    val sh = docs
+    // optional quality gate (see MinScoreConfKey): rejected docs are
+    // excluded from shingling, so they produce no candidates, classify
+    // as nothing but low_quality, and never enter the index. Persisted
+    // because the flag feeds both the eligibility anti-join and the
+    // final status projection.
+    val lowQ: Option[DataFrame] =
+      spark.conf.getOption(MinScoreConfKey).map(_.toLong).map { m =>
+        TextOps.modelScoresOf(docs).filter(col("score") <= m)
+          .select(col("doc_id")).persist()
+      }
+    val eligible = lowQ match {
+      case Some(l) => docs.join(l, Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    val sh = eligible
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
@@ -213,11 +237,18 @@ object DocStream {
       val dupCorpus = verify(candsCorpus, idxSh).withColumn("__dc", lit(true))
       val dupBatch = verify(candsBatch, sh).withColumn("__db", lit(true))
 
-      docs.select("doc_id")
+      val withLq = lowQ match {
+        case Some(l) => docs.select("doc_id")
+          .join(l.withColumn("__lq", lit(true)), Seq("doc_id"), "left")
+        case None => docs.select("doc_id")
+          .withColumn("__lq", lit(null).cast("boolean"))
+      }
+      withLq
         .join(dupCorpus, Seq("doc_id"), "left")
         .join(dupBatch, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          when(col("__dc"), "dup_corpus")
+          when(col("__lq"), "low_quality")
+            .when(col("__dc"), "dup_corpus")
             .when(col("__db"), "dup_batch")
             .otherwise("new").as("status"),
           lit(batchId).as("batch_id"))
@@ -244,6 +275,7 @@ object DocStream {
     } finally {
       sh.unpersist()
       bands.unpersist()
+      lowQ.foreach(_.unpersist())
       if (candsCorpus != null) candsCorpus.unpersist()
     }
   }

@@ -281,6 +281,42 @@ class StreamingSpec extends AnyFunSuite {
       9104L -> ("new", 1L)))
   }
 
+  test("quality-gated admission: low scorers recorded, never classified, never indexed") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("doc-admit-gate")
+    val (indexDir, outDir) = (s"$root/index", s"$root/out")
+    val textA = "purple monkeys deliver seventeen umbrellas to the northern lighthouse keeper"
+    val textB = "quantum turbines hum beneath the ancient observatory during winter storms"
+    graft.streaming.DocStream.seedIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), indexDir)
+    // pick a threshold that splits the two docs by their REAL model
+    // scores (deterministic) — no magic constants to go stale
+    val scores = graft.ops.TextOps.modelScoresOf(
+        Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (lowId, highId) = if (scores(1L) < scores(2L)) (1L, 2L) else (2L, 1L)
+    val lowText = if (lowId == 1L) textA else textB
+    spark.conf.set(graft.streaming.DocStream.MinScoreConfKey,
+      scores(lowId).toString) // gate at the low doc's own score (<=)
+    try {
+      graft.streaming.DocStream.admitBatch(
+        Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"),
+        indexDir, outDir, batchId = 0L)
+      val got = spark.read.parquet(s"$outDir/admissions")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(lowId -> "low_quality", highId -> "new"), s"got $got")
+      // the rejected doc must NOT be in the index: an identical copy in
+      // a later batch (gate off) classifies `new`, not `dup_corpus`
+      spark.conf.unset(graft.streaming.DocStream.MinScoreConfKey)
+      graft.streaming.DocStream.admitBatch(
+        Seq((10L, lowText)).toDF("doc_id", "text"), indexDir, outDir, batchId = 1L)
+      val later = spark.read.parquet(s"$outDir/admissions")
+        .filter(col("batch_id") === 1L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(later == Map(10L -> "new"), s"rejected doc leaked into the index: $later")
+    } finally spark.conf.unset(graft.streaming.DocStream.MinScoreConfKey)
+  }
+
   test("admission replay with the same batch_id is idempotent") {
     // foreachBatch is at-least-once: a crash after the writes but before
     // the checkpoint commit re-delivers the SAME batchId. Drive
