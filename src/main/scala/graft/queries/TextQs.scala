@@ -1417,9 +1417,51 @@ object TextQs {
         doc_id, score
       FROM j QUALIFY rank <= 10 ORDER BY source, rank"""))
 
+  /** The per-document ATTRIBUTE TABLE — the Dolma-style tagger
+    * architecture's materialized artifact: every curation signal the
+    * pipeline computes, joined into ONE wide row per document (identity
+    * + size, the hashed-n-gram model score, LM perplexity, and the
+    * cascade's per-rule fail bitmask), so downstream selection recipes
+    * are cheap projections over attributes instead of re-running
+    * taggers. Composed FROM the graded definitions (`modelScores`,
+    * q131's scorer, q84's cascade — and the oracle composes the same
+    * three MIRRORS as CTEs), so the attribute table cannot drift from
+    * the per-signal grades. ppl_q is nullable by contract: a doc with
+    * fewer than 3 tokens has no trigram stream (LEFT join, same rule
+    * q131 documents).
+    *
+    * Shape at scale: each input is its own graded one-or-two-exchange
+    * plan over shared memoized relations; the attribute join keys every
+    * side on doc_id — co-partitioned joins, output corpus-sized but
+    * narrow (9 columns).
+    */
+  val q136 = Q(
+    "q136_attribute_table",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("int").as("n_tokens"))
+      base.join(modelScores(s, d), "doc_id")
+        .join(q131.fn(s, d).select("doc_id", "ppl_q"), Seq("doc_id"), "left")
+        .join(q84.fn(s, d).select("doc_id", "fail_mask"), "doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH m136 AS (${q129.oracle.get}),
+      p136 AS (${q131.oracle.get}),
+      c136 AS (${q84.oracle.get})
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        m136.n_feats, m136.score, p136.ppl_q, c136.fail_mask
+      FROM documents d
+      JOIN m136 USING (doc_id)
+      LEFT JOIN p136 USING (doc_id)
+      JOIN c136 USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135)
+    q133, q135, q136)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

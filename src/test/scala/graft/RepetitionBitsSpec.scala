@@ -184,6 +184,26 @@ class RepetitionBitsSpec extends AnyFunSuite {
     assert(rows.forall { case (_, _, doc, score) => q129Scores(doc) == score })
   }
 
+  test("q136 attribute table: one row per doc, null ppl only below the trigram floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "s0", 19L),
+      (2L, "x y", "zh", "s1", 3L)) // < 3 tokens: no trigram stream
+    val dir = java.nio.file.Files.createTempDirectory("attr-docs")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextQs.q136.fn(spark, dir.toString).collect()
+    assert(rows.length == 2)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).isNullAt(7), "doc with trigrams lost its perplexity")
+    assert(byId(2L).isNullAt(7), "sub-trigram doc must carry NULL ppl_q")
+    // attribute values match their source queries
+    val score = graft.ops.TextOps.modelScoresOf(docs.toDF("doc_id", "text", "l", "s", "n")
+      .select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.forall(r => r.getLong(6) == score(r.getLong(0))))
+  }
+
   test("q133 on the corpus: 100 selected, deterministic") {
     def run() = graft.queries.TextQs.q133.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
