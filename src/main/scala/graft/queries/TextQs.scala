@@ -1459,9 +1459,89 @@ object TextQs {
       JOIN c136 USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** q137's perplexity cut (quantized bits/gram × 2^16 ≈ 4.50
+    * bits/gram): the CCNet "keep the low-perplexity head" boundary,
+    * fixed as a literal the way a production pipeline fixes it from a
+    * reference-corpus calibration (the sf0.01 85th percentile measures
+    * 295 398 — the cut drops roughly the worst sixth of the corpus). */
+  private val PplMax = 295000L
+
+  /** q137's model-score floor — the hashed-weight table is PLANTED
+    * (q129's deterministic stand-in for trained weights), so its
+    * absolute scores are arbitrary; the pipeline gate therefore cuts at
+    * a calibrated floor the way a deployment calibrates a real
+    * classifier's threshold (the sf0.01 10th percentile measures
+    * −12.27 M; the floor drops the worst ~tenth). score <= 0 — q129's
+    * own `keep` attribute — is the right gate only for TRAINED weights
+    * centered on a decision boundary. */
+  private val ModelMin = -12250000L
+
+  /** END-TO-END corpus selection with DROP ATTRIBUTION — the composed
+    * pipeline run every curation recipe ends with: each document either
+    * survives every stage or is attributed to the FIRST stage that
+    * dropped it, in the canonical order dedup → surface cascade →
+    * model score → perplexity. Each stage is a GRADED definition
+    * reused verbatim: near-dup pairs are q36's exact-verified
+    * MinHash-LSH output under the pairwise keep-first policy (a doc
+    * drops when a lower-id J ≥ 0.8 partner exists — q17/q35's
+    * convention; the component-wise survivor policy is q39/q122's
+    * job), the cascade/model/perplexity attributes come from q136's
+    * attribute table, and the perplexity gate applies [[PplMax]] to
+    * docs that HAVE a trigram stream (a sub-trigram doc cannot be
+    * LM-scored and skips the gate — q131's null contract, documented
+    * rather than silently dropped). The oracle composes the SAME
+    * mirrors (q136's CTE + the exact all-pairs Jaccard CTE), so the
+    * composition cannot drift from its stages.
+    *
+    * Shape at scale: the pair relation is LSH-bounded (q36's shape),
+    * the attribute table is q136's co-partitioned join set, and the
+    * attribution itself is one more doc_id-keyed left join + a
+    * codegen'd CASE — nothing new shuffles.
+    */
+  val q137 = Q(
+    "q137_pipeline_select",
+    (s, d) => {
+      val dups = DedupQs.q36.fn(s, d)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("__dup", lit(true))
+      q136.fn(s, d)
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__dup"), "duplicate")
+            .when(col("fail_mask") =!= 0, "cascade")
+            .when(col("score") < ModelMin, "model")
+            .when(col("ppl_q") > PplMax, "perplexity")
+            .as("drop_reason"))
+        .withColumn("keep", col("drop_reason").isNull)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH attr137 AS (${q136.oracle.get}),
+      sh137 AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      dup137 AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh137 a JOIN sh137 b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8)
+      SELECT a.doc_id,
+        CASE WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+             WHEN a.fail_mask <> 0 THEN 'cascade'
+             WHEN a.score < $ModelMin THEN 'model'
+             WHEN a.ppl_q > $PplMax THEN 'perplexity' END AS drop_reason,
+        (CASE WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+              WHEN a.fail_mask <> 0 THEN 'cascade'
+              WHEN a.score < $ModelMin THEN 'model'
+              WHEN a.ppl_q > $PplMax THEN 'perplexity' END) IS NULL AS keep
+      FROM attr137 a LEFT JOIN dup137 d USING (doc_id)
+      ORDER BY a.doc_id"""))
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136)
+    q133, q135, q136, q137)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

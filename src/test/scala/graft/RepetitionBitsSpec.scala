@@ -204,6 +204,24 @@ class RepetitionBitsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(6) == score(r.getLong(0))))
   }
 
+  test("q137 pipeline selection: first-failing-stage attribution, consistent with its stages") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextQs.q137.fn(spark, d).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getBoolean(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, reason, keep) => assert(keep == reason.isEmpty) }
+    val byReason = rows.groupBy(_._2).map { case (k, v) => k -> v.size }
+    info(s"attribution: $byReason")
+    assert(byReason.getOrElse(None, 0) > 0, "pipeline kept nothing")
+    assert(byReason.contains(Some("duplicate")) && byReason.contains(Some("cascade")))
+    // precedence: every q36 doc_b is attributed duplicate regardless of
+    // what later stages would have said
+    val dups = graft.queries.DedupQs.q36.fn(spark, d)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val attributed = rows.filter(r => dups.contains(r._1)).map(_._2).toSet
+    assert(attributed == Set(Some("duplicate")), s"dedup lost precedence: $attributed")
+  }
+
   test("q133 on the corpus: 100 selected, deterministic") {
     def run() = graft.queries.TextQs.q133.fn(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
