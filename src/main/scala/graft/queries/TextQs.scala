@@ -1457,7 +1457,8 @@ object TextQs {
       JOIN m136 USING (doc_id)
       LEFT JOIN p136 USING (doc_id)
       JOIN c136 USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""),
+    headline = true)
 
   /** q137's perplexity cut (quantized bits/gram × 2^16 ≈ 4.50
     * bits/gram): the CCNet "keep the low-perplexity head" boundary,
@@ -1537,7 +1538,8 @@ object TextQs {
               WHEN a.score < $ModelMin THEN 'model'
               WHEN a.ppl_q > $PplMax THEN 'perplexity' END) IS NULL AS keep
       FROM attr137 a LEFT JOIN dup137 d USING (doc_id)
-      ORDER BY a.doc_id"""))
+      ORDER BY a.doc_id"""),
+    headline = true)
 
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,

@@ -122,7 +122,16 @@ object ScaleEvidence {
     // vocabulary fold into the same buckets), its broadcast and the
     // top-100 heap are scale-invariant, and only the feature stream +
     // the (doc, sums) exchange grow 10x
-    "q133_dsir_selection")
+    "q133_dsir_selection",
+    // round 13 late: containment — q38's inverted-index class (within-
+    // copy containment structure preserved, per-shingle df unchanged
+    // under the salt); the quota selector — scoring is q129's scan
+    // class, the rank window deepens 10x per source at a fixed source
+    // set with group-limit pruning; the attribute table — its three
+    // graded inputs' growth classes joined doc_id-keyed; the composed
+    // pipeline — q36's pair relation + the attribute joins + one CASE
+    "q134_containment_join", "q135_source_quota",
+    "q136_attribute_table", "q137_pipeline_select")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
