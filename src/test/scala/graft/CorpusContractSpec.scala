@@ -91,4 +91,22 @@ class CorpusContractSpec extends AnyFunSuite {
     val bad = ev.filter(unix_micros(col("event_ts")) =!= col("ts_us")).count()
     assert(bad == 0, s"$bad rows where event_ts and ts_us disagree")
   }
+
+  test("documents text is ASCII with single-space separators — q130's oracle precondition") {
+    // The q130/q132 DuckDB mirrors walk bytes via per-char `unicode()`,
+    // which equals the UTF-8 byte ONLY for ASCII; and the token
+    // contract everywhere is split-on-single-space (no empty tokens).
+    // A corpus regeneration breaking either must fail HERE, not as a
+    // hash mismatch deep in a banding oracle.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val docs = Tables.documents(spark, d)
+      val nonAscii = docs.filter(col("text").rlike("[^\\x20-\\x7e]")).count()
+      assert(nonAscii == 0, s"$d: $nonAscii docs with non-ASCII or control chars")
+      val emptyTok = docs.filter(
+        col("text").startsWith(" ") || col("text").endsWith(" ") ||
+          col("text").contains("  ") || col("text") === "").count()
+      assert(emptyTok == 0, s"$d: $emptyTok docs that would tokenize empty tokens")
+    }
+  }
 }
