@@ -281,10 +281,13 @@ object VectorQs {
             call_function("vec_srp_bits",
               col("embedding"), typedlit(planes), lit(bandBits)).as("__packed"))
           .select(col("vec_id"),
+            // bits stays LONG: a 32-bit slice exceeds Int range, and the
+            // ANSI int cast made the documented 32-bit knob a runtime
+            // CAST_OVERFLOW (caught round 13 measuring the width ladder)
             explode(array((0 until tables).map(t =>
               struct(lit(t).as("table_idx"),
                 shiftrightunsigned(col("__packed"), t * bandBits)
-                  .bitwiseAND(lit(mask)).cast("int").as("bits"))): _*)).as("b"))
+                  .bitwiseAND(lit(mask)).as("bits"))): _*)).as("b"))
           .select(col("vec_id"),
             col("b.table_idx").as("table_idx"), col("b.bits").as("bits"))
       }

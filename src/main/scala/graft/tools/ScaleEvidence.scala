@@ -350,7 +350,25 @@ object ScaleEvidence {
     // 10x vectors through the N·k argmax + id-keyed label join, with
     // the purity windows on the (cells x labels) frame at both scales
     "q119_cluster_purity [fixed-k]" -> ((s: SparkSession, d: String) =>
-      graft.queries.VectorQs.clusterPurityQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")))
+      graft.queries.VectorQs.clusterPurityQuery(s, d, idCap = CopyShift, memoSuffix = "_sx")),
+    // round 13: q43's band-width ladder — the SRP analog of q37's
+    // documented widths: wider bands = fewer, more selective tables
+    // from the same 64 packed sign bits (16-bit: 4 tables x 65 536
+    // buckets; 32-bit: 2 x 4.3G), dividing random bucket occupancy at
+    // the price of recall shifting toward higher-cosine pairs; the
+    // pair counts per width print below so the trade is data
+    "q43_embedding_near_dup [16-bit]" -> ((s: SparkSession, d: String) =>
+      srpAtWidth(s, d, 16)),
+    "q43_embedding_near_dup [32-bit]" -> ((s: SparkSession, d: String) =>
+      srpAtWidth(s, d, 32)))
+
+  /** Build q43's plan at a non-default SRP band width (the knob is read
+    * at plan-build time; restored immediately after the build). */
+  private def srpAtWidth(s: SparkSession, d: String, bits: Int): DataFrame = {
+    s.conf.set("spark.graft.srp.bandBits", bits.toString)
+    try Queries.byName("q43_embedding_near_dup").fn(s, d)
+    finally s.conf.unset("spark.graft.srp.bandBits")
+  }
 
   /** Documents-table variant measurements: the q37 wider-band form —
     * the documented production knob for the 8-bit level's quadratic
@@ -649,6 +667,17 @@ object ScaleEvidence {
       Seq(8, 16).foreach { bits =>
         val n1p = graft.queries.DedupQs.simhashQuery(spark, sfDir, bits).count()
         val nXp = graft.queries.DedupQs.simhashQuery(spark, outDir, bits).count()
+        println(s"| ${bits}-bit bands | $n1p | $nXp |")
+      }
+    }
+    // the recall side of the SRP band-width ladder: verified cos>=0.45
+    // pairs per width at both scales (q37's table for the vector family)
+    if (filter.forall(selects(_, "q43_embedding_near_dup [16-bit]"))) {
+      println("| srp width | pairs 1x | pairs " + factor + "x |")
+      println("|---|---|---|")
+      Seq(8, 16, 32).foreach { bits =>
+        val n1p = srpAtWidth(spark, sfDir, bits).count()
+        val nXp = srpAtWidth(spark, outDir, bits).count()
         println(s"| ${bits}-bit bands | $n1p | $nXp |")
       }
     }
