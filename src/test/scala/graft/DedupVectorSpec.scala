@@ -394,6 +394,22 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(jac == 0)
   }
 
+  test("q134 prefix filter is COMPLETE: equals brute-force containment on the corpus") {
+    // The one-sided prefix bound claims zero recall loss (df cap inert
+    // here: max df 7 at this sf) — demand set equality against an
+    // independent plain-Scala brute force over the same shingle sets.
+    val sh = DedupQs.shingled(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.nonEmpty && 10L * (sa & sb).size >= 9L * sa.size
+    } yield (a, b)).toSet
+    val got = DedupQs.q134.fn(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("q130 graded 16-bit simhash: subset of the exact J>=0.8 pairs, output verified-exact") {
     // The 16-bit production shape may MISS pairs beyond its Hamming
     // radius (the documented ~9% delta at replicated tiers) but can
