@@ -128,6 +128,46 @@ object Memo {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  /** Reference-counted persist LEASE for callers that unpersist when done
+    * (the iterative graph ops — [[ensurePersisted]]'s callers otherwise
+    * own entries until an external `clearCache`). The naked
+    * check-then-persist + "owns iff it saw NONE" pattern races: two
+    * concurrent calls over plan-identical relations can both observe
+    * `StorageLevel.NONE`, both claim ownership, and the first to finish
+    * unpersists the SHARED CacheManager entry mid-iteration of the other
+    * (CacheManager keys on the canonicalized plan, so there is only one
+    * entry between them). The lease serializes the decision under one
+    * lock keyed on that same canonicalized plan: `acquire` persists only
+    * on the 0→1 transition, `release` unpersists only on the 1→0
+    * transition — so the entry lives exactly as long as any leaseholder
+    * and no finisher can evict a peer mid-flight. Lock scope is a plain
+    * JVM-global map (graph-op concurrency per process is tiny); the
+    * count map never grows past the set of concurrently-leased plans
+    * because 1→0 removes the key. */
+  object Lease {
+    private val counts =
+      new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+    private def key(df: DataFrame) = df.queryExecution.analyzed.canonicalized
+
+    /** Take a lease on `df`'s cache entry (persisting it if this is the
+      * first lease). Pair with exactly one [[release]] on the same plan. */
+    def acquire(df: DataFrame): DataFrame = counts.synchronized {
+      val k = key(df)
+      val n = counts.getOrDefault(k, 0)
+      if (n == 0) ensurePersisted(df)
+      counts.put(k, n + 1)
+      df
+    }
+
+    /** Drop a lease; unpersists the entry when the last lease goes. */
+    def release(df: DataFrame): Unit = counts.synchronized {
+      val k = key(df)
+      val n = counts.getOrDefault(k, 0)
+      if (n <= 1) { counts.remove(k); df.unpersist() }
+      else counts.put(k, n - 1)
+    }
+  }
 }
 
 /** Determinism helpers for oracle-exact numeric aggregation.

@@ -243,12 +243,12 @@ object GraphOps {
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
       .repartition(col("src"))
     // CacheManager entries key on the canonicalized plan, so a concurrent
-    // graph op over the same edge relation SHARES the entry — unpersist
-    // below only when THIS call created it (storageLevel here reflects a
-    // CacheManager lookup, not object state), otherwise the first call to
-    // finish would evict a peer's cache mid-iteration.
-    val ownsCache = ePlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val e = graft.Memo.ensurePersisted(ePlan)
+    // graph op over the same edge relation SHARES the entry. A leased
+    // persist (refcounted under one lock, [[graft.Memo.Lease]]) rather
+    // than check-then-persist ownership: the naked form let two
+    // concurrent sssp calls both observe NONE, both claim the entry, and
+    // the first finisher evict it mid-iteration of the other.
+    val e = graft.Memo.Lease.acquire(ePlan)
     var best = seeds.select(col("node").cast("long").as("node"))
       .distinct().withColumn("cost", lit(0L)).localCheckpoint(true)
     var frontier = best
@@ -272,8 +272,8 @@ object GraphOps {
     // localCheckpoint — nothing downstream reads `e`, so the entry is
     // released here and repeated sssp calls over different edge sets do
     // not accumulate MEMORY_AND_DISK entries until an external clearCache.
-    // Released only if this call persisted it (see ownsCache above).
-    if (ownsCache) e.unpersist()
+    // The lease unpersists only when the LAST concurrent holder releases.
+    graft.Memo.Lease.release(e)
     best
   }
 }

@@ -310,14 +310,24 @@ object DedupQs {
     * 121 at sf0.01/0.1), so DuckDB's per-char `unicode()` IS the byte
     * walk.
     */
-  private[graft] def simhash16Query(s: SparkSession, d: String): DataFrame = {
-    val capped = graft.Memo.cached(s, d, "simhash16_fnv_bands_capped") {
+  private[graft] def simhash16Query(s: SparkSession, d: String): DataFrame =
+    simhashFnvQuery(s, d, bitsPerBand = 16)
+
+  /** [[simhash16Query]]'s body with the band width as a parameter —
+    * q130 grades the 16-bit production default, q141 the 32-bit rung
+    * above it (2 × 32-bit levels: deterministic recall shrinks to
+    * Hamming ≤ 1, random bucket occupancy drops another ~65 536×; the
+    * found-pair deltas per width are ScaleEvidence's
+    * `q130_simhash16[found-pairs]` job). Width must divide 64. */
+  private[graft] def simhashFnvQuery(s: SparkSession, d: String,
+      bitsPerBand: Int): DataFrame = {
+    val capped = graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands_capped") {
       DedupOps.capBuckets(
-        graft.Memo.cached(s, d, "simhash16_fnv_bands") {
+        graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands") {
           DedupOps.simhashBandsExact(
             Tables.documents(s, d)
               .select(col("doc_id"), TextOps.ngramHashes(col("text"), 1).as("hs")),
-            "doc_id", "hs", bitsPerBand = 16)
+            "doc_id", "hs", bitsPerBand = bitsPerBand)
         }, Seq("band_idx", "band_hash"), MaxBucket)
     }
     def side(n: String): DataFrame =
@@ -339,11 +349,13 @@ object DedupQs {
     verified(s, d, cands, 4, 5, broadcastDocs = true)
   }
 
-  /** q130's DuckDB mirror: FNV-1a per token (HUGEINT mod-2^64 fold over
-    * the char codepoints — ASCII, so codepoint == byte), 64 sign-sums
-    * per doc, signature + exact 16-bit slices, band-equality join,
-    * `bit_count(xor)` ≤ 16, exact-Jaccard ≥ 0.8 verify. */
-  private def simhash16OracleSql: String = s"""
+  /** q130/q141's DuckDB mirror: FNV-1a per token (HUGEINT mod-2^64 fold
+    * over the char codepoints — ASCII, so codepoint == byte), 64
+    * sign-sums per doc, signature + exact `bits`-wide slices,
+    * band-equality join, `bit_count(xor)` ≤ [[SimHamMax]] (interpolated,
+    * not a literal — retuning the constant cannot desynchronize query
+    * and oracle), exact-Jaccard ≥ 0.8 verify. */
+  private def simhashFnvOracleSql(bits: Int): String = s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       th AS (
@@ -365,9 +377,9 @@ object DedupQs {
           CAST(sum(CAST(b AS HUGEINT) << CAST(k AS INT)) AS UBIGINT) AS sig
         FROM bits GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, CAST(k // 16 AS INT) AS band_idx,
-          CAST(sum(CAST(b AS HUGEINT) << CAST(k % 16 AS INT)) AS BIGINT) AS slice
-        FROM bits GROUP BY doc_id, k // 16),
+        SELECT doc_id, CAST(k // $bits AS INT) AS band_idx,
+          CAST(sum(CAST(b AS HUGEINT) << CAST(k % $bits AS INT)) AS BIGINT) AS slice
+        FROM bits GROUP BY doc_id, k // $bits),
       cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM (SELECT ba.doc_id, ba.band_idx, ba.slice, sa.sig
@@ -375,7 +387,7 @@ object DedupQs {
         JOIN (SELECT bb.doc_id, bb.band_idx, bb.slice, sb.sig
               FROM bands bb JOIN sigs sb USING (doc_id)) b
           ON a.band_idx = b.band_idx AND a.slice = b.slice AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sig, b.sig)) <= 16),
+        WHERE bit_count(xor(a.sig, b.sig)) <= $SimHamMax),
       sh AS (
         SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
                  || ' ' || string_split(text, ' ')[i+2]
@@ -392,7 +404,28 @@ object DedupQs {
   val q130 = Q(
     "q130_simhash16",
     (s, d) => simhash16Query(s, d),
-    Some(simhash16OracleSql),
+    Some(simhashFnvOracleSql(16)),
+    headline = true)
+
+  /** The 32-BIT rung of the FNV SimHash band ladder, ORACLE-GRADED
+    * (round 14 — the rung above q130's graded 16-bit production
+    * default): 2 × 32-bit levels, deterministic recall to Hamming ≤ 1
+    * by pigeonhole, everything beyond reachable only through a lucky
+    * full-half collision — which the Hamming ≤ [[SimHamMax]] filter and
+    * the exact verify still grade exactly when it happens. The point of
+    * the width: random slice-collision probability drops from 2^-16 per
+    * level to 2^-32, so at corpus densities where even 16-bit buckets
+    * saturate (q130's 100× tier reads 22.6× — band-join mass, not
+    * verify) the candidate set collapses to near-certain duplicates
+    * only. Found-pair recall cost per width is MEASURED, not asserted:
+    * `ScaleEvidence q130_simhash16[found-pairs]` prints verified-pair
+    * counts at 16 and 32 bits against the 8-bit q37 reference. Same
+    * oracle body as q130 with `bits = 32` interpolated — one mirror
+    * definition, two graded widths. */
+  val q141 = Q(
+    "q141_simhash32",
+    (s, d) => simhashFnvQuery(s, d, bitsPerBand = 32),
+    Some(simhashFnvOracleSql(32)),
     headline = true)
 
   /** ASYMMETRIC containment join — the near-dup relation Jaccard misses
@@ -409,6 +442,16 @@ object DedupQs {
     * whose every common shingle is boilerplate, and the verify
     * intersects the FULL shingle sets, so every surviving pair's
     * containment is exact.
+    *
+    * Precondition: containment is DEFINED only for docs with ≥ 3 tokens
+    * (a shorter doc has no trigram shingles, so |A∩B|/|A| is 0/0); such
+    * docs emit nothing — same null-posture as q131's sub-trigram
+    * contract. The oracle guards the vacuous-truth corner explicitly
+    * (`len(a.shingles) > 0`: without it `9·0 ≤ 10·0` would emit every
+    * (a, b) pair for an empty A while the Spark side, generating
+    * candidates from postings, emits none). Inert on the graded corpora
+    * (no sub-trigram docs — CorpusContractSpec territory) but the
+    * definition should not depend on that.
     */
   /** Candidate generation is the CONTAINMENT-adapted prefix filter
     * (the asymmetric sibling of q114's AllPairs bound): order elements
@@ -476,6 +519,7 @@ object DedupQs {
           / CAST(len(a.shingles) AS DOUBLE) AS containment
       FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
       WHERE 10 * len(list_intersect(a.shingles, b.shingles)) >= 9 * len(a.shingles)
+        AND len(a.shingles) > 0
       ORDER BY doc_a, doc_b"""))
 
   /** Exact n-gram Jaccard pairs (J >= 0.5) via inverted-index join:
@@ -931,5 +975,5 @@ object DedupQs {
     headline = true)
 
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114,
-    q122, q128, q130, q134)
+    q122, q128, q130, q134, q141)
 }

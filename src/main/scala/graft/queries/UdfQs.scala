@@ -210,11 +210,18 @@ object UdfQs {
       // BOUNDED COLLECT (q68/q125 convention): one row per event TYPE,
       // each ≤ k longs — types × 2048 longs driver-resident, and the
       // `combinations(2)` below is a QUADRATIC driver term (types² pairs,
-      // each an O(k) merge). Fine ≤ ~10³ types (≈ 500k pairs ≈ 8 GB·ops);
-      // the guard is set AT that envelope so it fires before the driver
-      // grinds, not after — past it, pair enumeration itself must become
-      // a distributed self-join of the sketch relation.
-      val MaxSketchTypes = 1000
+      // each an O(k) merge). The DEFAULT cap sits at the documented
+      // driver-cost envelope (~10³ types ≈ 500k pairs ≈ 8 GB·ops) so the
+      // guard fires before the driver grinds, not after — past it, pair
+      // enumeration itself must become a distributed self-join of the
+      // sketch relation. Session conf rather than a hard constant
+      // (round-14, on advice): round 13 tightened 10000 → 1000, a
+      // user-visible behavior change for 1k–10k-type corpora that
+      // previously completed slowly — `spark.graft.sketch.maxTypes`
+      // lets an operator opt back into the slow regime explicitly
+      // instead of hitting an untunable require.
+      val MaxSketchTypes = s.conf.getOption("spark.graft.sketch.maxTypes")
+        .map(_.toInt).getOrElse(1000)
       val sketches = dst.groupBy("event_type")
         .agg(kmv(col("user_id").cast("string")).as("sk"))
         .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap

@@ -99,7 +99,12 @@ class CorpusContractSpec extends AnyFunSuite {
     // A corpus regeneration breaking either must fail HERE, not as a
     // hash mismatch deep in a banding oracle.
     import org.apache.spark.sql.functions._
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+    // sf0.1 included because q130/q132's byte-walk oracles are exercised
+    // there too (the width-ladder and tier measurements) — a regenerated
+    // sf0.1 corpus breaking the contract must fail HERE, not as a deep
+    // banding-oracle hash mismatch. One rlike scan over ~60k docs, ~1 s.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
       val docs = Tables.documents(spark, d)
       val nonAscii = docs.filter(col("text").rlike("[^\\x20-\\x7e]")).count()
       assert(nonAscii == 0, s"$d: $nonAscii docs with non-ASCII or control chars")
