@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The WRITTEN attribute-table artifact — the Dolma tagger architecture's
+  * second half. q136 grades the attribute JOIN; this materializes it as a
+  * doc_id-clustered parquet table (plus the near-dup flag, the one
+  * pipeline signal q136 leaves to the pair relation), so every downstream
+  * selection recipe is a narrow COLUMN SCAN over attributes instead of a
+  * re-run of the taggers. That split is the single biggest composed-cost
+  * lever at scale: q137's 100× tier re-tags the corpus for ~32 s per
+  * recipe invocation, while a recipe over the written table reads 5
+  * narrow columns of an already-clustered artifact — and N recipes cost
+  * N scans, not N tag runs.
+  *
+  * Contents are the GRADED definitions verbatim — q136's wide row (built
+  * from the shared `modelScores`/q131/q84 relations) left-joined with
+  * q36's verified near-dup pairs under the keep-first policy (a doc is
+  * `is_dup` when a lower-id J ≥ 0.8 partner exists — q137's convention,
+  * here frozen into the artifact the way Dolma freezes `attributes/`
+  * files). Reusing the graded builders means the artifact cannot drift
+  * from the per-signal grades; q138 then proves the equivalence
+  * end-to-end by hash-grading selection-over-artifact against the same
+  * composed oracle q137 passes.
+  *
+  * Layout: [[graft.ops.SinkOps.rangedSortedParquet]] on doc_id — the
+  * selection scan's pruning column gets disjoint per-file ranges, so a
+  * doc-range recipe (or the doc_id-keyed joins every downstream stage
+  * runs) prunes files by parquet min/max stats. Written ONCE per
+  * (session, corpus dir) per JVM — the tag job — and memoized; repeated
+  * selection invocations never re-tag. The overwrite on first touch per
+  * process is deliberate: a stale artifact from a previous process (or a
+  * regenerated corpus) must never serve, and the write is idempotent.
+  */
+object AttrTable {
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Artifact directory for corpus `d` — stable per corpus so repeated
+    * sessions land on the same path, disjoint across corpora. The
+    * leading-underscore strip is load-bearing: Hadoop's hidden-file
+    * filter skips `_`/`.`-prefixed basenames, so a naively sanitized
+    * `/root/...` → `_root_...` directory would be invisible to any scan
+    * that lists the parent tree (and logs "All paths were ignored" even
+    * on direct reads). */
+  def dir(d: String): String =
+    "/tmp/graft-attrs/" +
+      d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+
+  /** The wide attribute row the artifact stores: q136's graded columns +
+    * the frozen `is_dup` flag. */
+  private def build(s: SparkSession, d: String): DataFrame = {
+    val dups = graft.queries.DedupQs.q36.fn(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    graft.queries.TextQs.q136.fn(s, d)
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+  }
+
+  /** Read the materialized table, writing it first if this process has
+    * not yet tagged this corpus. The read is a plain parquet scan — the
+    * plan of anything downstream contains NO `documents` relation, which
+    * is exactly the fact PlanSpec pins for q138. */
+  def materialized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureWritten(s, d))
+
+  /** Write-once-per-(session, corpus) tag job; returns the artifact dir.
+    * computeIfAbsent is safe here (no nested map updates) and serializes
+    * concurrent first-touch so the overwrite never races itself. */
+  def ensureWritten(s: SparkSession, d: String): String =
+    written.computeIfAbsent((s, d), { _ =>
+      val out = dir(d)
+      graft.ops.SinkOps.rangedSortedParquet(build(s, d), "doc_id", out,
+        parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        maxRecordsPerFile = 5000000L)
+      out
+    })
+}

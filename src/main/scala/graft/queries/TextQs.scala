@@ -1541,9 +1541,83 @@ object TextQs {
       ORDER BY a.doc_id"""),
     headline = true)
 
+  /** SELECTION OVER THE WRITTEN ARTIFACT — q137's recipe re-expressed
+    * the way a production Dolma-style pipeline actually runs it: the
+    * taggers write [[graft.pipeline.AttrTable]] ONCE (q136's wide row +
+    * the frozen q36 `is_dup` flag, doc_id-clustered parquet), and the
+    * selection is a PROJECTION over that artifact — one narrow column
+    * scan, zero `documents` scans, zero re-tagging. Hash-graded against
+    * the SAME composed oracle q137 passes, which is the equivalence
+    * proof: recipe-over-artifact ≡ recipe-over-taggers, byte for byte.
+    * PlanSpec pins the structural half (the optimized plan's only file
+    * scan is the artifact; no `documents` relation anywhere).
+    *
+    * Shape at scale: the artifact write is a once-per-corpus tag job
+    * (its cost is q136 + q36, both graded and tier-measured); every
+    * recipe after it costs a 5-column scan of doc_id-clustered parquet
+    * — N recipes cost N scans, not N tag runs, which is the composed
+    * lever q137's 100× tier row (re-tag ≈ 32 s per invocation) prices.
+    */
+  val q138 = Q(
+    "q138_attr_select",
+    (s, d) => {
+      graft.pipeline.AttrTable.materialized(s, d)
+        .select(col("doc_id"),
+          when(col("is_dup"), "duplicate")
+            .when(col("fail_mask") =!= 0, "cascade")
+            .when(col("score") < ModelMin, "model")
+            .when(col("ppl_q") > PplMax, "perplexity")
+            .as("drop_reason"))
+        .withColumn("keep", col("drop_reason").isNull)
+        .orderBy("doc_id")
+    },
+    q137.oracle,
+    headline = true)
+
+  /** QUOTA AFTER THE PIPELINE GATES — the seam q135 and q137 leave
+    * open: q135 caps per source by model score alone, but a real
+    * curation recipe caps AFTER selection (dedup/cascade/model/
+    * perplexity first, then the per-domain ceiling on what SURVIVED —
+    * RefinedWeb's order). Composed from the two graded definitions
+    * verbatim: q137's keep-set as the semi-join filter, q135's
+    * (source, score desc, doc_id) ranking window with its
+    * WindowGroupLimit pruning on top. The oracle reuses q137's full
+    * mirror as a CTE plus q135's msc scorer fragment — the composition
+    * cannot drift from either grade.
+    *
+    * Shape at scale: q137's plan + one doc_id-keyed semi join + the
+    * group-limit-pruned window; the exchange after pruning carries
+    * O(sources × K), not the survivor corpus.
+    */
+  val q140 = Q(
+    "q140_quota_after_select",
+    (s, d) => {
+      val K = 10
+      val keep = q137.fn(s, d).filter(col("keep")).select("doc_id")
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      Tables.documents(s, d).select("doc_id", "source")
+        .join(modelScores(s, d), "doc_id")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= K)
+        .select("source", "rank", "doc_id", "score")
+        .orderBy("source", "rank")
+    },
+    Some(s"""
+      WITH sel140 AS (${q137.oracle.get}),
+      $modelScoreSqlCte,
+      j AS (SELECT d.source, m.doc_id, m.score
+            FROM msc m
+            JOIN documents d USING (doc_id)
+            WHERE m.doc_id IN (SELECT doc_id FROM sel140 WHERE keep))
+      SELECT source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS INT) AS rank,
+        doc_id, score
+      FROM j QUALIFY rank <= 10 ORDER BY source, rank"""))
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136, q137)
+    q133, q135, q136, q137, q138, q140)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

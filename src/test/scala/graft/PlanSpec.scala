@@ -437,6 +437,23 @@ class PlanSpec extends AnyFunSuite {
       "ranking window lost its per-source partitioning")
   }
 
+  test("q138: selection reads ONLY the written attribute artifact — zero documents scans") {
+    // the Dolma-architecture claim q138 exists to prove: once the tag
+    // job wrote the artifact, a selection recipe is a projection over
+    // it — the plan must scan the artifact parquet and nothing else
+    // (no documents relation = no re-tagging, no re-derived pair join)
+    val p = plan("q138_attr_select")
+    assert(p.contains("graft-attrs"),
+      "selection plan does not scan the written attribute artifact")
+    assert(!p.contains("documents"),
+      "selection plan still scans the documents table — the recipe re-tags")
+    // single file scan: every Location line in the formatted plan points
+    // at the artifact, so the only input is the written table
+    val locs = "Location:.*\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(locs.nonEmpty && locs.forall(_.contains("graft-attrs")),
+      s"unexpected scan locations: $locs")
+  }
+
   test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
     val p = plan("q19_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
