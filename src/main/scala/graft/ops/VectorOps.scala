@@ -355,4 +355,50 @@ object VectorOps {
       .select(col("b_id").as("id")).distinct()
     assigned.join(dups, Seq("id"), "left_anti").select(col("id"), col("cell"))
   }
+
+  /** MULTI-TABLE SRP band relation — the standard LSH recall amplifier
+    * (Indyk–Motwani's L-table construction): `planesL.size` INDEPENDENT
+    * 64-plane matrices, each packed by one `vec_srp_bits` call and
+    * sliced into `64 / bandBits` tables, for `L × 64/bandBits` hash
+    * tables total. A pair is a candidate when ANY table buckets it
+    * together (union of candidates — the downstream self-join +
+    * `distinct` realizes the union), so miss probability multiplies
+    * across tables: (1 − p^bits)^(L·64/bits). Width divides random
+    * bucket occupancy (the cost axis); tables multiply recall (the
+    * quality axis) — at production density the knob pair is
+    * (wider bands, more tables), not a lower threshold.
+    *
+    * Scale shape: one projection per matrix fused in a single codegen
+    * stage (each `vec_srp_bits` call is one small nested loop over its
+    * own flat plane reference — L of them stay far under the JIT-limit
+    * failure mode the per-plane `vec_dot` form hit), one explode to
+    * O(vectors × tables) band rows. Downstream cost is the same
+    * cap-join-verify pipeline as the single-table form.
+    *
+    * @param planesL one 64-row plane matrix per table set; every matrix
+    *                independent (different seeds) or recall gains nothing
+    * @return (idCol, table_idx, bits) — table_idx globally unique across
+    *         matrices (matrix ℓ owns [ℓ·64/bits, (ℓ+1)·64/bits))
+    */
+  def srpBandsMulti(emb: DataFrame, idCol: String, vecCol: String,
+      planesL: Seq[Seq[Seq[Float]]], bandBits: Int): DataFrame = {
+    require(bandBits > 0 && bandBits <= 32 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and be <= 32, got $bandBits")
+    require(planesL.nonEmpty && planesL.forall(_.size == 64),
+      "each table set needs exactly 64 planes")
+    val perMatrix = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val packed = planesL.zipWithIndex.map { case (pl, l) =>
+      call_function("vec_srp_bits", col(vecCol), typedlit(pl), lit(bandBits))
+        .as(s"__pk$l")
+    }
+    emb.select((col(idCol) +: packed): _*)
+      .select(col(idCol), explode(array(planesL.indices.flatMap(l =>
+        (0 until perMatrix).map(t =>
+          struct(lit(l * perMatrix + t).as("table_idx"),
+            shiftrightunsigned(col(s"__pk$l"), t * bandBits)
+              .bitwiseAND(lit(mask)).as("bits")))): _*)).as("b"))
+      .select(col(idCol), col("b.table_idx").as("table_idx"),
+        col("b.bits").as("bits"))
+  }
 }

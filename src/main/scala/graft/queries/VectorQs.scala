@@ -219,10 +219,20 @@ object VectorQs {
     * ORACLE derive from one definition (round 13: q43 flipped from
     * rows-only to fully graded; the oracle inlines these planes as
     * exact-decimal double literals). */
-  private[graft] lazy val srpPlanes: Seq[Seq[Float]] = {
-    val r = new java.util.Random(7)
-    Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
-  }
+  private[graft] lazy val srpPlanes: Seq[Seq[Float]] = srpPlanesL(0)
+
+  /** Plane matrix for table set ℓ of the MULTI-table construction (seed
+    * 7 + ℓ, so set 0 IS q43's matrix — q139's tables are a superset of
+    * q43's structure at any width). Cached: the 64×64 gaussian draw is
+    * deterministic but not free, and the probe/evidence tools request
+    * the same matrices repeatedly. */
+  private val srpPlanesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Seq[Float]]]()
+  private[graft] def srpPlanesL(l: Int): Seq[Seq[Float]] =
+    srpPlanesCache.computeIfAbsent(l, { k =>
+      val r = new java.util.Random(7 + k)
+      Seq.fill(64)(Seq.fill(64)(r.nextGaussian().toFloat))
+    })
 
   /** Random-hyperplane (SRP) LSH near-dup: 8 tables x 8 sign bits,
     * same-bucket candidates, exact-cosine verify >= 0.45.
@@ -344,6 +354,104 @@ object VectorQs {
     // headline since round 5 (annex row in BASELINE.md — the frozen
     // round-4 table is untouched): the embedding-LSH path deserves a
     // perf gate now that its projections are a custom expression
+    headline = true)
+
+  /** q139's body with width and table count as parameters — the graded
+    * query pins one (bandBits, L) point; `tools.SrpMultiProbe` sweeps L
+    * at each width to record the recall-vs-L curve beside the width
+    * ladder (SURVEY §2.0.2). Same cap-join-verify pipeline as q43, over
+    * [[VectorOps.srpBandsMulti]]'s L-matrix band relation. */
+  private[graft] def srpMultiQuery(s: SparkSession, d: String,
+      bandBits: Int, numMatrices: Int): DataFrame = {
+    val planesL = (0 until numMatrices).map(srpPlanesL)
+    val tag = s"srp_multi_b${bandBits}_L$numMatrices"
+    val bands = graft.Memo.cached(s, d, tag) {
+      VectorOps.srpBandsMulti(Tables.embeddings(s, d), "vec_id", "embedding",
+        planesL, bandBits)
+    }
+    val capped = graft.Memo.cached(s, d, tag + "_capped") {
+      graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
+    }
+    def side(n: String): DataFrame =
+      capped.select(col("vec_id").as(s"vec_$n"), col("table_idx"), col("bits"))
+    val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val eb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q139's graded configuration: 4 independent 64-plane matrices at the
+    * 8-bit width = 32 tables. Chosen on `SrpMultiProbe` measurement at
+    * sf0.01 (14 exact cos ≥ 0.45 pairs): recall 0.857 at L=4 vs q43's
+    * single-set 0.286, with candidates growing linearly in L
+    * (4 478 → 16 695). The measured refutation that sits beside it: at
+    * the 16-bit width NO feasible L reaches the 8-bit floor on this
+    * corpus — L=16 (64 tables) still finds ZERO of the 14 pairs at only
+    * 247 candidates, because a weak-cosine pair's per-table collision
+    * probability p^16 ≈ 10⁻³ makes the union amplifier hopeless where
+    * p^8 ≈ 3 % makes it work. So width is the COST knob and L the
+    * RECALL knob at a width where targets are still reachable — the
+    * production pairing is (8-bit, L≈4), not (16-bit, any L), for
+    * dedup-grade thresholds. */
+  private val SrpMultiSets = 4
+
+  /** MULTI-TABLE SRP-LSH near-dup — the L-table recall amplifier
+    * (Indyk–Motwani) the width ladder proves width cannot replace:
+    * [[SrpMultiSets]] independent seeded plane matrices × 8 tables
+    * each, union of candidates (any-table collision), exact-cosine
+    * verify ≥ 0.45. FULLY HASH-GRADED by q43's convention: all four
+    * matrices inline into the oracle as exact-decimal double literals,
+    * and every stage — sign bits, bucket packs, union join, verify —
+    * is the same deterministic function of them in both engines.
+    * `SrpMultiProbe` records the recall-vs-L curve (SURVEY §2.0.2);
+    * `DedupVectorSpec` pins the measured recall floor.
+    *
+    * Shape at scale: one fused projection stage computes all L packed
+    * signatures (L small codegen loops — far under the JIT-limit
+    * failure the per-plane form hit), the band relation is
+    * O(vectors × 32) rows, and everything downstream is q43's
+    * cap-join-verify pipeline with the same 1000-cap bucket bound. */
+  val q139 = Q(
+    "q139_srp_multi_lsh",
+    (s, d) => srpMultiQuery(s, d, bandBits = 8, numMatrices = SrpMultiSets),
+    Some {
+      val planesLit = (0 until SrpMultiSets).map(l => srpPlanesL(l).map(row =>
+        row.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH bits AS (
+        SELECT e.vec_id, l.l, t.p,
+          CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.pls[l.l][t.p][i]
+                              for i in range(1, 65)]) > 0
+               THEN 1 ELSE 0 END AS b
+        FROM embeddings e,
+             (SELECT unnest(range(1, ${SrpMultiSets + 1})) AS l) l,
+             (SELECT unnest(range(1, 65)) AS p) t,
+             (SELECT $planesLit AS pls) pl),
+      bk AS (
+        SELECT vec_id, CAST((l - 1) * 8 + (p - 1) // 8 AS INT) AS table_idx,
+          CAST(sum(b << CAST((p - 1) % 8 AS INT)) AS BIGINT) AS bits
+        FROM bits GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bk a JOIN bk b
+          ON a.table_idx = b.table_idx AND a.bits = b.bits AND a.vec_id < b.vec_id)
+      SELECT c.vec_a, c.vec_b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+      FROM cands c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45
+      ORDER BY vec_a, vec_b"""
+    },
     headline = true)
 
   /** Spherical k-means (2 Lloyd rounds) over the embedding corpus —
@@ -908,5 +1016,6 @@ object VectorQs {
       ORDER BY cell"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115, q118, q119)
+  val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115, q118, q119,
+    q139)
 }

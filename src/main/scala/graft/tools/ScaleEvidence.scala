@@ -131,7 +131,17 @@ object ScaleEvidence {
     // graded inputs' growth classes joined doc_id-keyed; the composed
     // pipeline — q36's pair relation + the attribute joins + one CASE
     "q134_containment_join", "q135_source_quota",
-    "q136_attribute_table", "q137_pipeline_select")
+    "q136_attribute_table", "q137_pipeline_select",
+    // round 14: the 32-bit FNV band rung — 2 levels of 2^32 slice
+    // values: random collision mass drops another ~65 536× below q130's
+    // 16-bit regime, the rung that flattens q130's 100× band-join cost
+    "q141_simhash32",
+    // round 14: selection over the WRITTEN attribute artifact — run 1
+    // pays the tag job (q136 + q36 + the clustered write), the timed
+    // runs measure what a recipe costs FOREVER AFTER: a narrow column
+    // scan, vs q137's full re-tag per invocation; and the post-pipeline
+    // quota — q137's plan + a semi join + the pruned ranking window
+    "q138_attr_select", "q140_quota_after_select")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -360,7 +370,12 @@ object ScaleEvidence {
     "q43_embedding_near_dup [16-bit]" -> ((s: SparkSession, d: String) =>
       srpAtWidth(s, d, 16)),
     "q43_embedding_near_dup [32-bit]" -> ((s: SparkSession, d: String) =>
-      srpAtWidth(s, d, 32)))
+      srpAtWidth(s, d, 32)),
+    // round 14: the L-table recall amplifier — 4 matrices × 8 tables;
+    // band rows grow 4× q43's (O(vectors × 32)), candidates grow ~4×
+    // linearly in L (SrpMultiProbe's curve), verify stays pair-bounded
+    "q139_srp_multi_lsh" -> ((s: SparkSession, d: String) =>
+      Queries.byName("q139_srp_multi_lsh").fn(s, d)))
 
   /** Build q43's plan at a non-default SRP band width (the knob is read
     * at plan-build time; restored immediately after the build). */

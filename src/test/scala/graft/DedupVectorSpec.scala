@@ -74,6 +74,32 @@ class DedupVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table SRP (q139): precision 1.0, recall strictly amplifies the single-set floor") {
+    // the L-table construction's whole claim: q139's 4-matrix union must
+    // find AT LEAST every pair q43's single matrix finds (matrix 0 IS
+    // q43's — the table set is a superset) and measurably more on any
+    // corpus where single-set recall is below 1
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.ops.VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = VectorQs.q43.fn(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = VectorQs.q139.fn(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(brute), "q139 verify let a sub-threshold pair through")
+    assert(single.subsetOf(multi),
+      "q139 lost a pair its own matrix-0 tables find — the union is broken")
+    if (brute.nonEmpty) {
+      info(f"recall single=${single.size.toDouble / brute.size}%.2f " +
+        f"multi(L=4)=${multi.size.toDouble / brute.size}%.2f (of ${brute.size})")
+      assert(multi.size.toDouble / brute.size >= single.size.toDouble / brute.size)
+    }
+  }
+
   test("SRP band-width knob: 16-bit bands keep precision 1.0 and find extreme near-dups") {
     // near-identical planted pairs (cos ~0.999): a 16-bit band agrees on
     // all 16 sign bits with probability ~0.98^16 ~ 0.74 per table, and
