@@ -454,6 +454,44 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected scan locations: $locs")
   }
 
+  test("q130: doc-broadcast verify guard — broadcast inside the bound, shuffle past it") {
+    // the round-14 validity guard: the verify posture ships the whole
+    // shingle relation to every executor ONLY while its estimated size
+    // sits under spark.graft.dedup.broadcastMaxShingles; past the bound
+    // the same pipeline must degrade to the un-hinted shuffle form
+    // instead of OOMing an executor. Count broadcast-hash verify joins
+    // (join key doc_a/doc_b) rather than any broadcast at all — the
+    // band-side subplan may broadcast small relations legitimately.
+    // auto-broadcast is disabled for BOTH probes: at test scale Catalyst
+    // would broadcast the small cached relation on its own stats anyway,
+    // masking whether the HINT (what the guard controls) is present.
+    // With the threshold off, a broadcast join can only come from the
+    // guard's hint — inside the bound it must appear, past it vanish.
+    // simple-mode explain keeps the join keys on the operator line, so
+    // "BroadcastHashJoin [doc_a…" identifies exactly the verify joins
+    def simplePlan(name: String): String =
+      Queries.byName(name).fn(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    def verifyBroadcasts(p: String): Int =
+      "BroadcastHashJoin \\[doc_[ab]".r.findAllIn(p).length
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inBound = simplePlan("q130_simhash16")
+      assert(verifyBroadcasts(inBound) >= 2,
+        "verify joins not broadcast inside the bound — the measured posture regressed")
+      spark.conf.set("spark.graft.dedup.broadcastMaxShingles", "1")
+      val past = simplePlan("q130_simhash16")
+      assert(verifyBroadcasts(past) == 0,
+        "verify joins still broadcast past the bound — the guard is dead")
+      val pastContain = simplePlan("q134_containment_join")
+      assert(verifyBroadcasts(pastContain) == 0,
+        "q134 verify joins still broadcast past the bound")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.broadcastMaxShingles")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
     val p = plan("q19_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
