@@ -1194,7 +1194,7 @@ object TextQs {
     * e = ⌊log2 x⌋ from the binary-string length — no floats anywhere,
     * so both engines agree bit-for-bit. Max error 0.086 bits, monotone.
     * Requires x ≥ 1. */
-  private def lqSparkSql(x: String): String = {
+  private[graft] def lqSparkSql(x: String): String = {
     val e = s"(length(bin($x)) - 1)"
     val p2 = s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"
     s"($e * 65536L + (($x - $p2) * 65536L) div $p2)"
