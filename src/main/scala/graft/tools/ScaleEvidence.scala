@@ -685,6 +685,19 @@ object ScaleEvidence {
         println(s"| ${bits}-bit bands | $n1p | $nXp |")
       }
     }
+    // the GRADED FNV band ladder's recall side (q130 = 16-bit, q141 =
+    // 32-bit): verified J>=0.8 pairs found per width at both scales —
+    // the pair-loss measurement the 32-bit promotion is graded against,
+    // recorded the same way the 16-bit one was
+    if (filter.forall(selects(_, "q141_simhash32"))) {
+      println("| fnv simhash width | pairs 1x | pairs " + factor + "x |")
+      println("|---|---|---|")
+      Seq(16, 32).foreach { bits =>
+        val n1p = graft.queries.DedupQs.simhashFnvQuery(spark, sfDir, bits).count()
+        val nXp = graft.queries.DedupQs.simhashFnvQuery(spark, outDir, bits).count()
+        println(s"| ${bits}-bit bands | $n1p | $nXp |")
+      }
+    }
     // the recall side of the SRP band-width ladder: verified cos>=0.45
     // pairs per width at both scales (q37's table for the vector family)
     if (filter.forall(selects(_, "q43_embedding_near_dup [16-bit]"))) {

@@ -135,7 +135,12 @@ object StreamScaleEvidence {
     println("| trickle batches admitted | max dirs/bucket | trigger (>32) pressured | steady-state probe median (s) |")
     println("|---|---|---|---|")
     var admitted = 0
-    Seq(0, 50, 100, 200).foreach { target =>
+    // 400 trickle batches (round 14, was 200): the 200-batch run peaked
+    // at 29 dirs/bucket — UNDER the 32 trigger, so the compaction path
+    // had growth evidence but no measured FIRE outside unit tests. The
+    // doubled run crosses the threshold, so the final maybeCompact row
+    // is a real trigger→reset measurement, matching DocStream's.
+    Seq(0, 50, 100, 200, 400).foreach { target =>
       while (admitted < target) {
         admit(Seq((850000L + admitted, freshVec())).toDF("vec_id", "embedding"))
         admitted += 1
@@ -148,7 +153,7 @@ object StreamScaleEvidence {
     val fired = graft.streaming.VecStream.maybeCompactIndex(spark, indexDir)
     val after = median((1 to 3).map(i =>
       admit(probeBatch(890000L + i * 100L))))
-    println(f"| 200 + maybeCompact (fired=$fired) | ${maxDirsPerBucket(spark, indexDir, "vectors")} | — | $after%.2f |")
+    println(f"| 400 + maybeCompact (fired=$fired) | ${maxDirsPerBucket(spark, indexDir, "vectors")} | — | $after%.2f |")
   }
 
   def main(args: Array[String]): Unit = {
