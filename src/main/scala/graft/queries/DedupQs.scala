@@ -57,13 +57,18 @@ object DedupQs {
     */
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "doc_shingles") {
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
+      shinglesOf(Tables.documents(s, d))
     }
+
+  /** The shingle projection over an arbitrary docs relation — shared by
+    * the memoized corpus form above and the incremental tagging path
+    * (which shingles one BATCH at a time against a resident index). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
 
   /** Largest allowed LSH bucket (see [[DedupOps.capBuckets]]) — inert at
     * test scales, bounds per-task pair generation at 100 TB. */
-  private val MaxBucket = 1000
+  private[graft] val MaxBucket = 1000
 
   /** Largest allowed shingle document frequency in q38's inverted index —
     * inert at test scales (max df 25 at sf0.1), bounds the per-shingle
@@ -182,10 +187,16 @@ object DedupQs {
     * an incremental ingest joins against. */
   private def minhashBandsCached(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "minhash_bands") {
-      DedupOps.minhashBands(
-        shingled(s, d).filter(size(col("shingles")) > 0),
-        "doc_id", numPerm = 64, bands = 16)
+      minhashBandsOf(shingled(s, d))
     }
+
+  /** q36's banding parameters (64 permutations × 16 bands) applied to an
+    * arbitrary shingle relation — ONE definition for the corpus form and
+    * the incremental path, so the two candidate generators cannot drift. */
+  private[graft] def minhashBandsOf(docShingles: DataFrame): DataFrame =
+    DedupOps.minhashBands(
+      docShingles.filter(size(col("shingles")) > 0),
+      "doc_id", numPerm = 64, bands = 16)
 
   /** The CAPPED band relation, memoized too: the cap's bucket-count
     * aggregate + semi-join re-derive once per consumer otherwise, and

@@ -126,29 +126,38 @@ object TextQs {
     * short to have n-grams (NULL fractions) passes the gate, matching
     * q48's left-join NULL convention under `coalesce(..., false)`.
     */
+  /** q84's composed mask, DataFrame-parameterized: the four surface
+    * gates + the repetition gate over an arbitrary docs relation. Every
+    * rule is a per-doc function, so a batch masks identically alone or
+    * inside the corpus — the incremental-tagging invariant. */
+  private[graft] def cascadeMaskOf(docs: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks)
+    val nTypes = size(array_distinct(toks))
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    val chars = length(col("text")) - (nTok - lit(1))
+    val r1 = !(nTok >= 40 && nTok <= 110)
+    val r2 = nTypes < 25
+    val r3 = nStop === 0
+    val r4 = chars < nTok * 3 || chars > nTok * 10
+    val surface = docs
+      .select(col("doc_id"),
+        (r1.cast("int") + r2.cast("int") * 2 + r3.cast("int") * 4 +
+          r4.cast("int") * 8).as("surface"))
+    val r5 = coalesce(col("top2") > 0.2 || col("dup3") > 0.4, lit(false))
+    surface.join(repetitionFractionsOf(docs, wide), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("surface") + r5.cast("int") * 16).as("fail_mask"))
+      .withColumn("keep", col("fail_mask") === 0)
+      .orderBy("doc_id")
+  }
+
   val q84 = Q(
     "q84_cascade_repetition",
-    (s, d) => {
-      val toks = TextOps.tokens(col("text"))
-      val nTok = size(toks)
-      val nTypes = size(array_distinct(toks))
-      val nStop = size(filter(toks, t => t === "the" || t === "a"))
-      val chars = length(col("text")) - (nTok - lit(1))
-      val r1 = !(nTok >= 40 && nTok <= 110)
-      val r2 = nTypes < 25
-      val r3 = nStop === 0
-      val r4 = chars < nTok * 3 || chars > nTok * 10
-      val surface = Tables.documents(s, d)
-        .select(col("doc_id"),
-          (r1.cast("int") + r2.cast("int") * 2 + r3.cast("int") * 4 +
-            r4.cast("int") * 8).as("surface"))
-      val r5 = coalesce(col("top2") > 0.2 || col("dup3") > 0.4, lit(false))
-      surface.join(repetitionFractions(s, d), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (col("surface") + r5.cast("int") * 16).as("fail_mask"))
-        .withColumn("keep", col("fail_mask") === 0)
-        .orderBy("doc_id")
-    },
+    (s, d) => cascadeMaskOf(Tables.documents(s, d),
+      wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
+        .contains("128")),
     Some("""
       WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
       g2 AS (SELECT doc_id, g, count(*) AS c FROM (
@@ -442,11 +451,19 @@ object TextQs {
     * (and the gate) are NULL in both engines via the left join.
     */
   private def repetitionFractions(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
-      .contains("128")
+      d: String): DataFrame =
+    repetitionFractionsOf(Tables.documents(s, d),
+      wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
+        .contains("128"))
+
+  /** [[repetitionFractions]]'s DataFrame-parameterized core — per-doc
+    * signals only, so a BATCH of documents scores identically whether
+    * tagged alone or inside the full corpus (the property the
+    * incremental attribute path relies on). */
+  private[graft] def repetitionFractionsOf(docs: DataFrame,
+      wide: Boolean = false): DataFrame = {
     def gramCounts(n: Int): DataFrame =
-      Tables.documents(s, d)
+      docs
         .select(col("doc_id"), explode(
           if (wide) TextOps.ngramHashes128(col("text"), n)
           else TextOps.ngramHashes(col("text"), n)).as("g"))
@@ -456,7 +473,7 @@ object TextQs {
     val a3 = gramCounts(3).groupBy("doc_id")
       .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"),
         sum(col("c")).as("tot3"))
-    Tables.documents(s, d).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(a2, Seq("doc_id"), "left")
       .join(a3, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -910,12 +927,52 @@ object TextQs {
     * count tables and the scores built on them cannot drift. */
   private[graft] def lmGramCounts(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "lm_gram_counts") {
-      Tables.documents(s, d)
-        .select(explode(TextOps.lmGrams(col("text"), 3)).as("g"))
-        .select(col("g._1").as("gram_order"), col("g._2").as("gram"))
-        .groupBy("gram_order", "gram")
-        .agg(count(lit(1)).as("n"))
+      lmGramCountsOf(Tables.documents(s, d))
     }
+
+  /** The (gram_order, gram, n) count build over an arbitrary docs
+    * relation — the trainable half of the LM. The incremental attribute
+    * path freezes THIS relation from its seed batch as the reference-LM
+    * artifact (the CCNet posture: a fixed LM scores every later shard). */
+  private[graft] def lmGramCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.lmGrams(col("text"), 3)).as("g"))
+      .select(col("g._1").as("gram_order"), col("g._2").as("gram"))
+      .groupBy("gram_order", "gram")
+      .agg(count(lit(1)).as("n"))
+
+  /** Score `docs` against a FROZEN (gram_order, gram, n) count relation
+    * — q131's add-1 trigram NLL generalized to grams the LM has never
+    * seen: P(w3 | w1 w2) = (c3 + 1) / (c2 + V) with c3/c2 read 0 when
+    * absent (LEFT joins where q131 can use inner ones, because q131's
+    * LM corpus IS its scored corpus so every gram is known — on that
+    * case this definition degenerates to q131's exactly, which is the
+    * bridge the q142 oracle grades). Same fixed-point integer log2, so
+    * the result stays hash-exact. Shape at scale: the count relation is
+    * vocabulary-sized, the batch's trigram stream is batch-sized — the
+    * gram-keyed score join never touches the rest of the corpus, which
+    * is the whole point of tagging against a frozen LM. */
+  private[graft] def pplAgainstLm(counts: DataFrame, docs: DataFrame): DataFrame = {
+    val tri = counts.filter(col("gram_order") === 3)
+      .select(col("gram"), col("n").as("c3"))
+    val big = counts.filter(col("gram_order") === 2)
+      .select(col("gram").as("prefix"), col("n").as("c2"))
+    val vocab = counts.filter(col("gram_order") === 1).agg(count(lit(1)).as("v"))
+    docs
+      .select(col("doc_id"), explode(TextOps.lmGrams(col("text"), 3)).as("g"))
+      .filter(col("g._1") === 3)
+      .select(col("doc_id"), col("g._2").as("gram"))
+      .join(tri, Seq("gram"), "left")
+      .withColumn("prefix", substring_index(col("gram"), " ", 2))
+      .join(big, Seq("prefix"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("num", coalesce(col("c3"), lit(0L)) + lit(1L))
+      .withColumn("den", coalesce(col("c2"), lit(0L)) + col("v"))
+      .withColumn("nlp_q", expr(lqSparkSql("den")) - expr(lqSparkSql("num")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("nlp_q")).as("nll_q"))
+      .withColumn("ppl_q", expr("nll_q div n_tri"))
+  }
 
   val q116 = Q(
     "q116_lm_gram_counts",
@@ -1615,9 +1672,108 @@ object TextQs {
         doc_id, score
       FROM j QUALIFY rank <= 10 ORDER BY source, rank"""))
 
+  /** INCREMENTAL ATTRIBUTE TAGGING, graded end-to-end — the production
+    * posture [[graft.pipeline.IncrAttrTable]] implements: the corpus
+    * arrives in TWO batches split at mid = (min_id + max_id) div 2, each
+    * batch is tagged against the frozen artifacts only (seed-frozen
+    * reference LM with add-1 backoff — the CCNet fixed-LM posture;
+    * resident band+shingle index for the dup probe; per-doc model score
+    * and cascade mask, batch-local by construction), appended, and the
+    * q137 CASE then selects over the incrementally-built table.
+    *
+    * The oracle is the FULL-CORPUS mirror of the same semantics: seed-LM
+    * perplexity for every doc (counts restricted to doc_id ≤ mid, LEFT
+    * joins + add-1 backoff for unseen grams), the shared model/cascade
+    * mirrors, and the exact all-pairs J ≥ 0.8 dup set. Hash-equality IS
+    * the incremental-equals-batch proof: per-doc signals are trivially
+    * batch-invariant, ppl because the LM is frozen either way, and
+    * `is_dup` by the monotone-id argument (every potential lower-id
+    * partner of a doc is already resident when its batch is tagged, and
+    * later batches cannot retro-flip earlier docs) — so a two-batch
+    * build and a one-shot build produce byte-identical tables.
+    *
+    * Differs from q137/q138 ONLY in the ppl attribute's LM (seed-frozen
+    * vs corpus-self counts) — which is why this is its own graded row
+    * rather than a third consumer of q137's oracle.
+    */
+  val q142 = Q(
+    "q142_incremental_attrs",
+    (s, d) => {
+      graft.pipeline.IncrAttrTable.materialized(s, d)
+        .select(col("doc_id"),
+          when(col("is_dup"), "duplicate")
+            .when(col("fail_mask") =!= 0, "cascade")
+            .when(col("score") < ModelMin, "model")
+            .when(col("ppl_q") > PplMax, "perplexity")
+            .as("drop_reason"))
+        .withColumn("keep", col("drop_reason").isNull)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH bnd AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+      a142 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      tri142 AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS gram
+        FROM a142),
+      seedtri AS (
+        SELECT gram, count(*) AS c3 FROM tri142
+        WHERE doc_id <= (SELECT mid FROM bnd) GROUP BY 1),
+      seedbig AS (
+        SELECT gram, count(*) AS c2 FROM (
+          SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gram
+          FROM a142 WHERE doc_id <= (SELECT mid FROM bnd))
+        GROUP BY 1),
+      seedv AS (
+        SELECT count(DISTINCT gram) AS v FROM (
+          SELECT unnest(t) AS gram FROM a142
+          WHERE doc_id <= (SELECT mid FROM bnd))),
+      nlp142 AS (
+        SELECT q.doc_id, ${lqDuckSql("q.den")} - ${lqDuckSql("q.num")} AS nlp_q
+        FROM (
+          SELECT t0.doc_id,
+            CAST(coalesce(st.c3, 0) + 1 AS BIGINT) AS num,
+            CAST(coalesce(sb.c2, 0) + sv.v AS BIGINT) AS den
+          FROM tri142 t0
+          LEFT JOIN seedtri st USING (gram)
+          LEFT JOIN seedbig sb
+            ON sb.gram = array_to_string(string_split(t0.gram, ' ')[1:2], ' ')
+          CROSS JOIN seedv sv) q),
+      ppl142 AS (
+        SELECT doc_id, CAST(sum(nlp_q) AS BIGINT) // count(*) AS ppl_q
+        FROM nlp142 GROUP BY doc_id),
+      $modelScoreSqlCte,
+      c142 AS (${q84.oracle.get}),
+      sh142 AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      dup142 AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh142 a JOIN sh142 b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8)
+      SELECT d.doc_id,
+        CASE WHEN dup.doc_id IS NOT NULL THEN 'duplicate'
+             WHEN c.fail_mask <> 0 THEN 'cascade'
+             WHEN m.score < $ModelMin THEN 'model'
+             WHEN p.ppl_q > $PplMax THEN 'perplexity' END AS drop_reason,
+        (CASE WHEN dup.doc_id IS NOT NULL THEN 'duplicate'
+              WHEN c.fail_mask <> 0 THEN 'cascade'
+              WHEN m.score < $ModelMin THEN 'model'
+              WHEN p.ppl_q > $PplMax THEN 'perplexity' END) IS NULL AS keep
+      FROM documents d
+      JOIN msc m USING (doc_id)
+      JOIN c142 c USING (doc_id)
+      LEFT JOIN ppl142 p USING (doc_id)
+      LEFT JOIN dup142 dup ON dup.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136, q137, q138, q140)
+    q133, q135, q136, q137, q138, q140, q142)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

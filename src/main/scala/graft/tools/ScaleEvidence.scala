@@ -141,7 +141,12 @@ object ScaleEvidence {
     // runs measure what a recipe costs FOREVER AFTER: a narrow column
     // scan, vs q137's full re-tag per invocation; and the post-pipeline
     // quota — q137's plan + a semi join + the pruned ranking window
-    "q138_attr_select", "q140_quota_after_select")
+    "q138_attr_select", "q140_quota_after_select",
+    // round 14 late: the two-batch incremental build + selection — run 1
+    // pays the two append jobs (memoized), timed runs price the
+    // selection scan, q138's class; the [append-100] variant below
+    // prices the per-shard append itself
+    "q142_incremental_attrs")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
@@ -395,7 +400,28 @@ object ScaleEvidence {
     * the recall side of the trade is data, not assertion. */
   private val DocumentVariants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q37_simhash [16-bit bands]" -> ((s: SparkSession, d: String) =>
-      graft.queries.DedupQs.simhashQuery(s, d, bitsPerBand = 16)))
+      graft.queries.DedupQs.simhashQuery(s, d, bitsPerBand = 16)),
+    // round 14: the incremental-tagging claim priced directly — append a
+    // FIXED 100-doc shard to the (memoized) resident artifact of this
+    // corpus and return its attribute rows. 1× vs 10×/100× residents
+    // measures what a new shard costs as the corpus grows: per-doc
+    // signals and the frozen-LM score join are O(batch), only the dup
+    // probe's band join sees the resident index (bucket-bounded). Each
+    // invocation appends ~100 docs with ever-fresh ids (resident growth
+    // across the 3 timed runs is ≤ 300 docs — noise at every tier).
+    "q142_incremental_attrs [append-100]" -> ((s: SparkSession, d: String) => {
+      val root = graft.pipeline.IncrAttrTable.ensureBuilt(s, d)
+      val seq = appendSeq.incrementAndGet()
+      val batch = graft.Tables.documents(s, d)
+        .orderBy("doc_id").limit(100)
+        .withColumn("doc_id",
+          col("doc_id") + lit(10000000000L + seq * 1000000L))
+      graft.pipeline.IncrAttrTable.appendBatch(s, root, batch)
+      s.read.parquet(s"$root/attrs")
+        .filter(col("doc_id") >= 10000000000L + seq * 1000000L)
+    }))
+
+  private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */
