@@ -27,9 +27,14 @@ import graft.queries.{DedupQs, TextQs}
   *     then appends attrs + bands + shingles.
   *
   * The batch cost is O(batch) for every signal except the dup probe,
-  * whose band join touches only the buckets the batch's bands land in
-  * (capBuckets-bounded, exactly q36's posture) — tagging a new shard
-  * never re-reads, re-scores or re-shingles the resident corpus.
+  * which pays ONE map-side scan of the resident bands (broadcast hash
+  * probe, batch-side capBuckets — see the probe's design note in
+  * [[batchPlans]]) and one of the resident shingles (the verify's
+  * stream side) — tagging a new shard never re-scores, re-shingles or
+  * SHUFFLES the resident corpus. The named next rung past the linear
+  * scans: store bands/shingles in [[graft.streaming.IndexLayout]]'s
+  * hash-bucketed directory layout (DocStream's) so the probe reads
+  * only the bucket dirs the batch's bands land in.
   *
   * CORRECTNESS CONTRACT (what q142 grades): batches must arrive in
   * doc_id order — every id in batch k strictly above every id in batches
@@ -74,11 +79,35 @@ object IncrAttrTable {
   /** Tag `docs` against the artifact at `root` and append. Every id in
     * `docs` must be strictly above every id already in the artifact (the
     * contract above); the first call seeds the frozen LM. */
-  def appendBatch(s: SparkSession, root: String, docs: DataFrame): Unit = {
+  def appendBatch(s: SparkSession, root: String, docs: DataFrame,
+      broadcastProbe: Boolean = true): Unit = {
     // freeze the reference LM on first touch — seed counts, never updated
     if (!exists(s, s"$root/lm"))
       TextQs.lmGramCountsOf(docs).write.parquet(s"$root/lm")
-    val lm = s.read.parquet(s"$root/lm")
+    val (attrs, newSh, newBands) = batchPlans(s, root, docs, broadcastProbe)
+
+    // attrs first (its plan reads the PRE-append resident index), then
+    // grow the index for the next batch
+    attrs.write.mode("append").parquet(s"$root/attrs")
+    newBands.write.mode("append").parquet(s"$root/bands")
+    newSh.write.mode("append").parquet(s"$root/shingles")
+    newSh.unpersist()
+  }
+
+  /** The batch's (attrs, shingles, bands) plans against the CURRENT
+    * resident state — split from [[appendBatch]] so the plans can be
+    * inspected without writing. */
+  private[graft] def batchPlans(s: SparkSession, root: String,
+      docs: DataFrame, broadcastProbe: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    // The frozen LM, gram-partitioned ONCE per (session, root) and
+    // cached: the relation is frozen by contract, so every append in a
+    // long-lived ingest session reuses one exchange of it — the cached
+    // InMemoryRelation carries hash(gram) partitioning and the
+    // per-append score joins then exchange only the batch's gram
+    // stream. MEMORY_AND_DISK via Memo — spillable at vocabulary scale.
+    val lm = graft.Memo.cached(s, root, "incr_lm") {
+      s.read.parquet(s"$root/lm").repartition(col("gram"))
+    }
 
     // batch-sized relations, consumed by several joins below
     val newSh = DedupQs.shinglesOf(docs).persist()
@@ -86,20 +115,42 @@ object IncrAttrTable {
 
     // dup probe: batch bands vs resident ∪ batch (within-batch pairs
     // ride the union), lower-id partner + exact J >= 0.8 verify — the
-    // same banding parameters, cap and integer-exact rational as q36,
-    // through the shared minhashBandsOf / capBuckets definitions
-    val allBands =
-      if (exists(s, s"$root/bands"))
-        s.read.parquet(s"$root/bands").unionByName(newBands)
-      else newBands
-    val capped = graft.ops.DedupOps.capBuckets(
-      allBands, Seq("band_idx", "band_hash"), DedupQs.MaxBucket)
-    val newIds = docs.select(col("doc_id"))
-    val bSide = capped.join(newIds, Seq("doc_id"), "left_semi")
+    // same banding parameters and integer-exact rational as q36 through
+    // the shared minhashBandsOf definition. The probe is built so the
+    // RESIDENT side never shuffles:
+    //   - the capBuckets bound applies to the BATCH side only (a
+    //     batch-sized aggregate). The first cut capped the resident∪
+    //     batch union, which cost TWO corpus-sized exchanges per append
+    //     (the occupancy aggregate + the semi join) and dominated the
+    //     append at the 100× resident (profiled ~30 s of a ~31 s
+    //     append); it also tripped a Spark 4.1 planner interaction —
+    //     Catalyst pushes the cap's left-semi through the union and
+    //     then sort-merges directly over the union's concatenated
+    //     2×32-partition RDD, throwing "Can't zip RDDs with unequal
+    //     numbers of partitions" once the resident file-split count
+    //     drifts. Dropping the resident-side cap only ADDS candidates
+    //     (the exact verify keeps the answer exact); the per-bucket
+    //     blow-up it guarded becomes resident-occupancy × batch-rows —
+    //     LINEAR in the resident per batch row (q38's df-cap class),
+    //     not the self-join's quadratic mass, and it streams through a
+    //     map-side partial distinct rather than materializing.
+    //   - the capped batch side BROADCASTS for shard-sized batches (a
+    //     shard is a bounded ingest unit), so candidate generation is a
+    //     map-side hash probe over one resident-band scan. A caller
+    //     appending a corpus-sized "batch" (ensureBuilt's two halves)
+    //     passes broadcastProbe = false and takes the ordinary shuffled
+    //     join — q36's own class, safe at any batch size (with the cap
+    //     on the batch side only there is no semi-through-union shape,
+    //     so the planner exchanges the union normally).
+    val bSide = graft.ops.DedupOps.capBuckets(
+        newBands, Seq("band_idx", "band_hash"), DedupQs.MaxBucket)
       .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-    val aSide = capped
+    val aSide = (if (exists(s, s"$root/bands"))
+        s.read.parquet(s"$root/bands").unionByName(newBands)
+      else newBands)
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-    val cands = aSide.join(bSide, Seq("band_idx", "band_hash"))
+    val bProbe = if (broadcastProbe) broadcast(bSide) else bSide
+    val cands = aSide.join(bProbe, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val allSh =
@@ -111,8 +162,13 @@ object IncrAttrTable {
     val nInter = size(array_intersect(col("sh_a"), col("sh_b")))
     val sizeOk = lit(5) * least(size(col("sh_a")), size(col("sh_b"))) >=
       lit(4) * greatest(size(col("sh_a")), size(col("sh_b")))
-    val dupIds = cands
-      .join(sa, "doc_a").join(sb, "doc_b")
+    // Verify streams the RESIDENT side: candidates and the batch's own
+    // shingles broadcast (both shard-bounded), so the resident shingle
+    // relation is scanned once map-side and never shuffles — without
+    // the hints the post-LSH candidate relation has no stats and the
+    // planner exchanged the full resident relation per append.
+    val dupIds = sa
+      .join(broadcast(cands), "doc_a").join(broadcast(sb), "doc_b")
       .filter(sizeOk && (lit(9) * nInter >=
         lit(4) * (size(col("sh_a")) + size(col("sh_b")))))
       .select(col("doc_b").as("doc_id")).distinct()
@@ -131,13 +187,7 @@ object IncrAttrTable {
       .join(dupIds, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
-
-    // attrs first (its plan reads the PRE-append resident index), then
-    // grow the index for the next batch
-    attrs.write.mode("append").parquet(s"$root/attrs")
-    newBands.write.mode("append").parquet(s"$root/bands")
-    newSh.write.mode("append").parquet(s"$root/shingles")
-    newSh.unpersist()
+    (attrs, newSh, newBands)
   }
 
   /** The attribute table built PURELY through the incremental path: two
@@ -154,8 +204,8 @@ object IncrAttrTable {
       val docs = graft.Tables.documents(s, d)
       val row = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val mid = (row.getAs[Number](0).longValue + row.getAs[Number](1).longValue) / 2
-      appendBatch(s, root, docs.filter(col("doc_id") <= mid))
-      appendBatch(s, root, docs.filter(col("doc_id") > mid))
+      appendBatch(s, root, docs.filter(col("doc_id") <= mid), broadcastProbe = false)
+      appendBatch(s, root, docs.filter(col("doc_id") > mid), broadcastProbe = false)
       root
     })
 

@@ -6,36 +6,39 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main (not part of the library surface) — rebuilt per
-  * investigation; currently: q94 10x-tier stage profile. */
+  * investigation; currently: the q142 append-batch zip-partitions repro
+  * (semi-through-union band self-join at a 100x resident). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val d = args.headOption.getOrElse("/tmp/graft-scale-x10")
+    val d = args.headOption.getOrElse("/tmp/graft-scale-x100")
     val s = Tables.configure(SparkSession.builder(), "32").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-
+    val root = graft.pipeline.IncrAttrTable.dir(d)
     def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      s.sharedState.cacheManager.clearCache()
-      df.write.format("noop").mode("overwrite").save()
+      df.write.format("noop").mode("overwrite").save() // warm
       val ts = (1 to 3).map { _ =>
-        System.gc()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$tag: ${ts.map(t => f"$t%.2f").mkString(", ")}")
     }
-
-    val assigns = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts_us").as("us"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-
-    time("assigns only")(assigns)
-    time("scd2 no orderBy")(
-      graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item"))
-    time("scd2 + orderBy")(
-      graft.ops.ScdOps.history(assigns, "user_id", "us", "event_id", "item")
-        .orderBy("user_id", "version"))
-    time("full q94")(graft.Queries.byName("q94_scd2_history").fn(s, d))
+    val batch = Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + lit(900000000000L))
+    time("batch-scan")(batch)
+    val newSh = graft.queries.DedupQs.shinglesOf(batch)
+    time("shingles")(newSh)
+    time("bands")(graft.queries.DedupQs.minhashBandsOf(newSh))
+    time("model")(graft.ops.TextOps.modelScoresOf(batch))
+    time("cascade")(graft.queries.TextQs.cascadeMaskOf(batch))
+    val lm = graft.Memo.cached(s, root, "incr_lm") {
+      s.read.parquet(s"$root/lm").repartition(col("gram"))
+    }
+    time("ppl-frozen-lm")(graft.queries.TextQs.pplAgainstLm(lm, batch))
+    val (attrs, sh2, _) = graft.pipeline.IncrAttrTable.batchPlans(s, root, batch)
+    time("attrs-full")(attrs)
+    sh2.unpersist()
     s.stop()
   }
 }
