@@ -146,26 +146,47 @@ object Memo {
     * count map never grows past the set of concurrently-leased plans
     * because 1→0 removes the key. */
   object Lease {
+    /** Per-plan state: live lease count + whether the FIRST lease found
+      * the CacheManager entry absent and created it. `owned = false`
+      * means some longer-lived owner ([[cached]]/[[ensurePersisted]]
+      * callers, who hold entries until an external `clearCache`)
+      * persisted the plan before any lease existed — releasing the last
+      * lease must NOT evict that owner's entry (CacheManager keys on the
+      * canonicalized plan, so there is only one entry between them, and
+      * evicting it would silently force recomputation on every later use
+      * of the memoized relation). */
+    private final case class St(n: Int, owned: Boolean)
     private val counts =
-      new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+      new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, St]()
     private def key(df: DataFrame) = df.queryExecution.analyzed.canonicalized
 
     /** Take a lease on `df`'s cache entry (persisting it if this is the
       * first lease). Pair with exactly one [[release]] on the same plan. */
     def acquire(df: DataFrame): DataFrame = counts.synchronized {
       val k = key(df)
-      val n = counts.getOrDefault(k, 0)
-      if (n == 0) ensurePersisted(df)
-      counts.put(k, n + 1)
+      counts.get(k) match {
+        case null =>
+          // first lease: the lease owns the entry only if it creates it
+          val preExisting =
+            df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          if (!preExisting) ensurePersisted(df)
+          counts.put(k, St(1, owned = !preExisting))
+        case St(n, owned) => counts.put(k, St(n + 1, owned))
+      }
       df
     }
 
-    /** Drop a lease; unpersists the entry when the last lease goes. */
+    /** Drop a lease; unpersists the entry when the last lease goes —
+      * unless the entry pre-existed the first lease (see [[St]]). */
     def release(df: DataFrame): Unit = counts.synchronized {
       val k = key(df)
-      val n = counts.getOrDefault(k, 0)
-      if (n <= 1) { counts.remove(k); df.unpersist() }
-      else counts.put(k, n - 1)
+      counts.get(k) match {
+        case null => // unbalanced release — tolerate, nothing to undo
+        case St(n, owned) if n <= 1 =>
+          counts.remove(k)
+          if (owned) df.unpersist()
+        case St(n, owned) => counts.put(k, St(n - 1, owned))
+      }
     }
   }
 }

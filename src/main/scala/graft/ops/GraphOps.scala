@@ -249,31 +249,38 @@ object GraphOps {
     // concurrent sssp calls both observe NONE, both claim the entry, and
     // the first finisher evict it mid-iteration of the other.
     val e = graft.Memo.Lease.acquire(ePlan)
-    var best = seeds.select(col("node").cast("long").as("node"))
-      .distinct().withColumn("cost", lit(0L)).localCheckpoint(true)
-    var frontier = best
-    var r = 0
-    while (r < rounds && !frontier.isEmpty) {
-      r += 1
-      val cand = frontier.join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-        .groupBy("node").agg(min(col("cost")).as("cost"))
-      val improved = cand
-        .join(best.withColumnRenamed("cost", "old"), Seq("node"), "left")
-        .filter(col("old").isNull || col("cost") < col("old"))
-        .select("node", "cost").localCheckpoint(true)
-      best = best.join(improved.select(col("node").as("n2")),
-          col("node") === col("n2"), "left_anti")
-        .union(improved).localCheckpoint(true)
-      frontier = improved
+    // try/finally: a failed Spark job mid-iteration must still release the
+    // lease, or the count leaks and the entry stays pinned (or a later
+    // balanced release under-counts) for the life of the process.
+    try {
+      var best = seeds.select(col("node").cast("long").as("node"))
+        .distinct().withColumn("cost", lit(0L)).localCheckpoint(true)
+      var frontier = best
+      var r = 0
+      while (r < rounds && !frontier.isEmpty) {
+        r += 1
+        val cand = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+          .groupBy("node").agg(min(col("cost")).as("cost"))
+        val improved = cand
+          .join(best.withColumnRenamed("cost", "old"), Seq("node"), "left")
+          .filter(col("old").isNull || col("cost") < col("old"))
+          .select("node", "cost").localCheckpoint(true)
+        best = best.join(improved.select(col("node").as("n2")),
+            col("node") === col("n2"), "left_anti")
+          .union(improved).localCheckpoint(true)
+        frontier = improved
+      }
+      best
+    } finally {
+      // Unlike bfs/pageRank (whose RETURNED plan still references the
+      // cached edge relation, so the caller owns the entry), the result is
+      // an eager localCheckpoint — nothing downstream reads `e`, so the
+      // entry is released here and repeated sssp calls over different edge
+      // sets do not accumulate MEMORY_AND_DISK entries until an external
+      // clearCache. The lease unpersists only when the LAST concurrent
+      // holder releases — and only if the lease created the entry.
+      graft.Memo.Lease.release(e)
     }
-    // Unlike bfs/pageRank (whose RETURNED plan still references the cached
-    // edge relation, so the caller owns the entry), `best` is an eager
-    // localCheckpoint — nothing downstream reads `e`, so the entry is
-    // released here and repeated sssp calls over different edge sets do
-    // not accumulate MEMORY_AND_DISK entries until an external clearCache.
-    // The lease unpersists only when the LAST concurrent holder releases.
-    graft.Memo.Lease.release(e)
-    best
   }
 }

@@ -45,8 +45,20 @@ object AttrTable {
     * that lists the parent tree (and logs "All paths were ignored" even
     * on direct reads). */
   def dir(d: String): String =
-    "/tmp/graft-attrs/" +
-      d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    "/tmp/graft-attrs/" + pathSlug(d)
+
+  /** Injective corpus-path → directory-name mapping. The readable
+    * sanitized prefix alone is LOSSY (`/data/sf0.1` and `_data/sf0_1`
+    * collide after specials → `_`), so two corpora could silently share
+    * — and overwrite — one artifact tree; the appended FNV-1a hash of
+    * the RAW path makes the mapping injective while keeping the name
+    * human-greppable. Shared with [[IncrAttrTable.dir]]. */
+  private[pipeline] def pathSlug(d: String): String = {
+    var h = 0xcbf29ce484222325L
+    d.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "") +
+      f"-${h & 0xffffffffL}%08x"
+  }
 
   /** The wide attribute row the artifact stores: q136's graded columns +
     * the frozen `is_dup` flag. */

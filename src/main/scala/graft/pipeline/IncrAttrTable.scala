@@ -1,10 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextOps
+import graft.ops.{DedupOps, Fs, TextOps}
 import graft.queries.{DedupQs, TextQs}
+import graft.streaming.IndexLayout
 
 /** INCREMENTAL attribute tagging — the production form of [[AttrTable]]'s
   * write-once artifact. A real curation deployment (the Dolma tagger
@@ -12,29 +13,46 @@ import graft.queries.{DedupQs, TextQs}
   * crawl shard arrives: it tags the NEW documents only, against frozen
   * reference artifacts, and appends. This object is that loop:
   *
-  *   - the artifact root holds `attrs/` (the wide attribute rows),
-  *     `bands/` + `shingles/` (the resident MinHash-LSH index the dedup
-  *     signal probes — the batch analog of DocStream's index), and `lm/`
-  *     (the trigram count relation FROZEN from the seed batch — the
-  *     CCNet posture: a fixed reference LM scores every later shard,
+  *   - the artifact root holds `attrs/` (the wide attribute rows,
+  *     partitioned by batch_id), `index/` (the resident MinHash-LSH
+  *     band+shingle index the dedup signal probes, in
+  *     [[graft.streaming.IndexLayout]]'s hash-bucketed generational
+  *     layout — the SAME layout DocStream's streaming index uses), and
+  *     `lm/` (the trigram count relation FROZEN from the seed batch —
+  *     the CCNet posture: a fixed reference LM scores every later shard,
   *     rather than q131's corpus-self counts which would make every
   *     attribute retroactively change as the corpus grows);
   *   - [[appendBatch]] tags one batch: per-doc signals (model score,
   *     cascade mask — batch-local scans by construction), perplexity
   *     against the frozen LM ([[TextQs.pplAgainstLm]], add-1 backoff for
-  *     grams the LM never saw), and `is_dup` from a band join of the
-  *     batch's bands against the resident index ∪ the batch itself —
-  *     then appends attrs + bands + shingles.
+  *     grams the LM never saw), and `is_dup` from a band probe of the
+  *     resident index plus a within-batch band self-join — then appends
+  *     attrs + bands + shingles.
   *
-  * The batch cost is O(batch) for every signal except the dup probe,
-  * which pays ONE map-side scan of the resident bands (broadcast hash
-  * probe, batch-side capBuckets — see the probe's design note in
-  * [[batchPlans]]) and one of the resident shingles (the verify's
-  * stream side) — tagging a new shard never re-scores, re-shingles or
-  * SHUFFLES the resident corpus. The named next rung past the linear
-  * scans: store bands/shingles in [[graft.streaming.IndexLayout]]'s
-  * hash-bucketed directory layout (DocStream's) so the probe reads
-  * only the bucket dirs the batch's bands land in.
+  * The batch cost is O(batch) for every signal INCLUDING the dup probe:
+  * the resident index is hash-bucketed (bands on `pmod(band_hash, nb)`,
+  * shingles on `pmod(xxhash64(doc_id), nb)`), and each append reads ONLY
+  * the bucket directories its own probe keys land in — the band lookup
+  * prunes to the batch's band-hash buckets, the shingle verify prunes to
+  * the candidate docs' id buckets. Both bucket sets are bounded
+  * driver-side scalars (≤ nb distinct ints, the q68-style
+  * bounded-collect posture) and the pruning happens at FILE LISTING time
+  * via [[IndexLayout.residentSlice]] — per-append I/O tracks the batch's
+  * bucket contents, not the resident corpus (before round 15 both
+  * resident relations were flat parquet and every append paid one linear
+  * scan of each — the [append-100] growth curve in SURVEY §2.0.2 priced
+  * it at 3.6→7.2 s across 1×→100×). A shard-sized batch additionally
+  * BROADCASTS its capped band relation, its candidate pairs and its own
+  * shingles (`broadcastProbe = true`), so candidate generation and
+  * verify are map-side hash probes over the pruned resident reads and
+  * the resident side never shuffles. A caller appending a CORPUS-sized
+  * "batch" ([[ensureBuilt]]'s two halves) passes `broadcastProbe =
+  * false`, which de-hints ALL THREE relations — candidate generation
+  * and both verify sides degrade to ordinary shuffled joins (q36's own
+  * class, safe at any batch size; before round 15 the verify hints were
+  * unconditional, which shipped half the corpus's shingle arrays to
+  * every executor on exactly the path that declared itself
+  * non-broadcastable).
   *
   * CORRECTNESS CONTRACT (what q142 grades): batches must arrive in
   * doc_id order — every id in batch k strictly above every id in batches
@@ -45,60 +63,156 @@ import graft.queries.{DedupQs, TextQs}
   * dup iff a J ≥ 0.8 partner with LOWER id exists — q137's rule) only
   * ever consults documents that are ALREADY in the resident index when
   * b is tagged, and a later batch can never retro-flip an earlier doc
-  * (its ids are all higher). q142 proves the equivalence end-to-end by
+  * (its ids are all higher). The contract is ENFORCED, not assumed:
+  * every append records its batch's max doc_id in a tiny
+  * `_batchmeta/<batchId>` manifest, and a violating append (batch min
+  * at or below the resident max) fails loudly instead of silently
+  * mis-flagging `is_dup`. q142 proves the equivalence end-to-end by
   * hash-grading a two-batch incremental build against the full-corpus
   * oracle mirror.
   *
-  * Not replayed here: exactly-once/idempotent re-ingestion (batch_id
-  * partition overwrites, checkpointed restart) — that is DocStream's
-  * graded territory; this artifact is rebuilt from scratch per
-  * (process, corpus) like [[AttrTable]]'s, so a stale or half-written
-  * tree never serves.
+  * REPLAY SAFETY: every write is idempotent per batchId — attrs land in
+  * a `batch_id=` partition under dynamic overwrite, bands/shingles in
+  * the index's `bucket=/batch_id=` partitions ([[IndexLayout.writeSlice]]
+  * dynamic form), the manifest via atomic rename — and every resident
+  * read filters `batch_id < batchId`, so a replayed batch never sees its
+  * own half-written rows. That is DocStream's at-least-once →
+  * effectively-exactly-once discipline, and it is what lets
+  * [[graft.streaming.AttrStream]] drive this exact method from a
+  * Structured Streaming foreachBatch: the streamed build and the batch
+  * shard loop produce byte-identical artifacts (IncrAttrSpec pins it).
   */
 object IncrAttrTable {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** Artifact root for corpus `d` (same sanitization as [[AttrTable.dir]]
-    * — the leading-underscore strip keeps the tree visible to Hadoop's
-    * hidden-file filter). */
+  /** Artifact root for corpus `d` — [[AttrTable.pathSlug]]'s injective
+    * mapping (readable sanitized prefix + FNV hash of the raw path), so
+    * distinct corpora can never collide onto one artifact tree. */
   def dir(d: String): String =
-    "/tmp/graft-attrs-incr/" +
-      d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+    "/tmp/graft-attrs-incr/" + AttrTable.pathSlug(d)
+
+  private def hconf(s: SparkSession) = s.sparkContext.hadoopConfiguration
 
   private def exists(s: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
-    path.getFileSystem(s.sparkContext.hadoopConfiguration).exists(path)
+    path.getFileSystem(hconf(s)).exists(path)
   }
 
   private def delete(s: SparkSession, p: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(p)
-    path.getFileSystem(s.sparkContext.hadoopConfiguration).delete(path, true)
+    path.getFileSystem(hconf(s)).delete(path, true)
   }
+
+  private def indexDir(root: String): String = s"$root/index"
+  private def metaDir(root: String): String = s"$root/_batchmeta"
+
+  // same bucket conventions as DocStream's streaming index — one layout,
+  // two ingestion modes
+  private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
+  private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
+    pmod(xxhash64(id), lit(nb.toLong)).cast("int")
+
+  private val BandsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band_idx INT, band_hash INT")
+  private val ShinglesSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, shingles ARRAY<BIGINT>")
+
+  /** The per-batch manifest: batchId → that batch's max doc_id. One tiny
+    * file per committed batch (shallow listing, O(#batches) driver work)
+    * — the bounded state that turns the monotone-id contract from a
+    * documented assumption into a loud `require`, and replay-safe where
+    * a single max-id file would not be (a replayed batch must check
+    * against batches strictly BEFORE it, not against its own previous
+    * half-committed attempt). */
+  private def batchMeta(s: SparkSession, root: String): Map[Long, Long] =
+    Fs.list(metaDir(root), hconf(s)).flatMap { st =>
+      val n = st.getPath.getName
+      n.toLongOption.flatMap { id =>
+        Fs.readBytes(s"${metaDir(root)}/$n", hconf(s))
+          .map(b => id -> new String(b, "UTF-8").trim.toLong)
+      }
+    }.toMap
 
   /** Tag `docs` against the artifact at `root` and append. Every id in
-    * `docs` must be strictly above every id already in the artifact (the
-    * contract above); the first call seeds the frozen LM. */
+    * `docs` must be strictly above every id already committed (the
+    * contract above — enforced). The first call seeds the frozen LM.
+    * `batchId` < 0 means "next" (max committed id + 1); an explicit id
+    * (the streaming caller's foreachBatch id) makes the append
+    * idempotent under replay. */
   def appendBatch(s: SparkSession, root: String, docs: DataFrame,
-      broadcastProbe: Boolean = true): Unit = {
+      broadcastProbe: Boolean = true, batchId: Long = -1L): Unit = {
+    val meta = batchMeta(s, root)
+    val eff =
+      if (batchId >= 0) batchId
+      else meta.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+
+    // ONE bounded 1-row aggregate: the batch's id span, for the contract
+    // check and the manifest. Empty batches commit nothing.
+    val span = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (span.isNullAt(0)) return
+    val bMin = span.getAs[Number](0).longValue
+    val bMax = span.getAs[Number](1).longValue
+    val residentMax =
+      meta.collect { case (id, mx) if id < eff => mx }.maxOption
+    require(residentMax.forall(_ < bMin),
+      s"monotone-id append contract violated: batch $eff's min doc_id " +
+        s"$bMin is not above the resident max ${residentMax.getOrElse(-1L)}. " +
+        "Incremental is_dup flags would be silently wrong (a lower-id " +
+        "partner already tagged never retro-flips, and lower-id batch " +
+        "docs would be mis-attributed). Ingest batches in doc_id order.")
+
     // freeze the reference LM on first touch — seed counts, never updated
     if (!exists(s, s"$root/lm"))
-      TextQs.lmGramCountsOf(docs).write.parquet(s"$root/lm")
-    val (attrs, newSh, newBands) = batchPlans(s, root, docs, broadcastProbe)
+      TextQs.lmGramCountsOf(docs).write.mode("overwrite").parquet(s"$root/lm")
 
-    // attrs first (its plan reads the PRE-append resident index), then
-    // grow the index for the next batch
-    attrs.write.mode("append").parquet(s"$root/attrs")
-    newBands.write.mode("append").parquet(s"$root/bands")
-    newSh.write.mode("append").parquet(s"$root/shingles")
-    newSh.unpersist()
+    val (attrs, newSh, newBands, done) =
+      batchPlans(s, root, docs, broadcastProbe, eff)
+    try {
+      val nb = IndexLayout.numBuckets(s, indexDir(root))
+      // attrs first (its plan reads the PRE-append resident index via
+      // batch_id < eff, so ordering is belt-and-braces), then grow the
+      // index for the next batch, then commit the manifest — a crash
+      // anywhere leaves a replayable batch whose re-run overwrites
+      // exactly its own partitions
+      attrs.withColumn("batch_id", lit(eff))
+        .write.partitionBy("batch_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/attrs")
+      IndexLayout.writeSlice(
+        newBands.withColumn("bucket", bandBucket(nb))
+          .withColumn("batch_id", lit(eff)),
+        indexDir(root), "bands", dynamic = true)
+      IndexLayout.writeSlice(
+        newSh.filter(size(col("shingles")) > 0)
+          .withColumn("bucket", docBucket(nb))
+          .withColumn("batch_id", lit(eff)),
+        indexDir(root), "shingles", dynamic = true)
+      Fs.writeAtomic(s"${metaDir(root)}/$eff",
+        bMax.toString.getBytes("UTF-8"), hconf(s))
+    } finally done()
   }
 
-  /** The batch's (attrs, shingles, bands) plans against the CURRENT
-    * resident state — split from [[appendBatch]] so the plans can be
-    * inspected without writing. */
+  /** The batch's (attrs, shingles, bands, cleanup) plans against the
+    * CURRENT resident state — split from [[appendBatch]] so the plans
+    * can be inspected without writing. Call `cleanup` when done with the
+    * plans (it releases the batch-sized persisted relations). */
   private[graft] def batchPlans(s: SparkSession, root: String,
-      docs: DataFrame, broadcastProbe: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+      docs: DataFrame, broadcastProbe: Boolean = true, batchId: Long = -1L)
+      : (DataFrame, DataFrame, DataFrame, () => Unit) = {
+    val idx = indexDir(root)
+    val eff =
+      if (batchId >= 0) batchId
+      else batchMeta(s, root).keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+    // bucket count is a layout property fixed at first append (same
+    // seed-once discipline as DocStream — conf key
+    // spark.graft.stream.indexBuckets, persisted in index/_buckets)
+    val nb =
+      if (exists(s, s"$idx/_buckets")) IndexLayout.numBuckets(s, idx)
+      else IndexLayout.initMeta(s, idx)
+
     // The frozen LM, gram-partitioned ONCE per (session, root) and
     // cached: the relation is frozen by contract, so every append in a
     // long-lived ingest session reuses one exchange of it — the cached
@@ -109,73 +223,85 @@ object IncrAttrTable {
       s.read.parquet(s"$root/lm").repartition(col("gram"))
     }
 
-    // batch-sized relations, consumed by several joins below
+    // batch-sized relations, consumed by several joins below and by the
+    // index writes — persisted for the lifetime of this append
     val newSh = DedupQs.shinglesOf(docs).persist()
-    val newBands = DedupQs.minhashBandsOf(newSh)
+    val newBands = DedupQs.minhashBandsOf(newSh).persist()
 
-    // dup probe: batch bands vs resident ∪ batch (within-batch pairs
-    // ride the union), lower-id partner + exact J >= 0.8 verify — the
-    // same banding parameters and integer-exact rational as q36 through
-    // the shared minhashBandsOf definition. The probe is built so the
-    // RESIDENT side never shuffles:
-    //   - the capBuckets bound applies to the BATCH side only (a
-    //     batch-sized aggregate). The first cut capped the resident∪
-    //     batch union, which cost TWO corpus-sized exchanges per append
-    //     (the occupancy aggregate + the semi join) and dominated the
-    //     append at the 100× resident (profiled ~30 s of a ~31 s
-    //     append); it also tripped a Spark 4.1 planner interaction —
-    //     Catalyst pushes the cap's left-semi through the union and
-    //     then sort-merges directly over the union's concatenated
-    //     2×32-partition RDD, throwing "Can't zip RDDs with unequal
-    //     numbers of partitions" once the resident file-split count
-    //     drifts. Dropping the resident-side cap only ADDS candidates
-    //     (the exact verify keeps the answer exact); the per-bucket
-    //     blow-up it guarded becomes resident-occupancy × batch-rows —
-    //     LINEAR in the resident per batch row (q38's df-cap class),
-    //     not the self-join's quadratic mass, and it streams through a
-    //     map-side partial distinct rather than materializing.
-    //   - the capped batch side BROADCASTS for shard-sized batches (a
-    //     shard is a bounded ingest unit), so candidate generation is a
-    //     map-side hash probe over one resident-band scan. A caller
-    //     appending a corpus-sized "batch" (ensureBuilt's two halves)
-    //     passes broadcastProbe = false and takes the ordinary shuffled
-    //     join — q36's own class, safe at any batch size (with the cap
-    //     on the batch side only there is no semi-through-union shape,
-    //     so the planner exchanges the union normally).
-    val bSide = graft.ops.DedupOps.capBuckets(
+    // dup probe: batch bands vs resident (bucket-pruned read) plus the
+    // within-batch self-join, lower-id partner + exact J >= 0.8 verify —
+    // the same banding parameters and integer-exact rational as q36
+    // through the shared minhashBandsOf definition. The capBuckets bound
+    // applies to the BATCH side only (a batch-sized aggregate): dropping
+    // a resident-side cap only ADDS candidates (the exact verify keeps
+    // the answer exact), and capping the resident previously cost two
+    // corpus-sized exchanges per append plus a Spark 4.1
+    // semi-through-union planner bug (see round-14 history in git).
+    val bSide = DedupOps.capBuckets(
         newBands, Seq("band_idx", "band_hash"), DedupQs.MaxBucket)
       .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-    val aSide = (if (exists(s, s"$root/bands"))
-        s.read.parquet(s"$root/bands").unionByName(newBands)
-      else newBands)
-      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
     val bProbe = if (broadcastProbe) broadcast(bSide) else bSide
-    val cands = aSide.join(bProbe, Seq("band_idx", "band_hash"))
+
+    // which index buckets can this batch's band lookups possibly hit?
+    // A bounded driver-side scalar (≤ nb ints) off the persisted batch
+    // bands — the price of turning the resident band read from
+    // O(resident) into O(batch's buckets).
+    val probeBuckets = newBands.select(bandBucket(nb).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val residentBands =
+      IndexLayout.residentSlice(s, idx, "bands", eff, probeBuckets, BandsSchema)
+    val candsResident = residentBands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bProbe, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct().persist()
+    val candsBatch = newBands
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(bProbe, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val allSh =
-      if (exists(s, s"$root/shingles"))
-        s.read.parquet(s"$root/shingles").unionByName(newSh)
-      else newSh
-    val sa = allSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+
+    // Exact verify, integer-exact rational with array_intersect appearing
+    // ONCE (the division form re-evaluates the intersect per reference
+    // when Catalyst inlines it into the join condition — DedupQs.verified
+    // history). The candidate pairs and the batch's own shingles are
+    // shard-bounded FOR SHARD-SIZED BATCHES ONLY, so their broadcast
+    // hints are gated on the same broadcastProbe flag as candidate
+    // generation: a corpus-sized build takes the shuffled form end-to-end.
     val sb = newSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val nInter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val sizeOk = lit(5) * least(size(col("sh_a")), size(col("sh_b"))) >=
-      lit(4) * greatest(size(col("sh_a")), size(col("sh_b")))
-    // Verify streams the RESIDENT side: candidates and the batch's own
-    // shingles broadcast (both shard-bounded), so the resident shingle
-    // relation is scanned once map-side and never shuffles — without
-    // the hints the post-LSH candidate relation has no stats and the
-    // planner exchanged the full resident relation per append.
-    val dupIds = sa
-      .join(broadcast(cands), "doc_a").join(broadcast(sb), "doc_b")
-      .filter(sizeOk && (lit(9) * nInter >=
-        lit(4) * (size(col("sh_a")) + size(col("sh_b")))))
-      .select(col("doc_b").as("doc_id")).distinct()
+    def verify(cands: DataFrame, aSh: DataFrame): DataFrame = {
+      val c = if (broadcastProbe) broadcast(cands) else cands
+      val b = if (broadcastProbe) broadcast(sb) else sb
+      val nInter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val sizeOk = lit(5) * least(size(col("sh_a")), size(col("sh_b"))) >=
+        lit(4) * greatest(size(col("sh_a")), size(col("sh_b")))
+      aSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .join(c, "doc_a").join(b, "doc_b")
+        .filter(sizeOk && (lit(9) * nInter >=
+          lit(4) * (size(col("sh_a")) + size(col("sh_b")))))
+        .select(col("doc_b").as("doc_id"))
+    }
+    // the resident shingle verify reads only the candidate docs' id
+    // buckets — second bounded collect, off the persisted candidate
+    // relation (which also keeps the attrs action from re-running the
+    // resident band probe)
+    val candBuckets = candsResident
+      .select(docBucket(nb, col("doc_a")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val residentSh = IndexLayout.residentSlice(s, idx, "shingles", eff,
+      candBuckets, ShinglesSchema)
+    val dupIds = verify(candsResident, residentSh)
+      .unionByName(verify(candsBatch, newSh))
+      .distinct()
       .withColumn("__dup", lit(true))
 
     // the wide attribute row — q136's graded columns via the shared
-    // DataFrame-parameterized builders, + the frozen-LM ppl + is_dup
+    // DataFrame-parameterized builders, + the frozen-LM ppl + is_dup.
+    // The repetition gate reads the SAME fingerprint-width conf as
+    // q84/q136/AttrTable, so an incremental build under
+    // fingerprintBits=128 cannot diverge from the full build.
+    val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
+      .contains("128")
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"),
       size(TextOps.tokens(col("text"))).cast("int").as("n_tokens"))
@@ -183,11 +309,15 @@ object IncrAttrTable {
       .join(TextOps.modelScoresOf(docs), "doc_id")
       .join(TextQs.pplAgainstLm(lm, docs).select("doc_id", "ppl_q"),
         Seq("doc_id"), "left")
-      .join(TextQs.cascadeMaskOf(docs).select("doc_id", "fail_mask"), "doc_id")
+      .join(TextQs.cascadeMaskOf(docs, wide).select("doc_id", "fail_mask"),
+        "doc_id")
       .join(dupIds, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
-    (attrs, newSh, newBands)
+    val done = () => {
+      newSh.unpersist(); newBands.unpersist(); candsResident.unpersist(); ()
+    }
+    (attrs, newSh, newBands, done)
   }
 
   /** The attribute table built PURELY through the incremental path: two
@@ -210,7 +340,10 @@ object IncrAttrTable {
     })
 
   /** Read the incrementally-built attribute table (plain parquet scan —
-    * downstream selection plans contain no `documents` relation). */
+    * downstream selection plans contain no `documents` relation). The
+    * `batch_id` partition column is an ingest-bookkeeping detail, not an
+    * attribute — dropped so the table's shape is identical to
+    * [[AttrTable]]'s. */
   def materialized(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ensureBuilt(s, d) + "/attrs")
+    s.read.parquet(ensureBuilt(s, d) + "/attrs").drop("batch_id")
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING attribute tagging — [[graft.pipeline.IncrAttrTable]]'s shard
+  * loop driven by Structured Streaming instead of a batch caller. Where
+  * [[DocStream]] is the ADMISSION loop (classify, keep only `new` docs in
+  * the index), this is the TAGGING loop: every arriving document gets its
+  * full attribute row (model score, cascade mask, frozen-LM perplexity,
+  * `is_dup` against the resident index) appended to the same artifact the
+  * batch loop writes — streaming ingest and batch shard ingest produce
+  * byte-identical attribute tables (IncrAttrSpec pins a 2-batch streamed
+  * build against the batch-loop build).
+  *
+  * The delegation is total: `foreachBatch` hands each micro-batch plus
+  * its engine batchId to [[graft.pipeline.IncrAttrTable.appendBatch]],
+  * whose writes are all idempotent per batchId (dynamic partition
+  * overwrite for attrs and index slices, atomic rename for the manifest)
+  * and whose resident reads filter `batch_id < batchId` — so
+  * foreachBatch's at-least-once delivery composes to effectively-exactly-
+  * once, the same discipline as [[DocStream.admitBatch]]. The monotone-id
+  * contract carries over unchanged: stream files must arrive in doc_id
+  * order (the natural order for crawl shards with monotone ids), and a
+  * violating batch fails the query loudly rather than corrupting
+  * `is_dup`.
+  *
+  * `Trigger.AvailableNow` + checkpoint: run-to-completion per invocation,
+  * resume-exactly-once across invocations — a restarted stream replays at
+  * most its last uncommitted batch, which converges by idempotence.
+  */
+object AttrStream {
+
+  /** Start tagging parquet files of documents (doc_id, text, lang,
+    * source, n_chars) from `streamDir` into the artifact at `root`. The
+    * source schema is taken from the files already present — AvailableNow
+    * processes a fixed file set, so the batch reader's view IS the
+    * stream's. */
+  def start(spark: SparkSession, streamDir: String, root: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val schema = spark.read.parquet(streamDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamDir)
+      .writeStream
+      .foreachBatch((batch: DataFrame, batchId: java.lang.Long) =>
+        graft.pipeline.IncrAttrTable.appendBatch(
+          spark, root, batch, broadcastProbe = true, batchId = batchId))
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -36,9 +36,9 @@ object Scratch {
       s.read.parquet(s"$root/lm").repartition(col("gram"))
     }
     time("ppl-frozen-lm")(graft.queries.TextQs.pplAgainstLm(lm, batch))
-    val (attrs, sh2, _) = graft.pipeline.IncrAttrTable.batchPlans(s, root, batch)
+    val (attrs, _, _, done) = graft.pipeline.IncrAttrTable.batchPlans(s, root, batch)
     time("attrs-full")(attrs)
-    sh2.unpersist()
+    done()
     s.stop()
   }
 }

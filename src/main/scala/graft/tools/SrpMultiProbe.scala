@@ -21,7 +21,26 @@ import org.apache.spark.sql.functions._
   * while recall approaches 1. The interesting row is the L where the
   * 16-bit union's candidate count crosses the 8-bit single-set budget.
   *
-  * Usage: `runMain graft.tools.SrpMultiProbe [dir]`.
+  * Usage: `runMain graft.tools.SrpMultiProbe [dir]` — the recall-vs-L
+  * curve at probe scale.
+  *
+  * RECALL-UNDER-CAP mode (`runMain graft.tools.SrpMultiProbe <baseDir>
+  * <replDir> <factor> [capCsv]`): measures the graded q139 point (L=4,
+  * 8-bit) at a REPLICATED tier — exactly the density regime where
+  * `capBuckets` starts truncating (at 8-bit width, average bucket
+  * occupancy is corpus/256 per table: ~195 at 10× sf0.1, ~1 950 at
+  * 100×, vs the graded cap of 1 000). Brute-force ground truth is
+  * infeasible at the replicated tiers, but the signed-permutation
+  * replication makes it unnecessary: within a copy every cosine is
+  * preserved exactly (orthogonal map), so the per-copy IMAGES of the
+  * base corpus's exact cos ≥ 0.45 pairs are true pairs by construction
+  * — recall is measured on that known-true subset (factor × base-pair
+  * images). Cross-copy chance pairs may exist at the largest tiers;
+  * they can only ADD candidates, never remove a subset image, so the
+  * subset recall is exact for the question asked: does cap truncation
+  * lose the true pairs? The answer the table records is governed by
+  * band redundancy — a pair is lost only when ALL 32 of its table
+  * buckets are over-cap — measured, not asserted, per cap rung.
   */
 object SrpMultiProbe {
   def main(args: Array[String]): Unit = {
@@ -29,6 +48,13 @@ object SrpMultiProbe {
     val s = Tables.configure(org.apache.spark.sql.SparkSession.builder(),
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+
+    if (args.length >= 3) {
+      recallUnderCap(s, d, args(1), args(2).toInt,
+        args.lift(3).getOrElse("1000").split(",").map(_.trim.toInt).toSeq)
+      s.stop()
+      return
+    }
 
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding").cache()
 
@@ -61,5 +87,61 @@ object SrpMultiProbe {
       println(f"| $bits-bit | $l | ${l * 64 / bits} | $nCand | $nFound | $recall%.3f |")
     }
     s.stop()
+  }
+
+  /** The graded q139 point measured at a replicated tier, per cap rung:
+    * subset recall (images of the base exact pairs found by the capped
+    * candidate union) + total candidate count (the cost axis). */
+  private def recallUnderCap(s: org.apache.spark.sql.SparkSession,
+      baseDir: String, replDir: String, factor: Int, caps: Seq[Int]): Unit = {
+    ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
+
+    // exact ground truth on the BASE corpus (one corpus² cosine pass —
+    // feasible at 1×), then its per-copy images
+    val emb1 = Tables.embeddings(s, baseDir).select("vec_id", "embedding").cache()
+    val ea = emb1.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+    val eb = emb1.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val exact1 = ea.join(eb, col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b")
+    val copies = s.range(factor).select(col("id").as("k"))
+    val truth = exact1.crossJoin(copies)
+      .select((col("vec_a") + col("k") * lit(ScaleEvidence.CopyShift)).as("vec_a"),
+        (col("vec_b") + col("k") * lit(ScaleEvidence.CopyShift)).as("vec_b"))
+      .cache()
+    val nTruth = truth.count()
+    val nVecs = Tables.embeddings(s, replDir).count()
+    println(s"\ntier: ${factor}x = $nVecs vectors; true-pair subset " +
+      s"(per-copy images of the base exact cos>=0.45 pairs): $nTruth")
+
+    // the graded band relation (L=4 matrices x 8 tables, 8-bit width),
+    // built once per tier and re-capped per rung
+    val planesL = (0 until 4).map(VectorQs.srpPlanesL)
+    val bands = VectorOps.srpBandsMulti(
+        Tables.embeddings(s, replDir).select("vec_id", "embedding"),
+        "vec_id", "embedding", planesL, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = bands.groupBy("table_idx", "bits").count()
+      .agg(avg("count"), expr("percentile(count, 0.99)"), max("count")).head()
+    println(f"bucket occupancy: avg ${occ.getDouble(0)}%.0f, " +
+      f"p99 ${occ.getDouble(1)}%.0f, max ${occ.getLong(2)}")
+
+    println("| cap | candidates | truth images found | subset recall |")
+    println("|---|---|---|---|")
+    caps.foreach { cap =>
+      val capped = DedupOps.capBuckets(bands, Seq("table_idx", "bits"), cap)
+      def side(n: String): DataFrame =
+        capped.select(col("vec_id").as(s"vec_$n"), col("table_idx"), col("bits"))
+      val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct().cache()
+      val nCand = cands.count()
+      val nFound = truth.join(cands, Seq("vec_a", "vec_b"), "left_semi").count()
+      cands.unpersist()
+      val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
+      println(f"| $cap | $nCand | $nFound | $recall%.3f |")
+    }
+    bands.unpersist()
   }
 }

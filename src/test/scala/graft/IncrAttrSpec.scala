@@ -96,6 +96,224 @@ class IncrAttrSpec extends AnyFunSuite {
     assert(seedRowsNow == afterSeed, "appending mutated earlier rows")
   }
 
+  test("monotone-id contract is ENFORCED: an out-of-order append fails loudly") {
+    val root = freshRoot()
+    IncrAttrTable.appendBatch(spark, root,
+      df(Seq(doc(10L, baseText("a")), doc(20L, baseText("b")))))
+    // a batch at or below the resident max must throw, not silently
+    // mis-flag is_dup
+    val ex = intercept[IllegalArgumentException] {
+      IncrAttrTable.appendBatch(spark, root, df(Seq(doc(5L, baseText("c")))))
+    }
+    assert(ex.getMessage.contains("monotone"),
+      s"contract violation message not actionable: ${ex.getMessage}")
+    // equal-id boundary violates too (strictly-above contract)
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrAttrTable.appendBatch(spark, root, df(Seq(doc(20L, baseText("d")))))
+    }
+    assert(ex2.getMessage.contains("monotone"))
+    // and a conforming append still lands
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(21L, baseText("e")))))
+    val ids = spark.read.parquet(s"$root/attrs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 20L, 21L), s"unexpected rows after violations: $ids")
+  }
+
+  test("broadcastProbe=false de-hints candidate generation AND both verify sides") {
+    // the round-14 hazard: ensureBuilt appends corpus HALVES with
+    // broadcastProbe=false, but the verify joins broadcast the candidate
+    // pairs and the batch's shingle relation unconditionally — at scale
+    // that ships half the corpus's shingle arrays to every executor on
+    // exactly the path that declared itself non-broadcastable. With
+    // auto-broadcast off, a broadcast join can only come from a HINT, so
+    // the flag's two positions must flip every one of them.
+    val root = freshRoot()
+    IncrAttrTable.appendBatch(spark, root,
+      df(Seq(doc(1L, baseText("a")), doc(2L, baseText("b")))))
+    val batch = df(Seq(doc(10L, baseText("c")), doc(11L, baseText("d"))))
+    def broadcasts(probe: Boolean): Int = {
+      val (attrs, _, _, done) =
+        IncrAttrTable.batchPlans(spark, root, batch, broadcastProbe = probe)
+      try "BroadcastHashJoin".r.findAllIn(
+        attrs.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)).length
+      finally done()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(broadcasts(probe = true) >= 3,
+        "shard posture lost its broadcast probes (band join + 2 verify sides)")
+      assert(broadcasts(probe = false) == 0,
+        "corpus-sized build still broadcasts — the escape hatch is dead")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("dup probe reads ONLY the batch's bucket dirs of the resident index (file-exact)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        fileScans(m.relation.cachedPlan)
+      case other => other.children.flatMap(fileScans)
+    }
+    def diskFiles(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+        } finally s.close()
+      }
+    }
+    val prev = spark.conf.getOption(graft.streaming.IndexLayout.BucketsConfKey)
+    spark.conf.set(graft.streaming.IndexLayout.BucketsConfKey, "64")
+    try {
+      val root = freshRoot()
+      val rnd = new scala.util.Random(23)
+      def rndText(): String =
+        Seq.fill(12)(s"w${rnd.nextInt(100000)}").mkString(" ")
+      val seedTexts = (1L to 40L).map(i => i -> rndText())
+      IncrAttrTable.appendBatch(spark, root,
+        df(seedTexts.map { case (i, t) => doc(i, t) }))
+      val idx = s"$root/index"
+      val totalBandFiles = diskFiles(s"$idx/bands")
+      assert(totalBandFiles >= 30, s"seed landed only $totalBandFiles band files")
+
+      // the probe batch: one near-dup of seed doc 1 — its band buckets are
+      // computed the way production computes them, off the shared helpers
+      val probeText = seedTexts.head._2 + " extra"
+      val probeDf = df(Seq(doc(100L, probeText)))
+      val probeBuckets = graft.queries.DedupQs.minhashBandsOf(
+          graft.queries.DedupQs.shinglesOf(probeDf))
+        .select(pmod(col("band_hash"), lit(64)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      assert(probeBuckets.nonEmpty && probeBuckets.size <= 16)
+      val expectedBandDirs = probeBuckets.map(b => s"$idx/bands/gen=0/bucket=$b")
+
+      // capture every index file scan the append runs
+      val scans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String], Long)]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          try fileScans(qe.executedPlan).foreach { sc =>
+            val roots = sc.relation.location.rootPaths.map(_.toString)
+            if (roots.exists(_.contains(s"$idx/")))
+              scans.add((roots.mkString(","), roots, sc.metrics("numFiles").value))
+          } catch { case _: Throwable => () }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      def quiesce(): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        var (lastSize, lastChange) = (scans.size, System.currentTimeMillis())
+        while (System.currentTimeMillis() - lastChange < 1200) {
+          if (System.currentTimeMillis() > deadline)
+            throw new RuntimeException("listener bus never quiesced")
+          Thread.sleep(50)
+          if (scans.size != lastSize) {
+            lastSize = scans.size; lastChange = System.currentTimeMillis()
+          }
+        }
+      }
+      spark.listenerManager.register(listener)
+      try {
+        IncrAttrTable.appendBatch(spark, root, probeDf)
+        quiesce()
+        import scala.jdk.CollectionConverters._
+        val events = scans.asScala.toSeq
+        val bandScans = events.filter(_._1.contains("/bands/"))
+        val shScans = events.filter(_._1.contains("/shingles/"))
+        assert(bandScans.nonEmpty, "probe never scanned the resident bands — pin is vacuous")
+        // FILE-EXACT: every resident band read is rooted at the probe's own
+        // bucket dirs (never the generation root, never another bucket),
+        // and reads exactly the files those dirs hold
+        bandScans.foreach { case (_, roots0, n) =>
+          val roots = roots0.map(_.stripPrefix("file:"))
+          assert(roots.forall(r => expectedBandDirs.exists(r.startsWith)),
+            s"band scan read outside the probe's buckets: $roots")
+          // the scan reads batch_id < 1 (the pre-append resident state);
+          // the probe's own batch_id=1 slices landed after it ran
+          val expectFiles = roots.map(r => diskFiles(s"$r/batch_id=0")).sum
+          assert(n == expectFiles,
+            s"band scan read $n files, its bucket dirs hold $expectFiles")
+        }
+        assert(bandScans.map(_._3).max < totalBandFiles,
+          "probe read the whole band index — pruning not material")
+        // shingle verify: pruned to candidate-id bucket dirs, a strict
+        // minority of the index
+        shScans.foreach { case (_, roots, _) =>
+          assert(roots.forall(_.contains("/bucket=")),
+            s"shingle scan rooted above the bucket level: $roots")
+          assert(roots.size < 40, s"shingle scan listed ${roots.size} bucket dirs")
+        }
+        // and the probe's semantics survived the pruned reads
+        val attrs = spark.read.parquet(s"$root/attrs")
+          .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+        assert(attrs(100L), "near-dup not flagged through the bucketed probe")
+      } finally spark.listenerManager.unregister(listener)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.streaming.IndexLayout.BucketsConfKey, v)
+      case None => spark.conf.unset(graft.streaming.IndexLayout.BucketsConfKey)
+    }
+  }
+
+  test("streamed build (AttrStream) equals the batch shard loop byte-for-byte") {
+    val base = java.nio.file.Files.createTempDirectory("attr-stream")
+    val streamDir = s"$base/stream"
+    val batchRoot = s"$base/batch-artifact"
+    val streamRoot = s"$base/stream-artifact"
+    val t3 = baseText("m")
+    val near3 = (t3.split(" ").dropRight(1) :+ "tail").mkString(" ")
+    val corpus = Seq(
+      doc(1L, baseText("a")), doc(2L, baseText("b")), doc(3L, t3),
+      doc(4L, baseText("d")), doc(5L, baseText("e")), doc(6L, baseText("f")),
+      doc(7L, baseText("g")), doc(8L, near3), doc(9L, baseText("i")))
+    val (half1, half2) = corpus.partition(_._1 <= 5L)
+
+    // the batch shard loop
+    IncrAttrTable.appendBatch(spark, batchRoot, df(half1))
+    IncrAttrTable.appendBatch(spark, batchRoot, df(half2))
+
+    // the same two shards as stream files, arrival order = id order
+    // (FileStreamSource picks oldest-mtime first; pin the mtimes so the
+    // order is deterministic rather than write-latency luck)
+    def writeShard(rows: Seq[(Long, String, String, String, Long)],
+        name: String, mtime: Long): Unit = {
+      val tmp = s"$base/tmp-$name"
+      df(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
+      val dst = java.nio.file.Paths.get(s"$streamDir/$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val now = System.currentTimeMillis()
+    writeShard(half1, "shard-0", now - 60000)
+    writeShard(half2, "shard-1", now - 30000)
+    graft.streaming.AttrStream.start(spark, streamDir, streamRoot)
+      .awaitTermination()
+
+    def table(root: String): Seq[String] =
+      spark.read.parquet(s"$root/attrs")
+        .select("doc_id", "lang", "source", "n_chars", "n_tokens", "n_feats",
+          "score", "ppl_q", "fail_mask", "is_dup", "batch_id")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    val (b, st) = (table(batchRoot), table(streamRoot))
+    assert(b == st,
+      s"streamed artifact diverged from the batch build:\nbatch : $b\nstream: $st")
+    // sanity: the near-dup really crossed the shard boundary in both
+    assert(b.exists(r => r.startsWith("[8,") && r.contains("true")),
+      s"cross-shard near-dup not flagged: $b")
+  }
+
   test("q142 on a planted dir: selection over the incremental artifact, no documents scan") {
     val dir = java.nio.file.Files.createTempDirectory("incr-corpus")
     // ids 1..9 → mid = 5: docs 1-5 seed, 6-9 increment; doc 8 near-dups
