@@ -172,24 +172,47 @@ object IncrAttrTable {
       batchPlans(s, root, docs, broadcastProbe, eff)
     try {
       val nb = IndexLayout.numBuckets(s, indexDir(root))
-      // attrs first (its plan reads the PRE-append resident index via
-      // batch_id < eff, so ordering is belt-and-braces), then grow the
-      // index for the next batch, then commit the manifest — a crash
-      // anywhere leaves a replayable batch whose re-run overwrites
-      // exactly its own partitions
-      attrs.withColumn("batch_id", lit(eff))
-        .write.partitionBy("batch_id").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$root/attrs")
-      IndexLayout.writeSlice(
-        newBands.withColumn("bucket", bandBucket(nb))
-          .withColumn("batch_id", lit(eff)),
-        indexDir(root), "bands", dynamic = true)
-      IndexLayout.writeSlice(
-        newSh.filter(size(col("shingles")) > 0)
-          .withColumn("bucket", docBucket(nb))
-          .withColumn("batch_id", lit(eff)),
-        indexDir(root), "shingles", dynamic = true)
+      // Cluster a slice by bucket before the write ONLY when the source
+      // is many-partitioned: a partitionBy writer emits one file per
+      // (task, partition value), so a 32-task corpus half would land
+      // tasks × buckets ≈ 2 048 tiny files per relation (measured: a 1×
+      // append then read 10.6 s vs 3.6 s just from resident listing/
+      // footer overhead), while a shard-sized batch is 1–2 tasks already
+      // — for it the repartition is a pure extra exchange+stage.
+      def clustered(df: DataFrame): DataFrame =
+        if (df.rdd.getNumPartitions > 4) df.repartition(col("bucket")) else df
+      // The three writes are INDEPENDENT jobs — attrs reads the resident
+      // index through file indexes snapshotted at plan time, filtered
+      // batch_id < eff, so it can never observe the concurrent eff
+      // slices — and each is idempotent per batchId, so they run
+      // concurrently: per-append wall time pays max(write) + plans, not
+      // the sum of three sequential job+commit overheads. The manifest
+      // commits LAST, only after all three writes succeed — a crash
+      // before it leaves an uncommitted batch whose replay overwrites
+      // exactly its own partitions.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future {
+          attrs.withColumn("batch_id", lit(eff))
+            .write.partitionBy("batch_id").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$root/attrs")
+        },
+        Future {
+          IndexLayout.writeSlice(
+            clustered(newBands.withColumn("bucket", bandBucket(nb))
+              .withColumn("batch_id", lit(eff))),
+            indexDir(root), "bands", dynamic = true)
+        },
+        Future {
+          IndexLayout.writeSlice(
+            clustered(newSh.filter(size(col("shingles")) > 0)
+              .withColumn("bucket", docBucket(nb))
+              .withColumn("batch_id", lit(eff))),
+            indexDir(root), "shingles", dynamic = true)
+        })
+      writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
       Fs.writeAtomic(s"${metaDir(root)}/$eff",
         bMax.toString.getBytes("UTF-8"), hconf(s))
     } finally done()
@@ -319,6 +342,22 @@ object IncrAttrTable {
     }
     (attrs, newSh, newBands, done)
   }
+
+  /** Fold the dup-probe index's accumulated per-batch partitions into one
+    * file per bucket (compacted rows land in `batch_id=-1`, which every
+    * later batch's `< batchId` read includes). Same single-writer
+    * contract as [[IndexLayout.compact]]: run between appends, never
+    * while one is in flight. */
+  def compactIndex(s: SparkSession, root: String): Unit =
+    IndexLayout.compact(s, indexDir(root), Seq("bands", "shingles"))
+
+  /** [[compactIndex]] behind DocStream's small-files pressure trigger —
+    * the maintenance call a long-lived shard-ingest loop makes between
+    * appends. Returns whether a compaction ran. */
+  def maybeCompactIndex(s: SparkSession, root: String,
+      maxDirsPerBucket: Int = 32): Boolean =
+    IndexLayout.maybeCompact(s, indexDir(root), Seq("bands", "shingles"),
+      maxDirsPerBucket)
 
   /** The attribute table built PURELY through the incremental path: two
     * batches split at mid = (min_id + max_id) div 2 (one bounded 1-row

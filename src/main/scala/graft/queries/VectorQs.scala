@@ -31,6 +31,35 @@ object VectorQs {
   private def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
 
+  /** Validity bound for broadcasting the embeddings relation into the SRP
+    * verify joins (q43/q139) — [[DedupQs.docBroadcastOk]]'s vector twin.
+    * Without the hint the post-LSH candidate relation has no stats, so
+    * both verify joins go sort-merge, and the SECOND sort carries every
+    * candidate row with a 64-float array already attached (~300 B/row):
+    * at the 100× tier (500 k vectors, capped candidate mass ~10⁸–10⁹
+    * rows) that sort spilled past 45 GB of local disk and died. With the
+    * embeddings side broadcast, candidates stream map-side carrying only
+    * ids, and nothing array-laden ever shuffles. Estimate = vectors × 64
+    * floats (one count, memoized per (session, corpus)); bound conf
+    * `spark.graft.vec.broadcastMaxFloats`, default 64 M floats ≈ 256 MB
+    * packed — a few × that as a HashedRelation, inside a production
+    * executor's broadcast budget, and 500 k × 64 = 32 M sits within it.
+    * Past the bound the join degrades to the shuffled form. */
+  private val vecBroadcastEst =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private[graft] def vecBroadcastOk(s: SparkSession, d: String): Boolean = {
+    val est = vecBroadcastEst.computeIfAbsent((s, d), { _ =>
+      Tables.embeddings(s, d).count() * 64L
+    })
+    val bound = s.conf.getOption("spark.graft.vec.broadcastMaxFloats")
+      .map(_.toLong).getOrElse(64000000L)
+    est <= bound
+  }
+
+  private def maybeBVec(s: SparkSession, d: String, df: DataFrame): DataFrame =
+    if (vecBroadcastOk(s, d)) broadcast(df) else df
+
   private def queries(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -314,8 +343,10 @@ object VectorQs {
       val cands = capped("a").join(capped("b"), Seq("table_idx", "bits"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
-      val ea = Tables.embeddings(s, d).select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-      val eb = Tables.embeddings(s, d).select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+      val ea = maybeBVec(s, d, Tables.embeddings(s, d)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
+      val eb = maybeBVec(s, d, Tables.embeddings(s, d)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
       cands.join(ea, "vec_a").join(eb, "vec_b")
         .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
         .filter(col("cos") >= 0.45)
@@ -377,10 +408,10 @@ object VectorQs {
     val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val ea = Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
-    val eb = Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
+    val ea = maybeBVec(s, d, Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
+    val eb = maybeBVec(s, d, Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
     cands.join(ea, "vec_a").join(eb, "vec_b")
       .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
       .filter(col("cos") >= 0.45)

@@ -411,6 +411,23 @@ object ScaleEvidence {
     // across the 3 timed runs is ≤ 300 docs — noise at every tier).
     "q142_incremental_attrs [append-100]" -> ((s: SparkSession, d: String) => {
       val root = graft.pipeline.IncrAttrTable.ensureBuilt(s, d)
+      // First call per (session, corpus) — medianTime's UNTIMED warmup —
+      // runs three extra settle appends: the two corpus-half builds leave
+      // tens of GB of shuffle files whose ContextCleaner deletion is
+      // ASYNC (the q39 lesson in BASELINE.md), and without the settle the
+      // first timed appends absorb that debt (measured 33.8/20.9/18.9 s
+      // declining at 100× right after a fresh build vs 7.2/7.2/6.8 in a
+      // long-running loop). Steady-state shard cost is the quantity this
+      // row prices; the build's one-time debt is the build's.
+      if (appendWarmed.add((s, d)))
+        (1 to 3).foreach { _ =>
+          val sq = appendSeq.incrementAndGet()
+          graft.pipeline.IncrAttrTable.appendBatch(s, root,
+            graft.Tables.documents(s, d).filter(col("doc_id") < 100)
+              .withColumn("doc_id",
+                col("doc_id") + lit(10000000000L + sq * 1000000L)))
+          System.gc()
+        }
       val seq = appendSeq.incrementAndGet()
       // the shard must be CHEAP to produce — a real shard arrives as
       // input data; an id-range filter prunes to copy-0's first files
@@ -427,6 +444,8 @@ object ScaleEvidence {
     }))
 
   private val appendSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val appendWarmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
   /** Per-copy id shift. Cross-copy disjointness — the whole point of the
     * replication — requires every shifted id column to stay below it. */

@@ -263,6 +263,31 @@ class IncrAttrSpec extends AnyFunSuite {
     }
   }
 
+  test("index compaction between appends: attrs stable, later appends still see pre-compaction residents") {
+    val root = freshRoot()
+    val a = baseText("p")
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(1L, a), doc(2L, baseText("q")))))
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(10L, baseText("r")))))
+    val before = spark.read.parquet(s"$root/attrs")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    IncrAttrTable.compactIndex(spark, root)
+    // already-written attrs are untouched by index maintenance
+    val after = spark.read.parquet(s"$root/attrs")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after == before, "compaction mutated the attribute table")
+    // the folded rows live in batch_id=-1 of the NEW generation and a
+    // later append still classifies against them: doc 20 near-dups the
+    // COMPACTED doc 1
+    val nearA = (a.split(" ").dropRight(1) :+ "changed").mkString(" ")
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(20L, nearA))))
+    val attrs = spark.read.parquet(s"$root/attrs")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(attrs(20L), "near-dup missed after compaction — resident rows lost")
+    assert(!attrs(1L), "compaction retro-flipped an earlier doc")
+    // and the pressure-trigger form is a no-op below its threshold
+    assert(!IncrAttrTable.maybeCompactIndex(spark, root, maxDirsPerBucket = 32))
+  }
+
   test("streamed build (AttrStream) equals the batch shard loop byte-for-byte") {
     val base = java.nio.file.Files.createTempDirectory("attr-stream")
     val streamDir = s"$base/stream"
