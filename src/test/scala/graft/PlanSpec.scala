@@ -492,6 +492,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: vec-broadcast verify guard — broadcast inside the bound, shuffle past it") {
+    // round 15's vecBroadcastOk (docBroadcastOk's vector twin): the SRP
+    // verify joins broadcast the embeddings relation only while its
+    // estimated size (vectors × 64 floats) sits under
+    // spark.graft.vec.broadcastMaxFloats — past the bound the same
+    // pipeline degrades to the shuffled join instead of an array-laden
+    // SMJ sort (the shape that spilled >45 GB and died at the 100×
+    // tier). Auto-broadcast off so only the HINT can produce a
+    // broadcast join; join keys vec_a/vec_b identify the verify joins.
+    def simplePlan(name: String): String =
+      Queries.byName(name).fn(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    def verifyBroadcasts(p: String): Int =
+      "BroadcastHashJoin \\[vec_[ab]".r.findAllIn(p).length
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inBound = simplePlan("q139_srp_multi_lsh")
+      assert(verifyBroadcasts(inBound) >= 2,
+        "verify joins not broadcast inside the bound — the guarded posture regressed")
+      spark.conf.set("spark.graft.vec.broadcastMaxFloats", "1")
+      val past = simplePlan("q139_srp_multi_lsh")
+      assert(verifyBroadcasts(past) == 0,
+        "q139 verify joins still broadcast past the bound — the guard is dead")
+      val pastQ43 = simplePlan("q43_embedding_near_dup")
+      assert(verifyBroadcasts(pastQ43) == 0,
+        "q43 verify joins still broadcast past the bound")
+    } finally {
+      spark.conf.unset("spark.graft.vec.broadcastMaxFloats")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
     val p = plan("q19_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
