@@ -107,11 +107,12 @@ object IncrAttrTable {
   private def indexDir(root: String): String = s"$root/index"
   private def metaDir(root: String): String = s"$root/_batchmeta"
 
-  // same bucket conventions as DocStream's streaming index — one layout,
-  // two ingestion modes
-  private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
-  private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
-    pmod(xxhash64(id), lit(nb.toLong)).cast("int")
+  // the CANONICAL bucket conventions ([[IndexLayout.bucketExpr]]) — one
+  // layout, two ingestion modes, and the re-bucketing compaction must
+  // reassign with the identical expression
+  private def bandBucket(nb: Int): Column = IndexLayout.bucketExpr("bands", nb)
+  private def docBucket(nb: Int, id: Column = null): Column =
+    IndexLayout.bucketExpr("shingles", nb, id)
 
   private val BandsSchema =
     org.apache.spark.sql.types.StructType.fromDDL(
@@ -126,15 +127,71 @@ object IncrAttrTable {
     * documented assumption into a loud `require`, and replay-safe where
     * a single max-id file would not be (a replayed batch must check
     * against batches strictly BEFORE it, not against its own previous
-    * half-committed attempt). */
-  private def batchMeta(s: SparkSession, root: String): Map[Long, Long] =
-    Fs.list(metaDir(root), hconf(s)).flatMap { st =>
+    * half-committed attempt).
+    *
+    * The O(#batches) term is AMORTIZED by [[compactIndex]]: compaction
+    * folds every per-batch manifest into one `_cumulative` record
+    * (max folded batch id + max folded doc_id) and deletes them, so a
+    * long-lived ingest pays O(post-compaction tail) driver reads per
+    * append, not O(lifetime batches) — a 10⁵-batch ingest with periodic
+    * compaction lists a handful of files. The cumulative entry merges
+    * back into this map keyed by its max batch id, which is exactly how
+    * the contract check needs it: every folded batch's ids sit at or
+    * below the folded max. */
+  private def batchMeta(s: SparkSession, root: String): Map[Long, Long] = {
+    val tail = Fs.list(metaDir(root), hconf(s)).flatMap { st =>
       val n = st.getPath.getName
       n.toLongOption.flatMap { id =>
         Fs.readBytes(s"${metaDir(root)}/$n", hconf(s))
           .map(b => id -> new String(b, "UTF-8").trim.toLong)
       }
     }.toMap
+    cumulativeMeta(s, root).fold(tail) { case (mb, mx) =>
+      tail + (mb -> math.max(mx, tail.getOrElse(mb, Long.MinValue)))
+    }
+  }
+
+  /** The folded manifest [[compactIndex]] writes: (max folded batch id,
+    * max folded doc_id). */
+  private def cumulativeMeta(s: SparkSession, root: String): Option[(Long, Long)] =
+    Fs.readBytes(s"${metaDir(root)}/_cumulative", hconf(s)).map { b =>
+      val parts = new String(b, "UTF-8").trim.split("\\s+")
+      (parts(0).toLong, parts(1).toLong)
+    }
+
+  /** Crash-residue sweep (content-independent heal): every append
+    * records its batch id in `_batchmeta/_inflight` before writing and
+    * clears it after the manifest commits. A marker naming an
+    * UNCOMMITTED batch at the next append means a crashed attempt may
+    * have left attrs / index slices under that batch id — they are
+    * deleted wholesale before planning, so the heal does not depend on
+    * the retry carrying identical rows (dynamic overwrite alone only
+    * replaces the partitions present in the NEW data; different content
+    * would leave ghost slices that later batches could flag `is_dup`
+    * against and compaction would fold in permanently). Happy-path cost
+    * is one tiny read + two atomic writes per append; the listings run
+    * only on the crash path. */
+  private def sweepUncommitted(s: SparkSession, root: String,
+      committed: Map[Long, Long]): Unit =
+    Fs.readBytes(s"${metaDir(root)}/_inflight", hconf(s))
+      .map(b => new String(b, "UTF-8").trim.toLong)
+      .filterNot(committed.contains)
+      .foreach { j =>
+        delete(s, s"$root/attrs/batch_id=$j")
+        val idx = indexDir(root)
+        if (exists(s, s"$idx/_buckets")) Seq("bands", "shingles").foreach { rel =>
+          val g = IndexLayout.dataDir(s, idx, rel)
+          Fs.list(g, hconf(s))
+            .filter(_.getPath.getName.startsWith("bucket="))
+            .foreach { b =>
+              delete(s, s"${b.getPath}/batch_id=$j")
+              // a bucket whose ONLY slice was the dead batch must go too:
+              // residentSlice treats a present bucket dir as readable data
+              if (Fs.list(b.getPath.toString, hconf(s)).isEmpty)
+                delete(s, b.getPath.toString)
+            }
+        }
+      }
 
   /** Tag `docs` against the artifact at `root` and append. Every id in
     * `docs` must be strictly above every id already committed (the
@@ -145,9 +202,23 @@ object IncrAttrTable {
   def appendBatch(s: SparkSession, root: String, docs: DataFrame,
       broadcastProbe: Boolean = true, batchId: Long = -1L): Unit = {
     val meta = batchMeta(s, root)
+    // heal any crashed attempt's residue BEFORE planning (plans snapshot
+    // file indexes) — content-independent, see sweepUncommitted
+    sweepUncommitted(s, root, meta)
     val eff =
       if (batchId >= 0) batchId
       else meta.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+    // a replay of a batch the compaction already FOLDED would read the
+    // folded batch_id=-1 rows — which now include LATER batches — as
+    // resident: that is exactly the single-writer maintenance-window
+    // violation the compact contract forbids, so fail it loudly instead
+    // of mis-flagging is_dup
+    cumulativeMeta(s, root).foreach { case (mb, _) =>
+      require(eff > mb,
+        s"batch $eff replayed after compaction folded batches <= $mb — " +
+          "compact only between successful invocations (every delivered " +
+          "batch committed), never where a replay can follow.")
+    }
 
     // ONE bounded 1-row aggregate: the batch's id span, for the contract
     // check and the manifest. Empty batches commit nothing.
@@ -164,9 +235,21 @@ object IncrAttrTable {
         "partner already tagged never retro-flips, and lower-id batch " +
         "docs would be mis-attributed). Ingest batches in doc_id order.")
 
-    // freeze the reference LM on first touch — seed counts, never updated
-    if (!exists(s, s"$root/lm"))
+    // freeze the reference LM on the first COMMITTED batch: gated on the
+    // manifest (no batch committed yet → [re]seed), not on bare directory
+    // existence — a crash mid-seed leaves a partial lm/ that would
+    // otherwise suppress re-seeding forever, and a crashed-then-retried
+    // batch 0 with different content must freeze ITS counts, not the
+    // dead attempt's. The delete-then-write is idempotent like every
+    // other write here.
+    if (meta.isEmpty) {
+      delete(s, s"$root/lm")
       TextQs.lmGramCountsOf(docs).write.mode("overwrite").parquet(s"$root/lm")
+    }
+    // intent marker for the residue sweep: records that batch `eff` may
+    // be writing; cleared only after the manifest commits
+    Fs.writeAtomic(s"${metaDir(root)}/_inflight",
+      eff.toString.getBytes("UTF-8"), hconf(s))
 
     val (attrs, newSh, newBands, done) =
       batchPlans(s, root, docs, broadcastProbe, eff)
@@ -212,9 +295,20 @@ object IncrAttrTable {
               .withColumn("batch_id", lit(eff))),
             indexDir(root), "shingles", dynamic = true)
         })
-      writes.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      // await ALL three jobs before inspecting results: rethrowing on the
+      // first failure while siblings still run would let a zombie job
+      // keep writing this batch's output paths after appendBatch returns
+      // — a same-JVM retry of the batch then races it for the shared
+      // _temporary staging dir (the zombie's job commit can delete the
+      // retry's), and done() would unpersist relations under in-flight
+      // jobs. Only after every job has finished does the first failure
+      // propagate.
+      import scala.concurrent.duration.Duration
+      writes.foreach(Await.ready(_, Duration.Inf))
+      writes.foreach(_.value.get.get)
       Fs.writeAtomic(s"${metaDir(root)}/$eff",
         bMax.toString.getBytes("UTF-8"), hconf(s))
+      Fs.delete(s"${metaDir(root)}/_inflight", hconf(s))
     } finally done()
   }
 
@@ -347,17 +441,68 @@ object IncrAttrTable {
     * file per bucket (compacted rows land in `batch_id=-1`, which every
     * later batch's `< batchId` read includes). Same single-writer
     * contract as [[IndexLayout.compact]]: run between appends, never
-    * while one is in flight. */
-  def compactIndex(s: SparkSession, root: String): Unit =
-    IndexLayout.compact(s, indexDir(root), Seq("bands", "shingles"))
+    * while one is in flight.
+    *
+    * Three maintenance duties beyond the fold itself:
+    *
+    *   - RE-BUCKETING (`newBuckets` < 0, the default, auto-scales): the
+    *     bucket count is seeded at [[IndexLayout.DefaultBuckets]] before
+    *     the corpus size is knowable, and a fixed count makes the
+    *     append-time probe read degrade back toward a full index scan
+    *     as buckets fill (a 100-doc shard's ~1 600 band keys saturate
+    *     all 64 default buckets, so "pruned" = everything). Compaction
+    *     is the moment the resident size IS known: the fold re-buckets
+    *     to [[IndexLayout.scaledBuckets]] of the live band-row count,
+    *     keeping rows-per-bucket ~constant so a probe's read is
+    *     O(probe keys × target rows), independent of resident size.
+    *     Pass `0` to keep the current count, `> 0` to force one.
+    *   - GHOST DROPPING: only rows of COMMITTED batches (those with a
+    *     manifest) survive the fold — a crashed append's residue can
+    *     never be folded into `batch_id=-1` permanently.
+    *   - MANIFEST FOLDING: the per-batch `_batchmeta` files collapse
+    *     into one `_cumulative` (max batch id + max doc_id) record, so
+    *     append-time contract checks list O(tail), not O(lifetime). */
+  def compactIndex(s: SparkSession, root: String, newBuckets: Int = -1): Unit = {
+    val idx = indexDir(root)
+    val meta = batchMeta(s, root)
+    val target = if (newBuckets >= 0) newBuckets else autoBuckets(s, idx)
+    IndexLayout.compact(s, idx, Seq("bands", "shingles"),
+      target, Some(meta.keySet))
+    foldManifests(s, root, meta)
+  }
+
+  /** [[IndexLayout.scaledBuckets]] of the live band-row count — one
+    * count over the generation being folded (cheap beside its rewrite). */
+  private def autoBuckets(s: SparkSession, idx: String): Int = {
+    val target = s.conf.getOption(IndexLayout.BucketRowsConfKey)
+      .map(_.toLong).getOrElse(IndexLayout.DefaultBucketRows)
+    IndexLayout.scaledBuckets(
+      s.read.parquet(IndexLayout.dataDir(s, idx, "bands")).count(), target)
+  }
+
+  private def foldManifests(s: SparkSession, root: String,
+      meta: Map[Long, Long]): Unit = if (meta.nonEmpty) {
+    Fs.writeAtomic(s"${metaDir(root)}/_cumulative",
+      s"${meta.keys.max} ${meta.values.max}".getBytes("UTF-8"), hconf(s))
+    // the cumulative record is committed — the per-batch files are now
+    // redundant (crash between deletes just leaves a few extras that the
+    // batchMeta merge handles)
+    meta.keys.foreach(id => Fs.delete(s"${metaDir(root)}/$id", hconf(s)))
+  }
 
   /** [[compactIndex]] behind DocStream's small-files pressure trigger —
     * the maintenance call a long-lived shard-ingest loop makes between
     * appends. Returns whether a compaction ran. */
   def maybeCompactIndex(s: SparkSession, root: String,
-      maxDirsPerBucket: Int = 32): Boolean =
-    IndexLayout.maybeCompact(s, indexDir(root), Seq("bands", "shingles"),
-      maxDirsPerBucket)
+      maxDirsPerBucket: Int = 32): Boolean = {
+    val meta = batchMeta(s, root)
+    val ran = IndexLayout.maybeCompact(s, indexDir(root),
+      Seq("bands", "shingles"), maxDirsPerBucket,
+      newBuckets = () => autoBuckets(s, indexDir(root)),
+      keepBatchIds = Some(meta.keySet))
+    if (ran) foldManifests(s, root, meta)
+    ran
+  }
 
   /** The attribute table built PURELY through the incremental path: two
     * batches split at mid = (min_id + max_id) div 2 (one bounded 1-row
@@ -375,6 +520,11 @@ object IncrAttrTable {
       val mid = (row.getAs[Number](0).longValue + row.getAs[Number](1).longValue) / 2
       appendBatch(s, root, docs.filter(col("doc_id") <= mid), broadcastProbe = false)
       appendBatch(s, root, docs.filter(col("doc_id") > mid), broadcastProbe = false)
+      // the build is the first moment the corpus size is known: fold the
+      // two half-slices AND re-bucket the index to corpus density, so
+      // every later shard append probes a right-sized layout (semantics
+      // unchanged — IncrAttrSpec pins compaction invariance)
+      compactIndex(s, root)
       root
     })
 

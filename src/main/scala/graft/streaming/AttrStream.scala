@@ -31,16 +31,40 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AttrStream {
 
+  /** The documents-contract row shape — the fallback when the stream
+    * directory holds no files yet (a cold-started ingest loop). */
+  val DocumentsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
   /** Start tagging parquet files of documents (doc_id, text, lang,
-    * source, n_chars) from `streamDir` into the artifact at `root`. The
-    * source schema is taken from the files already present — AvailableNow
-    * processes a fixed file set, so the batch reader's view IS the
-    * stream's. */
+    * source, n_chars) from `streamDir` into the artifact at `root`.
+    *
+    * `schema == null` (the default) infers from the files already
+    * present — AvailableNow processes a fixed file set, so the batch
+    * reader's view IS the stream's — and falls back to
+    * [[DocumentsSchema]] when the directory is empty or absent (a
+    * plausible cold start for an ingest loop: the query starts idle and
+    * picks files up as they land, instead of throwing on inference).
+    * Pass a schema explicitly when the stream's shape differs from the
+    * documents contract. */
   def start(spark: SparkSession, streamDir: String, root: String,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val schema = spark.read.parquet(streamDir).schema
+      maxFilesPerTrigger: Int = 1,
+      schema: org.apache.spark.sql.types.StructType = null): StreamingQuery = {
+    val eff = Option(schema).getOrElse(
+      try spark.read.parquet(streamDir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        DocumentsSchema
+      })
+    // an absent dir is a legitimate cold start (files land after the
+    // query does) — create it so the file source lists an empty set
+    // instead of failing the start
+    val p = new org.apache.hadoop.fs.Path(streamDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     spark.readStream
-      .schema(schema)
+      .schema(eff)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(streamDir)
       .writeStream

@@ -83,9 +83,11 @@ object DocStream {
     * gate is off and admission behavior is byte-identical to before. */
   val MinScoreConfKey = "spark.graft.stream.minScore"
 
-  private def bandBucket(nb: Int): Column = pmod(col("band_hash"), lit(nb))
-  private def docBucket(nb: Int, id: Column = col("doc_id")): Column =
-    pmod(xxhash64(id), lit(nb.toLong)).cast("int")
+  // the canonical bucket assignments ([[IndexLayout.bucketExpr]]) — the
+  // re-bucketing compaction reassigns with the identical expressions
+  private def bandBucket(nb: Int): Column = IndexLayout.bucketExpr("bands", nb)
+  private def docBucket(nb: Int, id: Column = null): Column =
+    IndexLayout.bucketExpr("shingles", nb, id)
 
   /** Row shapes of the two index relations — the cold-start contract
     * [[IndexLayout.residentSlice]] falls back to when the index holds no
@@ -120,9 +122,13 @@ object DocStream {
 
   /** Fold the accumulated per-batch partitions into one file per bucket
     * (see [[IndexLayout.compact]] for the contract: only between
-    * successful stream invocations). */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    IndexLayout.compact(spark, indexDir, Seq("bands", "shingles"))
+    * successful stream invocations). `newBuckets > 0` re-buckets while
+    * folding (e.g. [[IndexLayout.scaledBuckets]] of the resident row
+    * count — how an index seeded before its corpus size was knowable
+    * grows with it); the default keeps the current count. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      newBuckets: Int = 0): Unit =
+    IndexLayout.compact(spark, indexDir, Seq("bands", "shingles"), newBuckets)
 
   /** [[compactIndex]] behind its pressure trigger: fold only when some
     * bucket has accrued more than `maxDirsPerBucket` batch partitions.

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.Fs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** On-disk layout shared by the resident streaming indexes ([[DocStream]]
@@ -27,9 +27,47 @@ private[graft] object IndexLayout {
 
   /** Conf key for the index bucket count — consulted ONCE, at seed
     * time; thereafter the value persisted in `indexDir/_buckets` is
-    * authoritative for that index. */
+    * authoritative for that index (until a re-bucketing [[compact]]
+    * writes a larger per-generation count — see [[numBuckets]]). */
   val BucketsConfKey = "spark.graft.stream.indexBuckets"
   val DefaultBuckets = 64
+
+  /** Conf key for the re-bucketing target: rows per bucket dir that
+    * [[scaledBuckets]] aims compaction at. */
+  val BucketRowsConfKey = "spark.graft.stream.bucketTargetRows"
+  val DefaultBucketRows = 4096L
+
+  /** The canonical bucket assignment per relation — THE single
+    * definition both the per-batch writers and the re-bucketing
+    * [[compact]] must share (a re-bucket computed with any other
+    * expression would silently desynchronize readers' probe-bucket
+    * pruning from the data's placement). `key` overrides the default
+    * key column (the shingle-verify probe buckets hash `doc_a`). */
+  def bucketExpr(rel: String, nb: Int, key: Column = null): Column = {
+    def k(default: String) = Option(key).getOrElse(col(default))
+    rel match {
+      case "bands"    => pmod(k("band_hash"), lit(nb))
+      case "shingles" => pmod(xxhash64(k("doc_id")), lit(nb.toLong)).cast("int")
+      case "vectors"  => pmod(k("cell"), lit(nb))
+      case other => throw new IllegalArgumentException(
+        s"no canonical bucket expression for index relation '$other'")
+    }
+  }
+
+  /** Bucket count for a resident relation of `rows` rows: the next
+    * power of two that keeps ~`targetRows` rows per bucket, floored at
+    * [[DefaultBuckets]] and capped at 2^16 (dirs-per-generation is
+    * driver listing work — one shallow listing returns them all, but a
+    * million-entry listing is its own pathology). Powers of two keep
+    * the modulus cheap and the growth curve geometric: a compaction
+    * only re-buckets when the count actually changes. */
+  def scaledBuckets(rows: Long, targetRows: Long = DefaultBucketRows): Int = {
+    require(targetRows > 0, s"targetRows must be > 0: $targetRows")
+    val want = math.max(1L, (rows + targetRows - 1) / targetRows)
+    val p2 = java.lang.Long.highestOneBit(want)
+    val up = if (p2 == want) want else p2 << 1
+    math.min(1L << 16, math.max(DefaultBuckets.toLong, up)).toInt
+  }
 
   private def hconf(spark: SparkSession) =
     spark.sparkContext.hadoopConfiguration
@@ -45,9 +83,16 @@ private[graft] object IndexLayout {
     nb
   }
 
-  /** The bucket count this index was seeded with. */
+  /** The LIVE bucket count: the per-generation `_nb.g<G>` a re-bucketing
+    * [[compact]] wrote, falling back to the seed-time `_buckets`. The
+    * per-gen file is written BEFORE the `_gen` pointer swaps, so a crash
+    * anywhere in compaction leaves (gen, nb) consistent: readers resolve
+    * the OLD generation with the OLD count until the single atomic swap,
+    * and an orphaned `_nb.g<G+1>` for a generation that never went live
+    * is unreachable (and overwritten by the next compaction). */
   def numBuckets(spark: SparkSession, indexDir: String): Int =
-    Fs.readBytes(s"$indexDir/_buckets", hconf(spark))
+    Fs.readBytes(s"$indexDir/_nb.g${gen(spark, indexDir)}", hconf(spark))
+      .orElse(Fs.readBytes(s"$indexDir/_buckets", hconf(spark)))
       .map(b => new String(b, "UTF-8").trim.toInt)
       .getOrElse(throw new IllegalStateException(
         s"$indexDir/_buckets missing — index not seeded"))
@@ -135,12 +180,41 @@ private[graft] object IndexLayout {
     * maintenance-window discipline as a table format's OPTIMIZE job.
     *
     * Compacted rows land in `batch_id=-1`, which every future batch
-    * reads; the bucket assignment is untouched, so reader pruning is
-    * unchanged. */
-  def compact(spark: SparkSession, indexDir: String, rels: Seq[String]): Unit = {
+    * reads.
+    *
+    * `newBuckets > 0` RE-BUCKETS while folding: rows are reassigned with
+    * [[bucketExpr]] at the new count and the per-generation `_nb.g<G+1>`
+    * records it BEFORE the pointer swap, so the (generation, bucket
+    * count) pair changes atomically from every reader's view — this is
+    * how an index seeded at [[DefaultBuckets]] grows with its corpus
+    * (the append-time probe read is O(probe keys × rows-per-bucket);
+    * without re-bucketing, rows-per-bucket grows linearly with the
+    * resident corpus and the "pruned" read degrades back to a full
+    * scan once every bucket is hit). `newBuckets == 0` keeps the
+    * current count and the bucket column untouched.
+    *
+    * `keepBatchIds`, when set, drops rows of any non-negative batch_id
+    * NOT in the set — the hook a caller with a commit manifest uses to
+    * keep uncommitted residue (a crashed append's half-written slices)
+    * from being folded into `batch_id=-1` permanently. */
+  def compact(spark: SparkSession, indexDir: String, rels: Seq[String],
+      newBuckets: Int = 0, keepBatchIds: Option[Set[Long]] = None): Unit = {
     val g = gen(spark, indexDir)
+    val nb = numBuckets(spark, indexDir)
+    val targetNb = if (newBuckets > 0) newBuckets else nb
     rels.foreach { rel =>
-      spark.read.parquet(s"$indexDir/$rel/gen=$g")
+      val live = spark.read.parquet(s"$indexDir/$rel/gen=$g")
+      val committed = keepBatchIds match {
+        case Some(ids) =>
+          live.filter(col("batch_id") === -1L ||
+            col("batch_id").isin(ids.toSeq: _*))
+        case None => live
+      }
+      val rebucketed =
+        if (targetNb == nb) committed
+        else committed.withColumn("bucket",
+          bucketExpr(rel, targetNb, key = null))
+      rebucketed
         .withColumn("batch_id", lit(-1L))
         // every row of a bucket into one task → one file per bucket dir
         .repartition(col("bucket"))
@@ -151,6 +225,12 @@ private[graft] object IndexLayout {
         .option("partitionOverwriteMode", "static")
         .parquet(s"$indexDir/$rel/gen=${g + 1}")
     }
+    // ALWAYS written (not only when the count changes): the previous
+    // generation's count may itself live in an `_nb.g<G>` file that the
+    // GC below removes — gen G+1 must carry its own count or numBuckets
+    // would fall back to the stale seed-time `_buckets`
+    Fs.writeAtomic(s"$indexDir/_nb.g${g + 1}",
+      targetNb.toString.getBytes("UTF-8"), hconf(spark))
     Fs.writeAtomic(s"$indexDir/_gen", (g + 1).toString.getBytes("UTF-8"),
       hconf(spark))
     // old generations are unreachable after the swap — best-effort GC
@@ -162,6 +242,12 @@ private[graft] object IndexLayout {
         }
         .foreach(st => Fs.delete(st.getPath.toString, hconf(spark)))
     }
+    Fs.list(indexDir, hconf(spark))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("_nb.g") && n.stripPrefix("_nb.g").toLongOption.exists(_ <= g)
+      }
+      .foreach(st => Fs.delete(st.getPath.toString, hconf(spark)))
   }
 
   /** The operational trigger for [[compact]]: fold only when some bucket
@@ -171,7 +257,8 @@ private[graft] object IndexLayout {
     * same single-writer contract as [[compact]]. Returns whether a
     * compaction ran. */
   def maybeCompact(spark: SparkSession, indexDir: String, rels: Seq[String],
-      maxDirsPerBucket: Int = 32): Boolean = {
+      maxDirsPerBucket: Int = 32, newBuckets: () => Int = () => 0,
+      keepBatchIds: Option[Set[Long]] = None): Boolean = {
     val g = gen(spark, indexDir)
     val pressured = rels.exists { rel =>
       Fs.list(s"$indexDir/$rel/gen=$g", hconf(spark)).exists { b =>
@@ -180,7 +267,9 @@ private[graft] object IndexLayout {
             .count(_.getPath.getName.startsWith("batch_id=")) > maxDirsPerBucket
       }
     }
-    if (pressured) compact(spark, indexDir, rels)
+    // newBuckets is by-need: the sizing count (a scan) runs only when
+    // the pressure trigger actually fires
+    if (pressured) compact(spark, indexDir, rels, newBuckets(), keepBatchIds)
     pressured
   }
 }

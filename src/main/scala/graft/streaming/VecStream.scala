@@ -61,7 +61,7 @@ object VecStream {
     * guard. */
   private val MaxCell = 1000
 
-  private def cellBucket(nb: Int): Column = pmod(col("cell"), lit(nb))
+  private def cellBucket(nb: Int): Column = IndexLayout.bucketExpr("vectors", nb)
 
   /** Row shape of the vector index — [[IndexLayout.residentSlice]]'s
     * cold-start fallback contract (vec element type matches the stream's

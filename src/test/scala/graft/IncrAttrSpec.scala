@@ -339,6 +339,199 @@ class IncrAttrSpec extends AnyFunSuite {
       s"cross-shard near-dup not flagged: $b")
   }
 
+  test("re-bucketing compaction: probe reads stay file-exact at the NEW bucket count, semantics intact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        fileScans(m.relation.cachedPlan)
+      case other => other.children.flatMap(fileScans)
+    }
+    val prev = spark.conf.getOption(graft.streaming.IndexLayout.BucketsConfKey)
+    spark.conf.set(graft.streaming.IndexLayout.BucketsConfKey, "64")
+    try {
+      val root = freshRoot()
+      val rnd = new scala.util.Random(37)
+      def rndText(): String =
+        Seq.fill(12)(s"v${rnd.nextInt(100000)}").mkString(" ")
+      val seedTexts = (1L to 40L).map(i => i -> rndText())
+      IncrAttrTable.appendBatch(spark, root,
+        df(seedTexts.map { case (i, t) => doc(i, t) }))
+      val idx = s"$root/index"
+      // fold + GROW: 64 -> 256 buckets (the corpus-density scaling move)
+      IncrAttrTable.compactIndex(spark, root, newBuckets = 256)
+      assert(graft.streaming.IndexLayout.numBuckets(spark, idx) == 256)
+      assert(graft.streaming.IndexLayout.gen(spark, idx) == 1L)
+
+      // probe: a near-dup of seed doc 1; its expected bucket dirs are
+      // computed at the NEW count with the canonical expression
+      val probeText = seedTexts.head._2 + " extra"
+      val probeDf = df(Seq(doc(100L, probeText)))
+      val probeBuckets = graft.queries.DedupQs.minhashBandsOf(
+          graft.queries.DedupQs.shinglesOf(probeDf))
+        .select(pmod(col("band_hash"), lit(256)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val expectedBandDirs =
+        probeBuckets.map(b => s"$idx/bands/gen=1/bucket=$b")
+
+      val scans = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          try fileScans(qe.executedPlan).foreach { sc =>
+            val roots = sc.relation.location.rootPaths.map(_.toString)
+            if (roots.exists(_.contains(s"$idx/bands/"))) scans.add(roots)
+          } catch { case _: Throwable => () }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        IncrAttrTable.appendBatch(spark, root, probeDf)
+        // listener delivery is async — settle
+        val deadline = System.currentTimeMillis() + 60000
+        var (lastSize, lastChange) = (scans.size, System.currentTimeMillis())
+        while (System.currentTimeMillis() - lastChange < 1200) {
+          if (System.currentTimeMillis() > deadline)
+            throw new RuntimeException("listener bus never quiesced")
+          Thread.sleep(50)
+          if (scans.size != lastSize) {
+            lastSize = scans.size; lastChange = System.currentTimeMillis()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val bandScans = scans.asScala.toSeq
+        assert(bandScans.nonEmpty, "probe never scanned the resident bands")
+        bandScans.foreach { roots0 =>
+          val roots = roots0.map(_.stripPrefix("file:"))
+          assert(roots.forall(r => expectedBandDirs.exists(r.startsWith)),
+            s"band scan outside the RE-BUCKETED probe dirs: $roots")
+        }
+        val attrs = spark.read.parquet(s"$root/attrs")
+          .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+        assert(attrs(100L), "near-dup not flagged through the re-bucketed index")
+        assert(!attrs(1L), "re-bucketing retro-flipped an earlier doc")
+      } finally spark.listenerManager.unregister(listener)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.streaming.IndexLayout.BucketsConfKey, v)
+      case None => spark.conf.unset(graft.streaming.IndexLayout.BucketsConfKey)
+    }
+  }
+
+  test("manifest folding: compaction collapses per-batch manifests; contract and replay guard still fire") {
+    val root = freshRoot()
+    // six committed shards -> six per-batch manifest files
+    (0 until 6).foreach { k =>
+      IncrAttrTable.appendBatch(spark, root,
+        df(Seq(doc(10L * k + 1, baseText(s"s$k")), doc(10L * k + 2, baseText(s"t$k")))))
+    }
+    def metaFiles(): Set[String] = {
+      val p = java.nio.file.Paths.get(s"$root/_batchmeta")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    assert(metaFiles().count(_.forall(_.isDigit)) == 6)
+    IncrAttrTable.compactIndex(spark, root)
+    // folded: one _cumulative record, zero per-batch files — the
+    // O(lifetime-batches) listing term is gone
+    val after = metaFiles()
+    assert(after.contains("_cumulative") && !after.exists(_.forall(_.isDigit)),
+      s"manifests not folded: $after")
+    // the monotone contract still fires off the folded record
+    val ex = intercept[IllegalArgumentException] {
+      IncrAttrTable.appendBatch(spark, root, df(Seq(doc(3L, baseText("z")))))
+    }
+    assert(ex.getMessage.contains("monotone"))
+    // a replay BELOW the folded boundary fails loudly (single-writer
+    // contract: compaction must only run when no replay can follow)
+    val ex2 = intercept[IllegalArgumentException] {
+      IncrAttrTable.appendBatch(spark, root,
+        df(Seq(doc(1000L, baseText("y")))), batchId = 2L)
+    }
+    assert(ex2.getMessage.contains("compaction"), ex2.getMessage)
+    // and a conforming append still lands, with is_dup visibility across
+    // the fold: doc 100 near-dups shard 0's doc 1 (now in batch_id=-1)
+    val near = (baseText("s0").split(" ").dropRight(1) :+ "tail").mkString(" ")
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(100L, near))))
+    val attrs = spark.read.parquet(s"$root/attrs")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(attrs(100L), "near-dup missed through the folded index")
+    assert(attrs.size == 13)
+  }
+
+  test("content-independent heal: a crashed batch's residue is swept before the retry plans") {
+    val root = freshRoot()
+    IncrAttrTable.appendBatch(spark, root,
+      df(Seq(doc(1L, baseText("a")), doc(2L, baseText("b")))))
+    // batch 1 "crashes": all three writes landed but the manifest never
+    // committed — simulate by appending then deleting the manifest and
+    // restoring the inflight marker (exactly the on-disk state a crash
+    // between the writes and the manifest leaves)
+    IncrAttrTable.appendBatch(spark, root,
+      df(Seq(doc(10L, baseText("ghost1")), doc(11L, baseText("ghost2")))))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_batchmeta/1"))
+    graft.ops.Fs.writeAtomic(s"$root/_batchmeta/_inflight",
+      "1".getBytes("UTF-8"), spark.sparkContext.hadoopConfiguration)
+    // the retry carries DIFFERENT content (doc 12 only): dynamic
+    // overwrite alone would leave docs 10/11 as ghosts in the index
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(12L, baseText("c")))))
+    val ids = spark.read.parquet(s"$root/attrs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 12L), s"ghost attrs survived the heal: $ids")
+    // the index holds no ghost rows either: a near-dup of the dead
+    // attempt's doc must NOT be flagged
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      doc(20L, (baseText("ghost1").split(" ").dropRight(1) :+ "x").mkString(" ")))))
+    val attrs = spark.read.parquet(s"$root/attrs")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(!attrs(20L), "ghost index rows survived the heal and flagged a dup")
+    // and compaction can never fold ghosts permanently: batch 3 lands,
+    // its manifest is deleted (uncommitted residue with no inflight
+    // marker — the id-skipping caller case), then compaction folds —
+    // the ghost rows must be DROPPED, not folded into batch_id=-1
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(25L, baseText("ghost3")))))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_batchmeta/3"))
+    IncrAttrTable.compactIndex(spark, root)
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      doc(30L, (baseText("ghost3").split(" ").dropRight(1) :+ "y").mkString(" ")))))
+    val attrs2 = spark.read.parquet(s"$root/attrs")
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(!attrs2(30L),
+      "an uncommitted batch's rows were folded into the compacted index")
+  }
+
+  test("crash mid-LM-seed self-heals: the partial lm/ is replaced by the first committed batch's counts") {
+    val root = freshRoot()
+    // a crash mid-seed leaves a directory without committed content —
+    // bare-existence gating would suppress re-seeding forever
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/lm/_temporary"))
+    val seedTxt = "alpha beta gamma delta epsilon zeta eta theta"
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(1L, seedTxt))))
+    val grams = spark.read.parquet(s"$root/lm")
+      .filter(col("gram_order") === 1).select("gram").as[String].collect().toSet
+    assert(grams.contains("alpha"), s"LM not reseeded from the batch: $grams")
+    // once a batch has committed, later appends never touch the LM
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(10L, "zulu1 zulu2 zulu3"))))
+    val grams2 = spark.read.parquet(s"$root/lm")
+      .filter(col("gram_order") === 1).select("gram").as[String].collect().toSet
+    assert(grams2 == grams, "LM absorbed a post-seed batch")
+  }
+
+  test("AttrStream cold start: an absent stream dir starts an idle query instead of throwing") {
+    val base = java.nio.file.Files.createTempDirectory("attr-cold")
+    val streamDir = s"$base/not-yet-created"
+    val q = graft.streaming.AttrStream.start(spark, streamDir, s"$base/artifact")
+    q.awaitTermination()
+    // AvailableNow over an empty set terminates cleanly with no artifact
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/artifact/attrs")))
+  }
+
   test("q142 on a planted dir: selection over the incremental artifact, no documents scan") {
     val dir = java.nio.file.Files.createTempDirectory("incr-corpus")
     // ids 1..9 → mid = 5: docs 1-5 seed, 6-9 increment; doc 8 near-dups
