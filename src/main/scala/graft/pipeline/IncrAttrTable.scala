@@ -29,19 +29,39 @@ import graft.streaming.IndexLayout
   *     resident index plus a within-batch band self-join — then appends
   *     attrs + bands + shingles.
   *
-  * The batch cost is O(batch) for every signal INCLUDING the dup probe:
-  * the resident index is hash-bucketed (bands on `pmod(band_hash, nb)`,
-  * shingles on `pmod(xxhash64(doc_id), nb)`), and each append reads ONLY
-  * the bucket directories its own probe keys land in — the band lookup
-  * prunes to the batch's band-hash buckets, the shingle verify prunes to
-  * the candidate docs' id buckets. Both bucket sets are bounded
-  * driver-side scalars (≤ nb distinct ints, the q68-style
-  * bounded-collect posture) and the pruning happens at FILE LISTING time
-  * via [[IndexLayout.residentSlice]] — per-append I/O tracks the batch's
-  * bucket contents, not the resident corpus (before round 15 both
-  * resident relations were flat parquet and every append paid one linear
-  * scan of each — the [append-100] growth curve in SURVEY §2.0.2 priced
-  * it at 3.6→7.2 s across 1×→100×). A shard-sized batch additionally
+  * The batch cost is O(batch) for every signal INCLUDING the dup probe,
+  * on both the READ and the WRITE side:
+  *
+  *   - READS: the resident index is hash-bucketed (bands on
+  *     `pmod(band_hash, nb)`, shingles on `pmod(xxhash64(doc_id), nb)`)
+  *     and each append reads ONLY the bucket directories its own probe
+  *     keys land in, plus the bounded TAIL — the band lookup prunes to
+  *     the batch's band-hash buckets, the shingle verify prunes to the
+  *     candidate docs' id buckets. Both bucket sets are bounded
+  *     driver-side scalars (≤ nb distinct ints, the q68-style
+  *     bounded-collect posture) and the pruning happens at FILE LISTING
+  *     time via [[IndexLayout.residentSlice]] — per-append I/O tracks
+  *     the batch's bucket contents, not the resident corpus (before
+  *     round 15 both resident relations were flat parquet and every
+  *     append paid one linear scan of each — the [append-100] growth
+  *     curve in SURVEY §2.0.2 priced it at 3.6→7.2 s across 1×→100×).
+  *     The bucket count itself scales with the corpus at compaction
+  *     ([[compactIndex]] re-buckets to [[IndexLayout.scaledBuckets]]),
+  *     keeping rows-per-bucket ~constant — a fixed seed-time nb would
+  *     let the "pruned" read grow linearly with the corpus once every
+  *     bucket is hit.
+  *   - WRITES: batch slices land as plain leaf-directory overwrites —
+  *     index rows in the TAIL ([[IndexLayout.appendTailSlice]]), attrs
+  *     in `attrs/batch_id=N` — one or two files each, no partitioned-
+  *     write machinery. The round-15 dynamic-partition form re-listed
+  *     the whole accumulated tree on every append (cost grew with every
+  *     batch ever committed) and fanned each batch into one file per
+  *     touched bucket (cost would grow with nb, i.e. with pruning
+  *     quality). Readers absorb the tail until the pressure-triggered
+  *     compaction folds it into real buckets — the LSM / table-format
+  *     small-file clustering discipline.
+  *
+  * A shard-sized batch additionally
   * BROADCASTS its capped band relation, its candidate pairs and its own
   * shingles (`broadcastProbe = true`), so candidate generation and
   * verify are map-side hash probes over the pruned resident reads and
@@ -254,16 +274,6 @@ object IncrAttrTable {
     val (attrs, newSh, newBands, done) =
       batchPlans(s, root, docs, broadcastProbe, eff)
     try {
-      val nb = IndexLayout.numBuckets(s, indexDir(root))
-      // Cluster a slice by bucket before the write ONLY when the source
-      // is many-partitioned: a partitionBy writer emits one file per
-      // (task, partition value), so a 32-task corpus half would land
-      // tasks × buckets ≈ 2 048 tiny files per relation (measured: a 1×
-      // append then read 10.6 s vs 3.6 s just from resident listing/
-      // footer overhead), while a shard-sized batch is 1–2 tasks already
-      // — for it the repartition is a pure extra exchange+stage.
-      def clustered(df: DataFrame): DataFrame =
-        if (df.rdd.getNumPartitions > 4) df.repartition(col("bucket")) else df
       // The three writes are INDEPENDENT jobs — attrs reads the resident
       // index through file indexes snapshotted at plan time, filtered
       // batch_id < eff, so it can never observe the concurrent eff
@@ -273,27 +283,28 @@ object IncrAttrTable {
       // commits LAST, only after all three writes succeed — a crash
       // before it leaves an uncommitted batch whose replay overwrites
       // exactly its own partitions.
+      //
+      // All three are plain LEAF-DIRECTORY overwrites of this batch's
+      // own dir — index slices into the TAIL ([[IndexLayout
+      // .appendTailSlice]]: the dynamic-partition form re-listed the
+      // whole accumulated tree per append and fanned the batch into one
+      // file per touched bucket, both of which grow with exactly the
+      // things an append must be independent of), attrs into
+      // `attrs/batch_id=N` for the same reason. Compaction folds the
+      // index tail into real buckets; attrs batch dirs are the
+      // artifact's natural ingest grain.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val writes = Seq(
         Future {
-          attrs.withColumn("batch_id", lit(eff))
-            .write.partitionBy("batch_id").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$root/attrs")
+          attrs.write.mode("overwrite").parquet(s"$root/attrs/batch_id=$eff")
         },
         Future {
-          IndexLayout.writeSlice(
-            clustered(newBands.withColumn("bucket", bandBucket(nb))
-              .withColumn("batch_id", lit(eff))),
-            indexDir(root), "bands", dynamic = true)
+          IndexLayout.appendTailSlice(newBands, indexDir(root), "bands", eff)
         },
         Future {
-          IndexLayout.writeSlice(
-            clustered(newSh.filter(size(col("shingles")) > 0)
-              .withColumn("bucket", docBucket(nb))
-              .withColumn("batch_id", lit(eff))),
-            indexDir(root), "shingles", dynamic = true)
+          IndexLayout.appendTailSlice(newSh.filter(size(col("shingles")) > 0),
+            indexDir(root), "shingles", eff)
         })
       // await ALL three jobs before inspecting results: rethrowing on the
       // first failure while siblings still run would let a zombie job
@@ -422,13 +433,21 @@ object IncrAttrTable {
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"),
       size(TextOps.tokens(col("text"))).cast("int").as("n_tokens"))
+    // every right side is an O(batch) aggregate, so under the shard
+    // posture they broadcast — the doc-keyed assembly joins become
+    // map-side hash probes over the batch's own partitioning (no
+    // doc_id exchanges, one output file instead of shuffle-partition
+    // many), gated on the SAME flag as the probe: a corpus-sized build
+    // takes the shuffled form end-to-end
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastProbe) broadcast(df) else df
     val attrs = base
-      .join(TextOps.modelScoresOf(docs), "doc_id")
-      .join(TextQs.pplAgainstLm(lm, docs).select("doc_id", "ppl_q"),
+      .join(hinted(TextOps.modelScoresOf(docs)), "doc_id")
+      .join(hinted(TextQs.pplAgainstLm(lm, docs).select("doc_id", "ppl_q")),
         Seq("doc_id"), "left")
-      .join(TextQs.cascadeMaskOf(docs, wide).select("doc_id", "fail_mask"),
+      .join(hinted(TextQs.cascadeMaskOf(docs, wide).select("doc_id", "fail_mask")),
         "doc_id")
-      .join(dupIds, Seq("doc_id"), "left")
+      .join(hinted(dupIds), Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
     val done = () => {

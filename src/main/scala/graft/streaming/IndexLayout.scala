@@ -125,33 +125,70 @@ private[graft] object IndexLayout {
       .parquet(dataDir(spark, indexDir, rel))
   }
 
+  /** The reserved bucket value of the TAIL: freshly appended batch
+    * slices that have not been folded into real buckets yet. Canonical
+    * bucket expressions ([[bucketExpr]]) are `pmod`-nonnegative, so -2
+    * can never collide with a data bucket (-1 is avoided only to keep
+    * the two reserved values visually distinct from `batch_id=-1`). */
+  val TailBucket = -2
+
+  /** Append one batch's rows (data columns only — NO bucket/batch_id
+    * columns) as the tail slice `rel/gen=G/bucket=-2/batch_id=N`: a
+    * plain leaf-directory overwrite, one or two files, idempotent per
+    * batch, with NO partitioned-write machinery — measured on the shard
+    * loop, a `partitionOverwriteMode=dynamic` write into the generation
+    * root re-lists the whole accumulated tree per append (cost grows
+    * with every batch ever appended) and fans the batch out into one
+    * parquet file per touched bucket dir (one writer init each: at a
+    * bucket count scaled to corpus density a 100-doc shard touches
+    * ~1 600 buckets, so the write cost would grow with the PRUNING
+    * quality). The tail decouples them, LSM-style: appends are O(batch)
+    * regardless of bucket count, readers scan pruned buckets PLUS the
+    * bounded tail ([[residentSlice]] includes it automatically), and
+    * [[compact]] folds tail rows into real buckets — exactly a table
+    * format's small-file clustering job. Use this for shard-sized
+    * batches; the bucketed [[writeSlice]] form still wins for trickle
+    * batches that touch few buckets (DocStream's 1-doc admissions). */
+  def appendTailSlice(rows: DataFrame, indexDir: String, rel: String,
+      batchId: Long): Unit = {
+    val spark = rows.sparkSession
+    rows.write.mode("overwrite").parquet(
+      s"${dataDir(spark, indexDir, rel)}/bucket=$TailBucket/batch_id=$batchId")
+  }
+
   /** Pre-batch index rows from ONLY the named bucket directories of the
-    * live generation. The read is rooted at the selected `bucket=B`
-    * dirs themselves (one SHALLOW listing of the generation root picks
-    * the survivors — O(nb) directory entries, not O(files)), so neither
-    * the file LISTING nor the scan ever touches another bucket's tree;
-    * `batch_id < batchId` then prunes batch dirs inside them. A
-    * filter-only form (`bucket isin ...` over the root) would scan the
-    * right files but still eagerly list the whole index — O(total
-    * files) driver work per trigger, which is the cost this layout
-    * exists to avoid. */
+    * live generation, PLUS the tail (bucket=-2 — batch slices not yet
+    * folded into buckets; bounded by the compaction trigger). The read
+    * is rooted at the selected `bucket=B` dirs themselves (one SHALLOW
+    * listing of the generation root picks the survivors — O(nb)
+    * directory entries, not O(files)), so neither the file LISTING nor
+    * the scan ever touches another bucket's tree; `batch_id < batchId`
+    * then prunes batch dirs inside them. A filter-only form
+    * (`bucket isin ...` over the root) would scan the right files but
+    * still eagerly list the whole index — O(total files) driver work
+    * per trigger, which is the cost this layout exists to avoid. When
+    * the caller declares `schema`, the read skips footer-based
+    * inference (one less I/O pass per probe). */
   def residentSlice(spark: SparkSession, indexDir: String, rel: String,
       batchId: Long, buckets: Seq[Int],
       schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
     val root = dataDir(spark, indexDir, rel)
     val present = Fs.list(root, hconf(spark))
       .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
-    val dirs = buckets.distinct.map(b => s"bucket=$b")
+    val dirs = (buckets.distinct.map(b => s"bucket=$b") :+ s"bucket=$TailBucket")
       .filter(present).map(n => s"$root/$n")
+    def reader = {
+      val r = spark.read
+      (if (schema != null) r.schema(schema) else r).option("basePath", root)
+    }
     if (dirs.nonEmpty)
-      spark.read.option("basePath", root).parquet(dirs: _*)
+      reader.parquet(dirs: _*)
         .filter(col("batch_id") < batchId)
         .drop("bucket", "batch_id")
     else if (present.nonEmpty)
       // no overlap (or an empty batch): schema from one bucket dir,
       // rows from none
-      spark.read.option("basePath", root)
-        .parquet(s"$root/${present.head}")
+      reader.parquet(s"$root/${present.head}")
         .filter(lit(false)).drop("bucket", "batch_id")
     else {
       // a completely empty index (seeded from an empty corpus — a
@@ -210,11 +247,12 @@ private[graft] object IndexLayout {
             col("batch_id").isin(ids.toSeq: _*))
         case None => live
       }
-      val rebucketed =
-        if (targetNb == nb) committed
-        else committed.withColumn("bucket",
-          bucketExpr(rel, targetNb, key = null))
-      rebucketed
+      // bucket is recomputed UNCONDITIONALLY (not only when the count
+      // changes): tail rows carry the reserved bucket=-2 and must fold
+      // into their real buckets; for already-bucketed rows the canonical
+      // expression reproduces their current value by definition
+      committed
+        .withColumn("bucket", bucketExpr(rel, targetNb, key = null))
         .withColumn("batch_id", lit(-1L))
         // every row of a bucket into one task → one file per bucket dir
         .repartition(col("bucket"))

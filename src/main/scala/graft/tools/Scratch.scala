@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main (not part of the library surface) — rebuilt per
-  * investigation; currently: write-side timing of one IncrAttrTable
-  * 100-doc shard append (the [append-100] constant, round 15). */
+  * investigation; currently: steady-state timing + phase decomposition
+  * of the IncrAttrTable 100-doc shard append (the [append-100]
+  * constant, round 16). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,45 +17,51 @@ object Scratch {
     s.sparkContext.setLogLevel("ERROR")
     val root = graft.pipeline.IncrAttrTable.ensureBuilt(s, d)
     val idx = s"$root/index"
-    val nb = IndexLayout.numBuckets(s, idx)
+    println(s"nb = ${IndexLayout.numBuckets(s, idx)}, gen = ${IndexLayout.gen(s, idx)}")
     def t[A](tag: String)(body: => A): A = {
       val t0 = System.nanoTime()
       val r = body
       println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    (1 to 2).foreach { i =>
-      val base = 30000000000L + i * 1000000L
-      val batch = Tables.documents(s, d)
+    var seq = 0
+    def batch() = {
+      seq += 1
+      Tables.documents(s, d)
         .filter(col("doc_id") < 100)
-        .withColumn("doc_id", col("doc_id") + lit(base))
-      println(s"--- append $i ---")
-      val (attrs, newSh, newBands, done) = t("batchPlans") {
-        graft.pipeline.IncrAttrTable.batchPlans(s, root, batch)
-      }
-      try {
-        val eff = 9000L + i
-        t("attrs parquet write (dynamic)") {
-          attrs.withColumn("batch_id", lit(eff))
-            .write.partitionBy("batch_id").mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(s"$root/attrs")
-        }
-        t("bands writeSlice") {
-          IndexLayout.writeSlice(
-            newBands.withColumn("bucket", pmod(col("band_hash"), lit(nb)))
-              .withColumn("batch_id", lit(eff)).repartition(col("bucket")),
-            idx, "bands", dynamic = true)
-        }
-        t("shingles writeSlice") {
-          IndexLayout.writeSlice(
-            newSh.filter(size(col("shingles")) > 0)
-              .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nb.toLong)).cast("int"))
-              .withColumn("batch_id", lit(eff)).repartition(col("bucket")),
-            idx, "shingles", dynamic = true)
-        }
-      } finally done()
+        .withColumn("doc_id", col("doc_id") + lit(30000000000L + seq * 1000000L))
     }
+    // settle: absorb async-cleanup debt from the build
+    (1 to 3).foreach { _ =>
+      graft.pipeline.IncrAttrTable.appendBatch(s, root, batch())
+      System.gc()
+    }
+    // steady-state full appends
+    (1 to 5).foreach { i =>
+      t(s"appendBatch[$i]") {
+        graft.pipeline.IncrAttrTable.appendBatch(s, root, batch())
+      }
+    }
+    // decomposition: plans (incl. the two bounded collects) vs writes
+    println("--- decomposition ---")
+    val b = batch()
+    t("span agg") { b.agg(min(col("doc_id")), max(col("doc_id"))).head() }
+    val (attrs, newSh, newBands, done) = t("batchPlans") {
+      graft.pipeline.IncrAttrTable.batchPlans(s, root, b)
+    }
+    try {
+      t("attrs action (count)") { attrs.count() }
+      t("attrs leaf write") {
+        attrs.write.mode("overwrite").parquet(s"$root/attrs/batch_id=7777")
+      }
+      t("bands tail write") {
+        IndexLayout.appendTailSlice(newBands, idx, "bands", 7777L)
+      }
+      t("shingles tail write") {
+        IndexLayout.appendTailSlice(
+          newSh.filter(size(col("shingles")) > 0), idx, "shingles", 7777L)
+      }
+    } finally done()
     s.stop()
   }
 }

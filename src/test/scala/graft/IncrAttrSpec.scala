@@ -182,6 +182,9 @@ class IncrAttrSpec extends AnyFunSuite {
       IncrAttrTable.appendBatch(spark, root,
         df(seedTexts.map { case (i, t) => doc(i, t) }))
       val idx = s"$root/index"
+      // fresh appends land in the TAIL (bucket=-2); fold them into real
+      // buckets so the probe exercises the pruned read path
+      IncrAttrTable.compactIndex(spark, root, newBuckets = 64)
       val totalBandFiles = diskFiles(s"$idx/bands")
       assert(totalBandFiles >= 30, s"seed landed only $totalBandFiles band files")
 
@@ -194,7 +197,7 @@ class IncrAttrSpec extends AnyFunSuite {
         .select(pmod(col("band_hash"), lit(64)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       assert(probeBuckets.nonEmpty && probeBuckets.size <= 16)
-      val expectedBandDirs = probeBuckets.map(b => s"$idx/bands/gen=0/bucket=$b")
+      val expectedBandDirs = probeBuckets.map(b => s"$idx/bands/gen=1/bucket=$b")
 
       // capture every index file scan the append runs
       val scans = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String], Long)]()
@@ -237,9 +240,10 @@ class IncrAttrSpec extends AnyFunSuite {
           val roots = roots0.map(_.stripPrefix("file:"))
           assert(roots.forall(r => expectedBandDirs.exists(r.startsWith)),
             s"band scan read outside the probe's buckets: $roots")
-          // the scan reads batch_id < 1 (the pre-append resident state);
-          // the probe's own batch_id=1 slices landed after it ran
-          val expectFiles = roots.map(r => diskFiles(s"$r/batch_id=0")).sum
+          // the scan reads the compacted batch_id=-1 rows (the tail was
+          // empty at probe time — compaction just folded it); the
+          // probe's own tail slice landed after it ran
+          val expectFiles = roots.map(r => diskFiles(s"$r/batch_id=-1")).sum
           assert(n == expectFiles,
             s"band scan read $n files, its bucket dirs hold $expectFiles")
         }
