@@ -115,6 +115,15 @@ object Memo {
     ensurePersisted(df)
   }
 
+  /** Drop (and unpersist) one memoized entry — for relations whose
+    * backing artifact was REWRITTEN in-session (e.g. a re-seeded frozen
+    * LM after a crash heal): the memoized plan would otherwise keep
+    * serving the dead artifact's rows for the rest of the session. */
+  def invalidate(s: SparkSession, d: String, tag: String): Unit = {
+    val df = m.remove((s, d, tag))
+    if (df != null) df.unpersist()
+  }
+
   /** Persist `df` only if the CacheManager has no entry for its plan yet
     * (`storageLevel` is a canonicalized-plan lookup, so a freshly built
     * but plan-identical DataFrame sees an earlier invocation's entry).

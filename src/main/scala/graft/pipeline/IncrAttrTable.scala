@@ -198,6 +198,7 @@ object IncrAttrTable {
       .filterNot(committed.contains)
       .foreach { j =>
         delete(s, s"$root/attrs/batch_id=$j")
+        delete(s, s"$root/admissions/batch_id=$j")
         val idx = indexDir(root)
         if (exists(s, s"$idx/_buckets")) Seq("bands", "shingles").foreach { rel =>
           val g = IndexLayout.dataDir(s, idx, rel)
@@ -220,60 +221,23 @@ object IncrAttrTable {
     * (the streaming caller's foreachBatch id) makes the append
     * idempotent under replay. */
   def appendBatch(s: SparkSession, root: String, docs: DataFrame,
-      broadcastProbe: Boolean = true, batchId: Long = -1L): Unit = {
-    val meta = batchMeta(s, root)
-    // heal any crashed attempt's residue BEFORE planning (plans snapshot
-    // file indexes) — content-independent, see sweepUncommitted
-    sweepUncommitted(s, root, meta)
-    val eff =
-      if (batchId >= 0) batchId
-      else meta.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
-    // a replay of a batch the compaction already FOLDED would read the
-    // folded batch_id=-1 rows — which now include LATER batches — as
-    // resident: that is exactly the single-writer maintenance-window
-    // violation the compact contract forbids, so fail it loudly instead
-    // of mis-flagging is_dup
-    cumulativeMeta(s, root).foreach { case (mb, _) =>
-      require(eff > mb,
-        s"batch $eff replayed after compaction folded batches <= $mb — " +
-          "compact only between successful invocations (every delivered " +
-          "batch committed), never where a replay can follow.")
-    }
+      broadcastProbe: Boolean = true, batchId: Long = -1L): Unit =
+    openBatch(s, root, docs, batchId).foreach { case (meta, eff, bMax) =>
+      // freeze the reference LM on the first COMMITTED batch: gated on
+      // the manifest (no batch committed yet → [re]seed), not on bare
+      // directory existence — a crash mid-seed leaves a partial lm/ that
+      // would otherwise suppress re-seeding forever, and a
+      // crashed-then-retried batch 0 with different content must freeze
+      // ITS counts, not the dead attempt's.
+      if (meta.isEmpty) seedLm(s, root, docs)
+      // intent marker for the residue sweep: records that batch `eff`
+      // may be writing; cleared only after the manifest commits
+      Fs.writeAtomic(s"${metaDir(root)}/_inflight",
+        eff.toString.getBytes("UTF-8"), hconf(s))
 
-    // ONE bounded 1-row aggregate: the batch's id span, for the contract
-    // check and the manifest. Empty batches commit nothing.
-    val span = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-    if (span.isNullAt(0)) return
-    val bMin = span.getAs[Number](0).longValue
-    val bMax = span.getAs[Number](1).longValue
-    val residentMax =
-      meta.collect { case (id, mx) if id < eff => mx }.maxOption
-    require(residentMax.forall(_ < bMin),
-      s"monotone-id append contract violated: batch $eff's min doc_id " +
-        s"$bMin is not above the resident max ${residentMax.getOrElse(-1L)}. " +
-        "Incremental is_dup flags would be silently wrong (a lower-id " +
-        "partner already tagged never retro-flips, and lower-id batch " +
-        "docs would be mis-attributed). Ingest batches in doc_id order.")
-
-    // freeze the reference LM on the first COMMITTED batch: gated on the
-    // manifest (no batch committed yet → [re]seed), not on bare directory
-    // existence — a crash mid-seed leaves a partial lm/ that would
-    // otherwise suppress re-seeding forever, and a crashed-then-retried
-    // batch 0 with different content must freeze ITS counts, not the
-    // dead attempt's. The delete-then-write is idempotent like every
-    // other write here.
-    if (meta.isEmpty) {
-      delete(s, s"$root/lm")
-      TextQs.lmGramCountsOf(docs).write.mode("overwrite").parquet(s"$root/lm")
-    }
-    // intent marker for the residue sweep: records that batch `eff` may
-    // be writing; cleared only after the manifest commits
-    Fs.writeAtomic(s"${metaDir(root)}/_inflight",
-      eff.toString.getBytes("UTF-8"), hconf(s))
-
-    val (attrs, newSh, newBands, done) =
-      batchPlans(s, root, docs, broadcastProbe, eff)
-    try {
+      val (attrs, newSh, newBands, done) =
+        batchPlans(s, root, docs, broadcastProbe, eff)
+      try {
       // The three writes are INDEPENDENT jobs — attrs reads the resident
       // index through file indexes snapshotted at plan time, filtered
       // batch_id < eff, so it can never observe the concurrent eff
@@ -293,35 +257,208 @@ object IncrAttrTable {
       // `attrs/batch_id=N` for the same reason. Compaction folds the
       // index tail into real buckets; attrs batch dirs are the
       // artifact's natural ingest grain.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes = Seq(
-        Future {
-          attrs.write.mode("overwrite").parquet(s"$root/attrs/batch_id=$eff")
-        },
-        Future {
-          IndexLayout.appendTailSlice(newBands, indexDir(root), "bands", eff)
-        },
-        Future {
-          IndexLayout.appendTailSlice(newSh.filter(size(col("shingles")) > 0),
-            indexDir(root), "shingles", eff)
-        })
-      // await ALL three jobs before inspecting results: rethrowing on the
-      // first failure while siblings still run would let a zombie job
-      // keep writing this batch's output paths after appendBatch returns
-      // — a same-JVM retry of the batch then races it for the shared
-      // _temporary staging dir (the zombie's job commit can delete the
-      // retry's), and done() would unpersist relations under in-flight
-      // jobs. Only after every job has finished does the first failure
-      // propagate.
-      import scala.concurrent.duration.Duration
-      writes.foreach(Await.ready(_, Duration.Inf))
-      writes.foreach(_.value.get.get)
-      Fs.writeAtomic(s"${metaDir(root)}/$eff",
-        bMax.toString.getBytes("UTF-8"), hconf(s))
-      Fs.delete(s"${metaDir(root)}/_inflight", hconf(s))
-    } finally done()
+        awaitAll(
+          () => attrs.write.mode("overwrite")
+            .parquet(s"$root/attrs/batch_id=$eff"),
+          () => IndexLayout.appendTailSlice(newBands, indexDir(root),
+            "bands", eff),
+          () => IndexLayout.appendTailSlice(
+            newSh.filter(size(col("shingles")) > 0),
+            indexDir(root), "shingles", eff))
+        commitBatch(s, root, eff, bMax)
+      } finally done()
+    }
+
+  /** Shared append envelope: manifest read, crash-residue sweep,
+    * effective batch id, compaction replay guard, and the id-span +
+    * monotone contract (one bounded 1-row aggregate). Returns None for
+    * an empty batch — nothing to commit. */
+  private def openBatch(s: SparkSession, root: String, docs: DataFrame,
+      batchId: Long): Option[(Map[Long, Long], Long, Long)] = {
+    val meta = batchMeta(s, root)
+    // heal any crashed attempt's residue BEFORE planning (plans snapshot
+    // file indexes) — content-independent, see sweepUncommitted
+    sweepUncommitted(s, root, meta)
+    val eff =
+      if (batchId >= 0) batchId
+      else meta.keysIterator.maxOption.map(_ + 1L).getOrElse(0L)
+    // a replay of a batch the compaction already FOLDED would read the
+    // folded batch_id=-1 rows — which now include LATER batches — as
+    // resident: that is exactly the single-writer maintenance-window
+    // violation the compact contract forbids, so fail it loudly instead
+    // of mis-flagging is_dup
+    cumulativeMeta(s, root).foreach { case (mb, _) =>
+      require(eff > mb,
+        s"batch $eff replayed after compaction folded batches <= $mb — " +
+          "compact only between successful invocations (every delivered " +
+          "batch committed), never where a replay can follow.")
+    }
+    val span = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (span.isNullAt(0)) None
+    else {
+      val bMin = span.getAs[Number](0).longValue
+      val bMax = span.getAs[Number](1).longValue
+      val residentMax =
+        meta.collect { case (id, mx) if id < eff => mx }.maxOption
+      require(residentMax.forall(_ < bMin),
+        s"monotone-id append contract violated: batch $eff's min doc_id " +
+          s"$bMin is not above the resident max ${residentMax.getOrElse(-1L)}. " +
+          "Incremental is_dup flags would be silently wrong (a lower-id " +
+          "partner already tagged never retro-flips, and lower-id batch " +
+          "docs would be mis-attributed). Ingest batches in doc_id order.")
+      Some((meta, eff, bMax))
+    }
   }
+
+  /** (Re)write the frozen-LM artifact from `docs` and invalidate the
+    * session's memoized copy — a re-seed after a crash heal must not
+    * keep serving the dead attempt's counts from cache. */
+  private def seedLm(s: SparkSession, root: String, docs: DataFrame): Unit = {
+    delete(s, s"$root/lm")
+    TextQs.lmGramCountsOf(docs).write.mode("overwrite").parquet(s"$root/lm")
+    graft.Memo.invalidate(s, root, "incr_lm")
+  }
+
+  /** Run the batch's write jobs CONCURRENTLY and await ALL of them
+    * before inspecting results: rethrowing on the first failure while
+    * siblings still run would let a zombie job keep writing this batch's
+    * output paths after the append returns — a same-JVM retry of the
+    * batch then races it for the shared _temporary staging dir (the
+    * zombie's job commit can delete the retry's), and the caller's
+    * cleanup would unpersist relations under in-flight jobs. Only after
+    * every job has finished does the first failure propagate. The
+    * writes are independent: each is an idempotent leaf overwrite, and
+    * readers in the plans see only `batch_id <` their own. */
+  private def awaitAll(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = jobs.map(j => Future(j()))
+    fs.foreach(Await.ready(_, Duration.Inf))
+    fs.foreach(_.value.get.get)
+  }
+
+  /** The commit point: manifest (atomic rename), then the inflight
+    * marker clears — a crash before the manifest leaves an uncommitted
+    * batch the next append sweeps. */
+  private def commitBatch(s: SparkSession, root: String, eff: Long,
+      bMax: Long): Unit = {
+    Fs.writeAtomic(s"${metaDir(root)}/$eff",
+      bMax.toString.getBytes("UTF-8"), hconf(s))
+    Fs.delete(s"${metaDir(root)}/_inflight", hconf(s))
+  }
+
+  /** ONE fused admission+tagging transaction — the production ingest
+    * loop's shape: a real pipeline tags only the documents it ADMITS,
+    * and running [[graft.streaming.DocStream]] (admission) and
+    * [[graft.streaming.AttrStream]] (tagging) as separate loops pays two
+    * band probes and two index writes per batch for the same decision.
+    * This method classifies the batch against the resident index with
+    * DocStream's exact statuses and precedence (`low_quality` — the
+    * optional [[graft.streaming.DocStream.MinScoreConfKey]] gate —
+    * then `dup_corpus`, `dup_batch`, `new`), writes the verdicts to
+    * `root/admissions/batch_id=N`, tags ONLY the `new` survivors with
+    * the full attribute row, and appends their bands+shingles to the
+    * index — one shared band probe, one index write (IngestSpec pins
+    * both the single probe and the equivalence with
+    * admission-then-tagging).
+    *
+    * Survivor attrs carry `is_dup = false` by construction — admission
+    * already removed every doc with a J ≥ 0.8 partner (resident or
+    * lower-id in-batch), which is exactly what a tagging pass over the
+    * admitted set would conclude. The frozen LM seeds from the FIRST
+    * batch with a nonzero survivor set (the composed-equivalence rule:
+    * a tagging loop downstream of admission never sees dropped docs). A
+    * batch whose every doc is dropped commits admissions + manifest and
+    * nothing else. Same envelope as [[appendBatch]]: monotone-id
+    * contract, inflight sweep, idempotent per-batchId writes —
+    * at-least-once delivery composes to effectively-exactly-once. */
+  def ingestBatch(s: SparkSession, root: String, docs: DataFrame,
+      broadcastProbe: Boolean = true, batchId: Long = -1L): Unit =
+    openBatch(s, root, docs, batchId).foreach { case (meta, eff, bMax) =>
+      Fs.writeAtomic(s"${metaDir(root)}/_inflight",
+        eff.toString.getBytes("UTF-8"), hconf(s))
+      val idx = indexDir(root)
+      val nb =
+        if (exists(s, s"$idx/_buckets")) IndexLayout.numBuckets(s, idx)
+        else IndexLayout.initMeta(s, idx)
+      def hinted(df: DataFrame): DataFrame =
+        if (broadcastProbe) broadcast(df) else df
+      // optional quality gate (DocStream's conf and semantics): rejected
+      // docs are excluded from shingling, so they produce no candidates,
+      // classify as nothing but low_quality, and never enter the index
+      val lowQ: Option[DataFrame] =
+        s.conf.getOption(graft.streaming.DocStream.MinScoreConfKey)
+          .map(_.toLong).map { m =>
+            TextOps.modelScoresOf(docs).filter(col("score") <= m)
+              .select(col("doc_id")).persist()
+          }
+      val eligible = lowQ.fold(docs)(l =>
+        docs.join(l, Seq("doc_id"), "left_anti"))
+      val newSh = DedupQs.shinglesOf(eligible).persist()
+      val newBands = DedupQs.minhashBandsOf(newSh).persist()
+      var cands: DataFrame = null
+      try {
+        val (dupResident, dupBatch, c) =
+          dupProbe(s, root, nb, newSh, newBands, broadcastProbe, eff)
+        cands = c
+        val withLq = lowQ match {
+          case Some(l) => docs.select("doc_id")
+            .join(hinted(l.withColumn("__lq", lit(true))), Seq("doc_id"), "left")
+          case None => docs.select("doc_id")
+            .withColumn("__lq", lit(null).cast("boolean"))
+        }
+        withLq
+          .join(hinted(dupResident.withColumn("__dc", lit(true))),
+            Seq("doc_id"), "left")
+          .join(hinted(dupBatch.withColumn("__db", lit(true))),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__lq"), "low_quality")
+              .when(col("__dc"), "dup_corpus")
+              .when(col("__db"), "dup_batch")
+              .otherwise("new").as("status"))
+          .write.mode("overwrite").parquet(s"$root/admissions/batch_id=$eff")
+        // re-read the just-committed verdicts: breaks the plan lineage to
+        // the index (Spark refuses to overwrite a path its plan reads)
+        // and makes every later write a pure function of on-disk state
+        val admitted = s.read.parquet(s"$root/admissions")
+          .filter(col("batch_id") === eff && col("status") === "new")
+          .select("doc_id")
+        if (admitted.isEmpty) {
+          // everything dropped: the admissions verdicts + manifest ARE
+          // the batch's committed state (no attrs dir, no index slices,
+          // no LM — exactly what admission-then-tagging would leave)
+          commitBatch(s, root, eff, bMax)
+        } else {
+          val survivors = docs.join(hinted(admitted), "doc_id")
+          // the frozen LM seeds from the first batch that ADMITS
+          // anything: "no committed batch has an attrs partition yet"
+          // (a committed manifest without attrs = a zero-survivor batch)
+          val tagged = Fs.list(s"$root/attrs", hconf(s)).exists { st =>
+            val n = st.getPath.getName
+            n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").toLongOption.exists(meta.contains)
+          }
+          if (!tagged) seedLm(s, root, survivors)
+          val attrs = attrRows(s, root, survivors, None, broadcastProbe)
+          val keepSh = newSh.join(hinted(admitted), "doc_id")
+          val keepBands = newBands.join(hinted(admitted), "doc_id")
+          awaitAll(
+            () => attrs.write.mode("overwrite")
+              .parquet(s"$root/attrs/batch_id=$eff"),
+            () => IndexLayout.appendTailSlice(keepBands, idx, "bands", eff),
+            () => IndexLayout.appendTailSlice(
+              keepSh.filter(size(col("shingles")) > 0),
+              idx, "shingles", eff))
+          commitBatch(s, root, eff, bMax)
+        }
+      } finally {
+        newSh.unpersist(); newBands.unpersist()
+        lowQ.foreach(_.unpersist())
+        if (cands != null) cands.unpersist()
+      }
+    }
 
   /** The batch's (attrs, shingles, bands, cleanup) plans against the
     * CURRENT resident state — split from [[appendBatch]] so the plans
@@ -341,30 +478,42 @@ object IncrAttrTable {
       if (exists(s, s"$idx/_buckets")) IndexLayout.numBuckets(s, idx)
       else IndexLayout.initMeta(s, idx)
 
-    // The frozen LM, gram-partitioned ONCE per (session, root) and
-    // cached: the relation is frozen by contract, so every append in a
-    // long-lived ingest session reuses one exchange of it — the cached
-    // InMemoryRelation carries hash(gram) partitioning and the
-    // per-append score joins then exchange only the batch's gram
-    // stream. MEMORY_AND_DISK via Memo — spillable at vocabulary scale.
-    val lm = graft.Memo.cached(s, root, "incr_lm") {
-      s.read.parquet(s"$root/lm").repartition(col("gram"))
-    }
-
     // batch-sized relations, consumed by several joins below and by the
     // index writes — persisted for the lifetime of this append
     val newSh = DedupQs.shinglesOf(docs).persist()
     val newBands = DedupQs.minhashBandsOf(newSh).persist()
 
-    // dup probe: batch bands vs resident (bucket-pruned read) plus the
-    // within-batch self-join, lower-id partner + exact J >= 0.8 verify —
-    // the same banding parameters and integer-exact rational as q36
-    // through the shared minhashBandsOf definition. The capBuckets bound
-    // applies to the BATCH side only (a batch-sized aggregate): dropping
-    // a resident-side cap only ADDS candidates (the exact verify keeps
-    // the answer exact), and capping the resident previously cost two
-    // corpus-sized exchanges per append plus a Spark 4.1
-    // semi-through-union planner bug (see round-14 history in git).
+    val (dupResident, dupBatch, candsResident) =
+      dupProbe(s, root, nb, newSh, newBands, broadcastProbe, eff)
+    val dupIds = dupResident.unionByName(dupBatch).distinct()
+
+    val attrs = attrRows(s, root, docs, Some(dupIds), broadcastProbe)
+    val done = () => {
+      newSh.unpersist(); newBands.unpersist(); candsResident.unpersist(); ()
+    }
+    (attrs, newSh, newBands, done)
+  }
+
+  /** The dup probe against the CURRENT resident state: batch bands vs
+    * resident (bucket-pruned read) plus the within-batch self-join,
+    * lower-id partner + exact J >= 0.8 verify — the same banding
+    * parameters and integer-exact rational as q36 through the shared
+    * minhashBandsOf definition. The capBuckets bound applies to the
+    * BATCH side only (a batch-sized aggregate): dropping a resident-side
+    * cap only ADDS candidates (the exact verify keeps the answer exact),
+    * and capping the resident previously cost two corpus-sized exchanges
+    * per append plus a Spark 4.1 semi-through-union planner bug (see
+    * round-14 history in git).
+    *
+    * Returns (resident-dup doc ids, within-batch-dup doc ids, the
+    * PERSISTED resident-candidate relation — caller unpersists). The
+    * two dup relations stay separate so the admission form
+    * ([[ingestBatch]]) can grade `dup_corpus` vs `dup_batch`; the
+    * tagging form unions them into one `is_dup`. */
+  private def dupProbe(s: SparkSession, root: String, nb: Int,
+      newSh: DataFrame, newBands: DataFrame, broadcastProbe: Boolean,
+      eff: Long): (DataFrame, DataFrame, DataFrame) = {
+    val idx = indexDir(root)
     val bSide = DedupOps.capBuckets(
         newBands, Seq("band_idx", "band_hash"), DedupQs.MaxBucket)
       .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
@@ -411,23 +560,35 @@ object IncrAttrTable {
     }
     // the resident shingle verify reads only the candidate docs' id
     // buckets — second bounded collect, off the persisted candidate
-    // relation (which also keeps the attrs action from re-running the
+    // relation (which also keeps later actions from re-running the
     // resident band probe)
     val candBuckets = candsResident
       .select(docBucket(nb, col("doc_a")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val residentSh = IndexLayout.residentSlice(s, idx, "shingles", eff,
       candBuckets, ShinglesSchema)
-    val dupIds = verify(candsResident, residentSh)
-      .unionByName(verify(candsBatch, newSh))
-      .distinct()
-      .withColumn("__dup", lit(true))
+    (verify(candsResident, residentSh).distinct(),
+      verify(candsBatch, newSh).distinct(), candsResident)
+  }
 
-    // the wide attribute row — q136's graded columns via the shared
-    // DataFrame-parameterized builders, + the frozen-LM ppl + is_dup.
-    // The repetition gate reads the SAME fingerprint-width conf as
-    // q84/q136/AttrTable, so an incremental build under
-    // fingerprintBits=128 cannot diverge from the full build.
+  /** The wide attribute row for `docs` — q136's graded columns via the
+    * shared DataFrame-parameterized builders, + the frozen-LM ppl +
+    * is_dup (from the probe's dup ids; `None` = a pre-deduplicated doc
+    * set, the admission loop's survivors, where is_dup is false by
+    * construction). The repetition gate reads the SAME fingerprint-width
+    * conf as q84/q136/AttrTable, so an incremental build under
+    * fingerprintBits=128 cannot diverge from the full build. */
+  private def attrRows(s: SparkSession, root: String, docs: DataFrame,
+      dupIds: Option[DataFrame], broadcastProbe: Boolean): DataFrame = {
+    // The frozen LM, gram-partitioned ONCE per (session, root) and
+    // cached: the relation is frozen by contract, so every append in a
+    // long-lived ingest session reuses one exchange of it — the cached
+    // InMemoryRelation carries hash(gram) partitioning and the
+    // per-append score joins then exchange only the batch's gram
+    // stream. MEMORY_AND_DISK via Memo — spillable at vocabulary scale.
+    val lm = graft.Memo.cached(s, root, "incr_lm") {
+      s.read.parquet(s"$root/lm").repartition(col("gram"))
+    }
     val wide = s.conf.getOption("spark.graft.repetition.fingerprintBits")
       .contains("128")
     val base = docs.select(col("doc_id"), col("lang"), col("source"),
@@ -441,19 +602,19 @@ object IncrAttrTable {
     // takes the shuffled form end-to-end
     def hinted(df: DataFrame): DataFrame =
       if (broadcastProbe) broadcast(df) else df
-    val attrs = base
+    val scored = base
       .join(hinted(TextOps.modelScoresOf(docs)), "doc_id")
       .join(hinted(TextQs.pplAgainstLm(lm, docs).select("doc_id", "ppl_q")),
         Seq("doc_id"), "left")
       .join(hinted(TextQs.cascadeMaskOf(docs, wide).select("doc_id", "fail_mask")),
         "doc_id")
-      .join(hinted(dupIds), Seq("doc_id"), "left")
-      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
-      .drop("__dup")
-    val done = () => {
-      newSh.unpersist(); newBands.unpersist(); candsResident.unpersist(); ()
+    dupIds match {
+      case Some(d) => scored
+        .join(hinted(d.withColumn("__dup", lit(true))), Seq("doc_id"), "left")
+        .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+        .drop("__dup")
+      case None => scored.withColumn("is_dup", lit(false))
     }
-    (attrs, newSh, newBands, done)
   }
 
   /** Fold the dup-probe index's accumulated per-batch partitions into one
