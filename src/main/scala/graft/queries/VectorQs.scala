@@ -387,11 +387,39 @@ object VectorQs {
     // perf gate now that its projections are a custom expression
     headline = true)
 
+  /** Conf bound for the DENSITY ROUTER: when the capped SRP band
+    * relation's estimated candidate mass (Σ per-bucket c·(c−1)/2, the
+    * exact pre-distinct join cardinality) exceeds this, [[srpMultiQuery]]
+    * fails over to the cell-bounded semantic path instead of running the
+    * band self-join. Default 10⁸ pairs — round 15's measurements put the
+    * graded configuration at 16.7 k candidates at 1× and 1.36 G (595 s,
+    * recall truncated 0.857 → 0.444 by the cap) at 100× density: past
+    * ~10⁸ the SRP family's answer is BOTH slow and silently
+    * recall-starved, which is exactly when weak-cosine dedup belongs to
+    * the cell-bounded path (q78/q42's machinery). */
+  private[graft] val SrpMaxCandsKey = "spark.graft.srp.maxCandidates"
+  private val srpCandEst =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+
   /** q139's body with width and table count as parameters — the graded
     * query pins one (bandBits, L) point; `tools.SrpMultiProbe` sweeps L
     * at each width to record the recall-vs-L curve beside the width
     * ladder (SURVEY §2.0.2). Same cap-join-verify pipeline as q43, over
-    * [[VectorOps.srpBandsMulti]]'s L-matrix band relation. */
+    * [[VectorOps.srpBandsMulti]]'s L-matrix band relation.
+    *
+    * DENSITY-ROUTED: before the band self-join runs, the capped
+    * relation's per-bucket occupancy (one bounded aggregate over the
+    * memoized bands, itself memoized per corpus) prices the candidate
+    * union exactly; past [[SrpMaxCandsKey]] the query routes to
+    * [[cellBoundedPairs]] with the trade logged. Round 15 measured the
+    * cliff this guard encodes — at 100× density the graded (8-bit, L=4,
+    * cap-1000) point costs 595 s for recall 0.444, with no in-family
+    * (width, L, cap) escape — and concluded in prose that the
+    * cell-bounded path owns that regime; this puts the conclusion in
+    * the operator. The graded 1×/bench densities sit orders of
+    * magnitude under the default bound, so oracle-graded plans are
+    * untouched (PlanSpec pins both sides). */
   private[graft] def srpMultiQuery(s: SparkSession, d: String,
       bandBits: Int, numMatrices: Int): DataFrame = {
     val planesL = (0 until numMatrices).map(srpPlanesL)
@@ -403,18 +431,58 @@ object VectorQs {
     val capped = graft.Memo.cached(s, d, tag + "_capped") {
       graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
     }
-    def side(n: String): DataFrame =
-      capped.select(col("vec_id").as(s"vec_$n"), col("table_idx"), col("bits"))
-    val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
+    val bound = s.conf.getOption(SrpMaxCandsKey).map(_.toLong)
+      .getOrElse(100000000L)
+    val est: Long = srpCandEst.computeIfAbsent((s, d, tag), { _ =>
+      val row = capped.groupBy("table_idx", "bits")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    })
+    if (est > bound) {
+      log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
+        s"$SrpMaxCandsKey=$bound for corpus $d — the (bandBits=$bandBits, " +
+        s"L=$numMatrices, cap=1000) configuration is past its measured " +
+        "feasibility point (cost grows with the candidate union while the " +
+        "cap silently truncates recall). Routing to the cell-bounded " +
+        "semantic path; raise the bound to force the SRP join.")
+      cellBoundedPairs(s, d, tau = 0.45)
+    } else {
+      def side(n: String): DataFrame =
+        capped.select(col("vec_id").as(s"vec_$n"), col("table_idx"), col("bits"))
+      val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      val ea = maybeBVec(s, d, Tables.embeddings(s, d)
+        .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
+      val eb = maybeBVec(s, d, Tables.embeddings(s, d)
+        .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
+      cands.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
+        .filter(col("cos") >= 0.45)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }
+  }
+
+  /** The density router's fail-over target: within-cell exact-cosine
+    * pairs over the two-level coarse assignment (q78's deep-tier
+    * machinery — cost bounded by Σ per-cell n², independent of band
+    * occupancy). Recall is bounded by cell co-residency instead of the
+    * candidate cap: approximate exactly where the quantizer is (cell
+    * routing), exact inside. Same output shape as the SRP form. */
+  private[graft] def cellBoundedPairs(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val assigned = semanticCellsCoarse(s, d)
+    def half(n: String) = assigned.select(col("cell"),
+      col("id").as(s"vec_$n"), col("vec").as(s"${n}_vec"),
+      col("sq_norm").as(s"${n}_norm"))
+    half("a").join(half("b"), "cell")
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val ea = maybeBVec(s, d, Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
-    val eb = maybeBVec(s, d, Tables.embeddings(s, d)
-      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
-    cands.join(ea, "vec_a").join(eb, "vec_b")
-      .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
-      .filter(col("cos") >= 0.45)
+      .withColumn("cos", VectorOps.cosineWithNorms(
+        VectorOps.dotD(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
   }

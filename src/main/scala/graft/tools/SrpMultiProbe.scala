@@ -50,8 +50,11 @@ object SrpMultiProbe {
     s.sparkContext.setLogLevel("WARN")
 
     if (args.length >= 3) {
-      recallUnderCap(s, d, args(1), args(2).toInt,
-        args.lift(3).getOrElse("1000").split(",").map(_.trim.toInt).toSeq)
+      if (args.lift(3).contains("routed"))
+        routedTier(s, d, args(1), args(2).toInt)
+      else
+        recallUnderCap(s, d, args(1), args(2).toInt,
+          args.lift(3).getOrElse("1000").split(",").map(_.trim.toInt).toSeq)
       s.stop()
       return
     }
@@ -89,15 +92,11 @@ object SrpMultiProbe {
     s.stop()
   }
 
-  /** The graded q139 point measured at a replicated tier, per cap rung:
-    * subset recall (images of the base exact pairs found by the capped
-    * candidate union) + total candidate count (the cost axis). */
-  private def recallUnderCap(s: org.apache.spark.sql.SparkSession,
-      baseDir: String, replDir: String, factor: Int, caps: Seq[Int]): Unit = {
-    ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
-
-    // exact ground truth on the BASE corpus (one corpus² cosine pass —
-    // feasible at 1×), then its per-copy images
+  /** Per-copy images of the base corpus's exact cos ≥ 0.45 pairs — the
+    * known-true subset every tier's recall is measured on (one corpus²
+    * cosine pass at 1×, feasible; cached). */
+  private def truthImages(s: org.apache.spark.sql.SparkSession,
+      baseDir: String, factor: Int): DataFrame = {
     val emb1 = Tables.embeddings(s, baseDir).select("vec_id", "embedding").cache()
     val ea = emb1.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))
     val eb = emb1.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))
@@ -106,10 +105,45 @@ object SrpMultiProbe {
       .filter(col("cos") >= 0.45)
       .select("vec_a", "vec_b")
     val copies = s.range(factor).select(col("id").as("k"))
-    val truth = exact1.crossJoin(copies)
+    exact1.crossJoin(copies)
       .select((col("vec_a") + col("k") * lit(ScaleEvidence.CopyShift)).as("vec_a"),
         (col("vec_b") + col("k") * lit(ScaleEvidence.CopyShift)).as("vec_b"))
       .cache()
+  }
+
+  /** The DENSITY-ROUTED q139 at a replicated tier: run the graded query
+    * entry itself (past the default candidate bound it fails over to the
+    * cell-bounded path inside the operator) and price it — wall seconds,
+    * emitted pairs, truth-subset recall. The §2.0.2 row beside round
+    * 15's unrouted 595 s / recall-0.444 cliff measurement. */
+  private def routedTier(s: org.apache.spark.sql.SparkSession,
+      baseDir: String, replDir: String, factor: Int): Unit = {
+    ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
+    val truth = truthImages(s, baseDir, factor)
+    val nTruth = truth.count()
+    val nVecs = Tables.embeddings(s, replDir).count()
+    println(s"\ntier: ${factor}x = $nVecs vectors; truth-pair subset: $nTruth")
+    (1 to 2).foreach { pass =>
+      val t0 = System.nanoTime()
+      val out = graft.Queries.byName("q139_srp_multi_lsh").fn(s, replDir)
+        .select("vec_a", "vec_b").cache()
+      val nOut = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
+      out.unpersist()
+      val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
+      println(f"| routed q139 pass $pass | $secs%.1f s | $nOut pairs | " +
+        f"truth found $nFound | subset recall $recall%.3f |")
+    }
+  }
+
+  /** The graded q139 point measured at a replicated tier, per cap rung:
+    * subset recall (images of the base exact pairs found by the capped
+    * candidate union) + total candidate count (the cost axis). */
+  private def recallUnderCap(s: org.apache.spark.sql.SparkSession,
+      baseDir: String, replDir: String, factor: Int, caps: Seq[Int]): Unit = {
+    ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
+    val truth = truthImages(s, baseDir, factor)
     val nTruth = truth.count()
     val nVecs = Tables.embeddings(s, replDir).count()
     println(s"\ntier: ${factor}x = $nVecs vectors; true-pair subset " +

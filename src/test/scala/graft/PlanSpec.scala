@@ -524,6 +524,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: density router — SRP band join inside the candidate bound, cell-bounded plan past it") {
+    // round 16: the round-15 measurement (100x density: 1.36 G capped
+    // candidates, 595 s, recall truncated 0.857 -> 0.444 with no
+    // in-family escape) moves INTO the operator — srpMultiQuery prices
+    // the candidate union off the capped bands' occupancy and fails
+    // over to the cell-bounded semantic path past
+    // spark.graft.srp.maxCandidates. Both sides pinned by the plan's
+    // projection expression: the SRP form packs sign bits
+    // (vec_srp_bits), the routed form never builds the band relation.
+    def plan(): String =
+      Queries.byName("q139_srp_multi_lsh").fn(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val inBound = plan()
+    assert(inBound.contains("vec_srp_bits"),
+      "graded density lost its SRP band join — the router misfired low")
+    spark.conf.set(graft.queries.VectorQs.SrpMaxCandsKey, "0")
+    try {
+      val routed = plan()
+      assert(!routed.contains("vec_srp_bits"),
+        "past the bound the plan still builds the SRP band relation — the router is dead")
+      assert(routed.contains("vec_dot"),
+        "routed plan lost the exact-cosine verify")
+      // and the routed query actually runs end-to-end with q139's shape
+      val out = Queries.byName("q139_srp_multi_lsh").fn(spark, sf)
+      assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+      out.collect()
+    } finally spark.conf.unset(graft.queries.VectorQs.SrpMaxCandsKey)
+  }
+
   test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
     val p = plan("q19_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"),
