@@ -33,9 +33,19 @@ private[graft] object IndexLayout {
   val DefaultBuckets = 64
 
   /** Conf key for the re-bucketing target: rows per bucket dir that
-    * [[scaledBuckets]] aims compaction at. */
+    * [[scaledBuckets]] aims compaction at. The default is MEASURED on
+    * the shard-append curve (AppendCurve, §2.0.2): per-append cost at
+    * 100× density (8 M band rows) reads 17.9–23.4 s at nb=64 (full
+    * resident reads — the 500 k-doc shingle-ARRAY read dominates),
+    * 6.9–9.8 s at nb=512, 9–15 s at 1024–16384, 14.8+ s at 65536
+    * (per-dir listing overtakes row pruning); at 10× density (800 k
+    * rows) EVERY count above 64 is worse than 64 (6.0–6.7 s vs 7.3+),
+    * because a shard's probe keys saturate mid-range counts — no rows
+    * pruned, more dirs listed. 16 384 rows/bucket lands each tier on
+    * its measured minimum: 64 through 10×, 512 at 100×, growing
+    * geometrically past it. */
   val BucketRowsConfKey = "spark.graft.stream.bucketTargetRows"
-  val DefaultBucketRows = 4096L
+  val DefaultBucketRows = 16384L
 
   /** The canonical bucket assignment per relation — THE single
     * definition both the per-batch writers and the re-bucketing

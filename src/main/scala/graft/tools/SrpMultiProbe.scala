@@ -123,7 +123,7 @@ object SrpMultiProbe {
     val nTruth = truth.count()
     val nVecs = Tables.embeddings(s, replDir).count()
     println(s"\ntier: ${factor}x = $nVecs vectors; truth-pair subset: $nTruth")
-    (1 to 2).foreach { pass =>
+    def pricePass(label: String): Unit = {
       val t0 = System.nanoTime()
       val out = graft.Queries.byName("q139_srp_multi_lsh").fn(s, replDir)
         .select("vec_a", "vec_b").cache()
@@ -132,9 +132,14 @@ object SrpMultiProbe {
       val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
       out.unpersist()
       val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
-      println(f"| routed q139 pass $pass | $secs%.1f s | $nOut pairs | " +
+      println(f"| $label | $secs%.1f s | $nOut pairs | " +
         f"truth found $nFound | subset recall $recall%.3f |")
     }
+    (1 to 2).foreach(p => pricePass(s"routed q139 pass $p"))
+    // the same tier with the router disabled — the honest side-by-side
+    s.conf.set(graft.queries.VectorQs.SrpMaxCandsKey, Long.MaxValue.toString)
+    try pricePass("UNROUTED q139 (bound lifted)")
+    finally s.conf.unset(graft.queries.VectorQs.SrpMaxCandsKey)
   }
 
   /** The graded q139 point measured at a replicated tier, per cap rung:
