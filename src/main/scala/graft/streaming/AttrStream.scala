@@ -37,6 +37,23 @@ object AttrStream {
     org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
 
+  /** Infer the stream schema from the files already present, falling
+    * back to [[DocumentsSchema]] on a COLD START (absent or empty
+    * directory). Cold start is detected by the STRUCTURED error
+    * condition (`SparkThrowable.getCondition`), never by message-text
+    * matching — error wording is not a stable API across Spark versions,
+    * and a silent wording change would revert cold starts to throwing. */
+  private[streaming] def inferOrDefault(spark: SparkSession,
+      streamDir: String): org.apache.spark.sql.types.StructType =
+    try spark.read.parquet(streamDir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        DocumentsSchema
+    }
+
   /** Start tagging parquet files of documents (doc_id, text, lang,
     * source, n_chars) from `streamDir` into the artifact at `root`.
     *
@@ -51,13 +68,7 @@ object AttrStream {
   def start(spark: SparkSession, streamDir: String, root: String,
       maxFilesPerTrigger: Int = 1,
       schema: org.apache.spark.sql.types.StructType = null): StreamingQuery = {
-    val eff = Option(schema).getOrElse(
-      try spark.read.parquet(streamDir).schema
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        DocumentsSchema
-      })
+    val eff = Option(schema).getOrElse(inferOrDefault(spark, streamDir))
     // an absent dir is a legitimate cold start (files land after the
     // query does) — create it so the file source lists an empty set
     // instead of failing the start

@@ -40,13 +40,7 @@ object IngestStream {
   def start(spark: SparkSession, streamDir: String, root: String,
       maxFilesPerTrigger: Int = 1,
       schema: org.apache.spark.sql.types.StructType = null): StreamingQuery = {
-    val eff = Option(schema).getOrElse(
-      try spark.read.parquet(streamDir).schema
-      catch { case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        AttrStream.DocumentsSchema
-      })
+    val eff = Option(schema).getOrElse(AttrStream.inferOrDefault(spark, streamDir))
     val p = new org.apache.hadoop.fs.Path(streamDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
     spark.readStream

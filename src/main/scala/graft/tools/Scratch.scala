@@ -42,17 +42,25 @@ object Scratch {
         graft.pipeline.IncrAttrTable.appendBatch(s, root, batch())
       }
     }
-    // decomposition: plans (incl. the two bounded collects) vs writes
+    // decomposition: plans (incl. the two bounded collects) vs writes.
+    // The probe writes land under an UNCOMMITTED batch id (7777, no
+    // manifest) and are deleted below — left behind they'd pollute the
+    // shared ensureBuilt artifact for any later run against this corpus
+    // (whole-table attrs readers don't filter by manifest, and the sweep
+    // never removes them because no _inflight marker names 7777).
     println("--- decomposition ---")
     val b = batch()
     t("span agg") { b.agg(min(col("doc_id")), max(col("doc_id"))).head() }
     val (attrs, newSh, newBands, done) = t("batchPlans") {
       graft.pipeline.IncrAttrTable.batchPlans(s, root, b)
     }
+    val hc = s.sparkContext.hadoopConfiguration
+    val scratchAttrs =
+      s"${graft.pipeline.IncrAttrTable.liveRelDir(s, root, "attrs")}/batch_id=7777"
     try {
       t("attrs action (count)") { attrs.count() }
       t("attrs leaf write") {
-        attrs.write.mode("overwrite").parquet(s"$root/attrs/batch_id=7777")
+        attrs.write.mode("overwrite").parquet(scratchAttrs)
       }
       t("bands tail write") {
         IndexLayout.appendTailSlice(newBands, idx, "bands", 7777L)
@@ -61,7 +69,14 @@ object Scratch {
         IndexLayout.appendTailSlice(
           newSh.filter(size(col("shingles")) > 0), idx, "shingles", 7777L)
       }
-    } finally done()
+    } finally {
+      done()
+      graft.ops.Fs.delete(scratchAttrs, hc)
+      Seq("bands", "shingles").foreach { rel =>
+        graft.ops.Fs.delete(s"${IndexLayout.dataDir(s, idx, rel)}" +
+          s"/bucket=${IndexLayout.TailBucket}/batch_id=7777", hc)
+      }
+    }
     s.stop()
   }
 }

@@ -272,11 +272,12 @@ class IncrAttrSpec extends AnyFunSuite {
     val a = baseText("p")
     IncrAttrTable.appendBatch(spark, root, df(Seq(doc(1L, a), doc(2L, baseText("q")))))
     IncrAttrTable.appendBatch(spark, root, df(Seq(doc(10L, baseText("r")))))
-    val before = spark.read.parquet(s"$root/attrs")
+    // data-only view: compaction re-clusters the attrs (gen/batch_id
+    // bookkeeping changes by design) but must not alter any attribute
+    val before = IncrAttrTable.attrsOf(spark, root)
       .orderBy("doc_id").collect().map(_.toString).toSeq
     IncrAttrTable.compactIndex(spark, root)
-    // already-written attrs are untouched by index maintenance
-    val after = spark.read.parquet(s"$root/attrs")
+    val after = IncrAttrTable.attrsOf(spark, root)
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(after == before, "compaction mutated the attribute table")
     // the folded rows live in batch_id=-1 of the NEW generation and a
@@ -450,13 +451,18 @@ class IncrAttrSpec extends AnyFunSuite {
       IncrAttrTable.appendBatch(spark, root, df(Seq(doc(3L, baseText("z")))))
     }
     assert(ex.getMessage.contains("monotone"))
-    // a replay BELOW the folded boundary fails loudly (single-writer
-    // contract: compaction must only run when no replay can follow)
-    val ex2 = intercept[IllegalArgumentException] {
-      IncrAttrTable.appendBatch(spark, root,
-        df(Seq(doc(1000L, baseText("y")))), batchId = 2L)
-    }
-    assert(ex2.getMessage.contains("compaction"), ex2.getMessage)
+    // a re-delivery AT OR BELOW the folded boundary is a committed
+    // batch's replay (only manifested batches fold) — a NO-OP, not a
+    // failure: the crash-between-manifest-and-checkpoint-commit case
+    // legitimately compacts then replays, and must converge
+    val beforeReplay = IncrAttrTable.attrsOf(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    IncrAttrTable.appendBatch(spark, root,
+      df(Seq(doc(1000L, baseText("y")))), batchId = 2L)
+    val afterReplay = IncrAttrTable.attrsOf(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(afterReplay == beforeReplay,
+      "a replay below the folded boundary mutated the artifact")
     // and a conforming append still lands, with is_dup visibility across
     // the fold: doc 100 near-dups shard 0's doc 1 (now in batch_id=-1)
     val near = (baseText("s0").split(" ").dropRight(1) :+ "tail").mkString(" ")
@@ -534,6 +540,113 @@ class IncrAttrSpec extends AnyFunSuite {
     // AvailableNow over an empty set terminates cleanly with no artifact
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$base/artifact/attrs")))
+  }
+
+  test("artifact compaction folds attrs batch dirs into ONE doc_id-ranged sorted slice") {
+    val root = freshRoot()
+    // eight committed shards → eight attrs leaf dirs
+    (0 until 8).foreach { k =>
+      IncrAttrTable.appendBatch(spark, root,
+        df(Seq(doc(10L * k + 1, baseText(s"f$k")), doc(10L * k + 2, baseText(s"g$k")))))
+    }
+    def liveDirs(rel: String): Seq[String] = {
+      val live = IncrAttrTable.liveRelDir(spark, root, rel)
+      graft.ops.Fs.list(live, spark.sparkContext.hadoopConfiguration)
+        .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted
+    }
+    assert(liveDirs("attrs").size == 8, s"expected 8 leaf dirs: ${liveDirs("attrs")}")
+    val before = IncrAttrTable.attrsOf(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    IncrAttrTable.compactIndex(spark, root)
+    // the live generation holds exactly the folded slice — the
+    // O(lifetime-batches) dir listing term is gone from the read path
+    assert(liveDirs("attrs") == Seq("batch_id=-1"), liveDirs("attrs").toString)
+    val after = IncrAttrTable.attrsOf(spark, root)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after == before, "the fold changed the attribute rows")
+    // doc_id-clustered: per-file min/max ranges are DISJOINT, so a
+    // doc-range selection (q138's shape) prunes files by parquet stats
+    val ranges = IncrAttrTable.attrsOf(spark, root)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("lo")
+      .as[(String, Long, Long)].collect()
+    assert(ranges.length >= 2, s"fold produced ${ranges.length} file(s) — range pin vacuous")
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (f2, lo2, _)) =>
+      assert(lo2 > hi1, s"file ranges overlap at $f2: hi=$hi1 lo=$lo2")
+    }
+    // a post-fold append lands beside the slice and the next fold absorbs it
+    IncrAttrTable.appendBatch(spark, root, df(Seq(doc(500L, baseText("h")))))
+    assert(liveDirs("attrs").size == 2)
+    IncrAttrTable.compactIndex(spark, root)
+    assert(liveDirs("attrs") == Seq("batch_id=-1"))
+    assert(IncrAttrTable.attrsOf(spark, root).count() == 17)
+  }
+
+  test("a zero-survivor batch folded by compaction never re-seeds the frozen LM") {
+    // the regression this pins: foldManifests keeps only the cumulative
+    // max batch id; if THAT batch committed zero survivors (manifest,
+    // no attrs dir), an attrs-dir-in-manifest check goes vacuously false
+    // and the next surviving batch silently re-seeds the frozen LM —
+    // every later ppl_q is scored against a different basis than the
+    // committed rows. The seed evidence must survive the fold.
+    val root = freshRoot()
+    val t1 = baseText("a")
+    IncrAttrTable.ingestBatch(spark, root,
+      df(Seq(doc(1L, t1), doc(2L, baseText("b")))), batchId = 0L)
+    val lmSeed = spark.read.parquet(s"$root/lm")
+      .orderBy("gram_order", "gram").collect().map(_.toString).toSeq
+    // batch 1: every doc near-dups an admitted resident — zero survivors,
+    // manifest committed, no attrs dir; it becomes the cumulative max
+    IncrAttrTable.ingestBatch(spark, root,
+      df(Seq(doc(10L, (t1.split(" ").dropRight(1) :+ "z").mkString(" ")))),
+      batchId = 1L)
+    IncrAttrTable.compactIndex(spark, root)
+    // batch 2 survives — it must TAG against the frozen LM, not re-seed
+    IncrAttrTable.ingestBatch(spark, root,
+      df(Seq(doc(20L, baseText("c")))), batchId = 2L)
+    val lmNow = spark.read.parquet(s"$root/lm")
+      .orderBy("gram_order", "gram").collect().map(_.toString).toSeq
+    assert(lmNow == lmSeed,
+      "the frozen LM was re-seeded after a zero-survivor batch was folded")
+    // and the maybeCompact form preserves it too (same fold path)
+    IncrAttrTable.ingestBatch(spark, root,
+      df(Seq(doc(30L, (t1.split(" ").dropRight(1) :+ "w").mkString(" ")))),
+      batchId = 3L)
+    IncrAttrTable.compactIndex(spark, root)
+    IncrAttrTable.ingestBatch(spark, root,
+      df(Seq(doc(40L, baseText("d")))), batchId = 4L)
+    assert(spark.read.parquet(s"$root/lm")
+      .orderBy("gram_order", "gram").collect().map(_.toString).toSeq == lmSeed)
+  }
+
+  test("tail pressure: the compaction trigger fires before probe reads degrade") {
+    // every un-compacted append adds one batch dir to the TAIL
+    // (bucket=-2), and residentSlice reads the whole tail on every
+    // probe — the trigger must fold it before the tail dominates reads
+    val root = freshRoot()
+    val idx = s"$root/index"
+    (1 to 34).foreach { k =>
+      IncrAttrTable.appendBatch(spark, root,
+        df(Seq(doc(k.toLong, baseText(s"t$k")))))
+    }
+    import graft.streaming.IndexLayout
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band_idx INT, band_hash INT")
+    def probeFiles(): Int =
+      IndexLayout.residentSlice(spark, idx, "bands", Long.MaxValue,
+        Seq(0), schema).inputFiles.length
+    val beforeFiles = probeFiles()
+    assert(beforeFiles >= 34,
+      s"tail not accruing one slice per append: $beforeFiles files")
+    // 34 tail dirs > the default 32-dir bound — the trigger MUST fire
+    assert(IncrAttrTable.maybeCompactIndex(spark, root),
+      "pressure trigger did not fire past the tail bound")
+    val afterFiles = probeFiles()
+    assert(afterFiles < beforeFiles / 4,
+      s"probe read did not shrink after the fold: $beforeFiles -> $afterFiles")
+    // and below the bound it stays quiet
+    assert(!IncrAttrTable.maybeCompactIndex(spark, root))
   }
 
   test("q142 on a planted dir: selection over the incremental artifact, no documents scan") {

@@ -236,8 +236,8 @@ class IngestSpec extends AnyFunSuite {
     assert(verdicts == Map(50L -> "dup_corpus", 51L -> "dup_corpus"), verdicts.toString)
     // no attrs partition, no index slices for batch 1 — but the batch IS
     // committed: a later batch appends normally (no sweep, no re-seed)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$root/attrs/batch_id=1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${IncrAttrTable.liveRelDir(spark, root, "attrs")}/batch_id=1")))
     val lmBefore = spark.read.parquet(s"$root/lm")
       .orderBy("gram_order", "gram").collect().map(_.toString).toSeq
     IncrAttrTable.ingestBatch(spark, root, df(Seq(doc(60L, baseText("q")))),
