@@ -1771,9 +1771,130 @@ object TextQs {
       ORDER BY d.doc_id"""),
     headline = true)
 
+  /** THE FUSED INGEST LOOP, graded end-to-end — the combined artifact
+    * [[graft.pipeline.IncrAttrTable.ingestBatch]] commits in ONE
+    * transaction per batch: admission verdicts for every arriving doc
+    * (DocStream's statuses and precedence) PLUS the full attribute row
+    * for the `new` survivors, sharing one band probe and one index
+    * write. The corpus arrives in the standard two-batch mid split
+    * ([[graft.pipeline.IncrAttrTable.ensureIngested]]), then compaction
+    * folds the artifact — so the graded read exercises the
+    * doc_id-range-sorted folds too.
+    *
+    * The semantics this pins differ from q83 AND q142 — which is why it
+    * is its own graded row rather than a third consumer of their
+    * oracles:
+    *
+    *   - vs q83 (batch admission): the resident side here is the
+    *     SURVIVOR index, not a pre-existing full corpus — batch 1
+    *     classifies against nothing (dup_batch/new only), batch 2
+    *     against batch 1's ADMITTED docs only. A batch-2 doc whose sole
+    *     J ≥ 0.8 partner was itself dropped in batch 1 is `new` here:
+    *     you cannot duplicate a document the corpus rejected.
+    *   - vs q142 (tag-everything): only survivors get attribute rows
+    *     (`is_dup` false by construction), and the frozen LM seeds from
+    *     batch 1's SURVIVORS, not from all of batch 1 — the oracle's
+    *     seed counts are restricted to the admitted set, exactly the
+    *     composed admission-then-tagging basis.
+    *
+    * Output: one row per document — its admission status, and the
+    * attribute columns (NULL for dropped docs, who never get a row in
+    * the attrs relation). The oracle composes q83's split-status CTEs
+    * (re-based onto the mid split and the survivor-resident rule) with
+    * q142's seed-LM attribute mirror filtered to the admitted set.
+    */
+  val q143 = Q(
+    "q143_fused_ingest",
+    (s, d) => {
+      val root = graft.pipeline.IncrAttrTable.ensureIngested(s, d)
+      val adm = graft.pipeline.IncrAttrTable.admissionsOf(s, root)
+      val attrs = graft.pipeline.IncrAttrTable.attrsOf(s, root)
+        .select("doc_id", "n_tokens", "score", "ppl_q", "fail_mask")
+      adm.join(attrs, Seq("doc_id"), "left")
+        .select("doc_id", "status", "n_tokens", "score", "ppl_q", "fail_mask")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH bnd AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+      sh143 AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      hb1 AS (SELECT * FROM sh143 WHERE doc_id <= (SELECT mid FROM bnd)),
+      hb2 AS (SELECT * FROM sh143 WHERE doc_id > (SELECT mid FROM bnd)),
+      dupb1 AS (
+        SELECT DISTINCT b.doc_id FROM hb1 b JOIN hb1 a ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      s1 AS (SELECT doc_id FROM hb1 WHERE doc_id NOT IN (SELECT doc_id FROM dupb1)),
+      dupc2 AS (
+        SELECT DISTINCT b.doc_id FROM hb2 b
+        JOIN hb1 r ON r.doc_id IN (SELECT doc_id FROM s1)
+        WHERE CAST(len(list_intersect(r.shingles, b.shingles)) AS DOUBLE)
+            / (len(r.shingles) + len(b.shingles) - len(list_intersect(r.shingles, b.shingles))) >= 0.8),
+      dupb2 AS (
+        SELECT DISTINCT b.doc_id FROM hb2 b JOIN hb2 a ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      st143 AS (
+        SELECT d.doc_id,
+          CASE WHEN d.doc_id <= (SELECT mid FROM bnd) THEN
+                 CASE WHEN d.doc_id IN (SELECT doc_id FROM dupb1) THEN 'dup_batch'
+                      ELSE 'new' END
+               ELSE
+                 CASE WHEN d.doc_id IN (SELECT doc_id FROM dupc2) THEN 'dup_corpus'
+                      WHEN d.doc_id IN (SELECT doc_id FROM dupb2) THEN 'dup_batch'
+                      ELSE 'new' END END AS status
+        FROM documents d),
+      $modelScoreSqlCte,
+      c143 AS (${q84.oracle.get}),
+      tri143 AS (
+        SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                               for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS gram
+        FROM t),
+      seedtri AS (
+        SELECT gram, count(*) AS c3 FROM tri143
+        WHERE doc_id IN (SELECT doc_id FROM s1) GROUP BY 1),
+      seedbig AS (
+        SELECT gram, count(*) AS c2 FROM (
+          SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+          FROM t WHERE doc_id IN (SELECT doc_id FROM s1))
+        GROUP BY 1),
+      seedv AS (
+        SELECT count(DISTINCT gram) AS v FROM (
+          SELECT unnest(toks) AS gram FROM t
+          WHERE doc_id IN (SELECT doc_id FROM s1))),
+      nlp143 AS (
+        SELECT q.doc_id, ${lqDuckSql("q.den")} - ${lqDuckSql("q.num")} AS nlp_q
+        FROM (
+          SELECT t0.doc_id,
+            CAST(coalesce(st.c3, 0) + 1 AS BIGINT) AS num,
+            CAST(coalesce(sb.c2, 0) + sv.v AS BIGINT) AS den
+          FROM tri143 t0
+          LEFT JOIN seedtri st USING (gram)
+          LEFT JOIN seedbig sb
+            ON sb.gram = array_to_string(string_split(t0.gram, ' ')[1:2], ' ')
+          CROSS JOIN seedv sv) q),
+      ppl143 AS (
+        SELECT doc_id, CAST(sum(nlp_q) AS BIGINT) // count(*) AS ppl_q
+        FROM nlp143 GROUP BY doc_id)
+      SELECT a.doc_id, a.status,
+        CASE WHEN a.status = 'new' THEN CAST(len(t.toks) AS INT) END AS n_tokens,
+        CASE WHEN a.status = 'new' THEN m.score END AS score,
+        CASE WHEN a.status = 'new' THEN p.ppl_q END AS ppl_q,
+        CASE WHEN a.status = 'new' THEN c.fail_mask END AS fail_mask
+      FROM st143 a
+      JOIN t USING (doc_id)
+      JOIN msc m USING (doc_id)
+      JOIN c143 c USING (doc_id)
+      LEFT JOIN ppl143 p USING (doc_id)
+      ORDER BY a.doc_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136, q137, q138, q140, q142)
+    q133, q135, q136, q137, q138, q140, q142, q143)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
