@@ -453,16 +453,78 @@ object VectorQs {
       val cands = side("a").join(side("b"), Seq("table_idx", "bits"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b").distinct()
-      val ea = maybeBVec(s, d, Tables.embeddings(s, d)
-        .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
-      val eb = maybeBVec(s, d, Tables.embeddings(s, d)
-        .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
-      cands.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
-        .filter(col("cos") >= 0.45)
-        .select("vec_a", "vec_b", "cos")
-        .orderBy("vec_a", "vec_b")
+      srpCosVerify(s, d, cands)
     }
+  }
+
+  /** The SRP family's shared exact-cosine verify over a candidate-pair
+    * relation: broadcast-guarded embedding joins (`maybeBVec`), cos ≥
+    * 0.45, canonical output shape. One definition so the exact-match and
+    * multiprobe candidate generators cannot diverge on the verify. */
+  private def srpCosVerify(s: SparkSession, d: String,
+      cands: DataFrame): DataFrame = {
+    val ea = maybeBVec(s, d, Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("e_a")))
+    val eb = maybeBVec(s, d, Tables.embeddings(s, d)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("e_b")))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", VectorOps.cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** All XOR masks of Hamming weight ≤ `radius` over `bits`-bit codes —
+    * the multiprobe neighborhood (Lv et al. 2007's multi-probe LSH,
+    * specialized to sign-random-projection bands: a near pair's codes
+    * differ in FEW bits, so probing the Hamming ball recovers the pairs
+    * a single exact-bucket lookup loses to one flipped bit). */
+  private[graft] def srpFlipMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 1 && radius <= 2, s"unsupported flip radius $radius")
+    val one = (0 until bits).map(i => 1L << i)
+    val two = if (radius < 2) Seq.empty else
+      for { i <- 0 until bits; j <- (i + 1) until bits } yield (1L << i) | (1L << j)
+    (0L +: one) ++ two
+  }
+
+  /** MULTIPROBE SRP near-dup pairs: the q139 candidate generator with the
+    * exact-bucket equality relaxed to a Hamming ball — the probe side
+    * expands each capped band row into its ≤`flipRadius`-flip code
+    * variants and joins the unexpanded side, so a pair collides in a
+    * table iff its codes there differ in at most `flipRadius` bits. Same
+    * cap, same exact verify, same output shape as [[srpMultiQuery]]'s
+    * join form.
+    *
+    * The trade this buys (SURVEY §2.0.2 measures it at the 100×-density
+    * tier): per-table collision probability rises from p^w to
+    * Σ_{k≤r} C(w,k) p^(w−k) (1−p)^k, so WIDER bands — whose tiny bucket
+    * occupancy makes the join itself cheap but whose exact-match recall
+    * on weak-cosine targets is ~zero — become usable: width prices the
+    * join, the flip radius buys the recall back. The candidate mass
+    * multiplies by at most the probe count (9 at w=8/r=1, 137 at
+    * w=16/r=2) but over buckets ~2^w sparser. */
+  private[graft] def srpMultiProbePairs(s: SparkSession, d: String,
+      bandBits: Int, numMatrices: Int, flipRadius: Int): DataFrame = {
+    val planesL = (0 until numMatrices).map(srpPlanesL)
+    val tag = s"srp_multi_b${bandBits}_L$numMatrices"
+    val bands = graft.Memo.cached(s, d, tag) {
+      VectorOps.srpBandsMulti(Tables.embeddings(s, d), "vec_id", "embedding",
+        planesL, bandBits)
+    }
+    val capped = graft.Memo.cached(s, d, tag + "_capped") {
+      graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
+    }
+    val masks = srpFlipMasks(bandBits, flipRadius)
+    val probe = capped.select(col("vec_id").as("vec_a"), col("table_idx"),
+        col("bits"), explode(lit(masks.toArray)).as("mask"))
+      .select(col("vec_a"), col("table_idx"),
+        col("bits").bitwiseXOR(col("mask")).as("bits"))
+    val cands = probe
+      .join(capped.select(col("vec_id").as("vec_b"), col("table_idx"),
+        col("bits")), Seq("table_idx", "bits"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    srpCosVerify(s, d, cands)
   }
 
   /** The density router's fail-over target: within-cell exact-cosine

@@ -52,6 +52,12 @@ object SrpMultiProbe {
     if (args.length >= 3) {
       if (args.lift(3).contains("routed"))
         routedTier(s, d, args(1), args(2).toInt)
+      else if (args.lift(3).contains("multiprobe"))
+        multiProbeTier(s, d, args(1), args(2).toInt,
+          args.lift(4).getOrElse("16:4:1,16:4:2,16:8:2,16:16:2,8:4:1")
+            .split(",").map { c =>
+              val p = c.trim.split(":"); (p(0).toInt, p(1).toInt, p(2).toInt)
+            }.toSeq)
       else
         recallUnderCap(s, d, args(1), args(2).toInt,
           args.lift(3).getOrElse("1000").split(",").map(_.trim.toInt).toSeq)
@@ -140,6 +146,41 @@ object SrpMultiProbe {
     s.conf.set(graft.queries.VectorQs.SrpMaxCandsKey, Long.MaxValue.toString)
     try pricePass("UNROUTED q139 (bound lifted)")
     finally s.conf.unset(graft.queries.VectorQs.SrpMaxCandsKey)
+  }
+
+  /** MULTIPROBE configurations priced at a replicated tier — the
+    * feasible-point search between the cap's recall truncation and the
+    * full exact-bucket join (SURVEY §2.0.2's row beside the routed /
+    * unrouted points): for each (width, L, flipRadius), wall seconds,
+    * emitted verified pairs, and truth-subset recall. Configs as
+    * `bits:L:radius` CSV. The interesting region is WIDE bands (whose
+    * exact-match recall on weak-cosine targets is ~zero but whose
+    * bucket occupancy is 2^w sparser) with the Hamming-ball probes
+    * buying recall back — flip-1 over the graded 8-bit codes is the
+    * literal ~9×-coverage variant, measured for the record. */
+  private def multiProbeTier(s: org.apache.spark.sql.SparkSession,
+      baseDir: String, replDir: String, factor: Int,
+      configs: Seq[(Int, Int, Int)]): Unit = {
+    ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
+    val truth = truthImages(s, baseDir, factor)
+    val nTruth = truth.count()
+    val nVecs = Tables.embeddings(s, replDir).count()
+    println(s"\ntier: ${factor}x = $nVecs vectors; truth-pair subset: $nTruth")
+    println("| width | L | tables | radius | probes/table | wall | verified pairs | truth found | subset recall |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    configs.foreach { case (bits, l, r) =>
+      val probes = VectorQs.srpFlipMasks(bits, r).size
+      val t0 = System.nanoTime()
+      val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r)
+        .select("vec_a", "vec_b").cache()
+      val nOut = out.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
+      out.unpersist()
+      val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
+      println(f"| $bits-bit | $l | ${l * 64 / bits} | $r | $probes " +
+        f"| $secs%.1f s | $nOut | $nFound | $recall%.3f |")
+    }
   }
 
   /** The graded q139 point measured at a replicated tier, per cap rung:
