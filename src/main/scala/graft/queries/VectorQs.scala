@@ -398,6 +398,20 @@ object VectorQs {
     * recall-starved, which is exactly when weak-cosine dedup belongs to
     * the cell-bounded path (q78/q42's machinery). */
   private[graft] val SrpMaxCandsKey = "spark.graft.srp.maxCandidates"
+
+  /** Conf bound for the router's MULTIPROBE escalation tier: the
+    * expansion-row budget (vectors × tables × probes) the 16-bit flip-2
+    * form may cost before the router falls through to the cell-bounded
+    * path. The expansion stream is the escalated form's dominant cost
+    * (its candidate mass is tiny — 2^16-value buckets), measured ~1 s
+    * per ~1 M expanded rows at the 50 k/200 k tiers (§2.0.2 multiprobe
+    * table), so the 2×10⁹ default bounds the escalated job at roughly
+    * half an hour — a maintenance-window cost, past which (≈450 k+
+    * vectors at the 32-table budget) the cell path is the only
+    * family member left. `spark.graft.srp.escalateMultiprobe=false`
+    * skips the tier entirely. */
+  private[graft] val SrpMaxProbeRowsKey = "spark.graft.srp.maxProbeRows"
+  private[graft] val SrpEscalateKey = "spark.graft.srp.escalateMultiprobe"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
@@ -440,13 +454,43 @@ object VectorQs {
       if (row.isNullAt(0)) 0L else row.getLong(0)
     })
     if (est > bound) {
-      log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
-        s"$SrpMaxCandsKey=$bound for corpus $d — the (bandBits=$bandBits, " +
-        s"L=$numMatrices, cap=1000) configuration is past its measured " +
-        "feasibility point (cost grows with the candidate union while the " +
-        "cap silently truncates recall). Routing to the cell-bounded " +
-        "semantic path; raise the bound to force the SRP join.")
-      cellBoundedPairs(s, d, tau = 0.45)
+      // ESCALATION TIER (round 17, measured at §2.0.2's multiprobe
+      // table): before conceding the density to the recall-poor cell
+      // fallback, try the width+multiprobe point — 16-bit codes at the
+      // SAME table budget (w 8→16 halves tables per matrix, so 2L
+      // matrices keep tables = L·64/8 constant) with flip-2 Hamming-ball
+      // probes buying the recall exact 16-bit matching loses. At the
+      // 200 k-vector tier where the 8-bit join reads 595 s / recall
+      // 0.444 (cap-truncated), this form reads 1 812 s / recall 0.808;
+      // the cell path reads ~1 s / 0.062. The escalated form's cost is
+      // the probe-expansion stream, priced below against its own bound.
+      val tables = numMatrices * 64 / bandBits
+      val escalate = s.conf.getOption(SrpEscalateKey).forall(_.toBoolean)
+      val probeBudget = s.conf.getOption(SrpMaxProbeRowsKey).map(_.toLong)
+        .getOrElse(2000000000L)
+      val probeRows =
+        if (!escalate) Long.MaxValue
+        else Tables.embeddings(s, d).count() * tables * srpFlipMasks(16, 2).size
+      if (escalate && probeRows <= probeBudget) {
+        log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
+          s"$SrpMaxCandsKey=$bound for corpus $d — escalating to the " +
+          s"16-bit flip-2 multiprobe form at the same $tables-table budget " +
+          s"($probeRows expansion rows <= $SrpMaxProbeRowsKey=$probeBudget). " +
+          "Measured trade at 200k vectors: 1812 s / recall 0.808 vs the " +
+          "8-bit join's 595 s / 0.444 (cap-truncated) — set " +
+          s"$SrpEscalateKey=false to route straight to the cell-bounded path.")
+        srpMultiProbePairs(s, d, bandBits = 16,
+          numMatrices = math.max(1, tables * 16 / 64), flipRadius = 2)
+      } else {
+        log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
+          s"$SrpMaxCandsKey=$bound for corpus $d" +
+          (if (escalate) s" and the multiprobe escalation's $probeRows " +
+            s"expansion rows exceed $SrpMaxProbeRowsKey=$probeBudget" else "") +
+          " — the SRP family is past its measured feasibility point at this " +
+          "density. Routing to the cell-bounded semantic path; raise the " +
+          "bounds to force an SRP form.")
+        cellBoundedPairs(s, d, tau = 0.45)
+      }
     } else {
       def side(n: String): DataFrame =
         capped.select(col("vec_id").as(s"vec_$n"), col("table_idx"), col("bits"))
@@ -516,9 +560,9 @@ object VectorQs {
     }
     val masks = srpFlipMasks(bandBits, flipRadius)
     val probe = capped.select(col("vec_id").as("vec_a"), col("table_idx"),
-        col("bits"), explode(lit(masks.toArray)).as("mask"))
+        col("bits"), explode(lit(masks.toArray)).as("flip_mask"))
       .select(col("vec_a"), col("table_idx"),
-        col("bits").bitwiseXOR(col("mask")).as("bits"))
+        col("bits").bitwiseXOR(col("flip_mask")).as("bits"))
     val cands = probe
       .join(capped.select(col("vec_id").as("vec_b"), col("table_idx"),
         col("bits")), Seq("table_idx", "bits"))

@@ -524,33 +524,60 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q139: density router — SRP band join inside the candidate bound, cell-bounded plan past it") {
-    // round 16: the round-15 measurement (100x density: 1.36 G capped
-    // candidates, 595 s, recall truncated 0.857 -> 0.444 with no
-    // in-family escape) moves INTO the operator — srpMultiQuery prices
-    // the candidate union off the capped bands' occupancy and fails
-    // over to the cell-bounded semantic path past
-    // spark.graft.srp.maxCandidates. Both sides pinned by the plan's
-    // projection expression: the SRP form packs sign bits
-    // (vec_srp_bits), the routed form never builds the band relation.
+  test("q139: density router — SRP join in bound, multiprobe escalation past it, cell plan past both") {
+    // round 16 moved the density conclusion into the operator; round 17
+    // adds the measured middle tier: past spark.graft.srp.maxCandidates
+    // the router first tries the 16-bit flip-2 multiprobe form at the
+    // same table budget (recall 0.808 vs the 8-bit join's cap-truncated
+    // 0.444 at 200k vectors), and only past its own expansion-row bound
+    // (spark.graft.srp.maxProbeRows) falls to the cell-bounded path.
+    // The three tiers are pinned by plan shape: the SRP forms pack sign
+    // bits (vec_srp_bits) and the multiprobe form additionally explodes
+    // the flip-mask array; the cell form builds neither.
     def plan(): String =
       Queries.byName("q139_srp_multi_lsh").fn(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the expansion generator's output attribute is the multiprobe
+    // plan's deterministic marker (bare "explode" also appears in the
+    // graded band unpack, and mask literals can collide with plane
+    // double-literal digit runs)
+    val FlipMarker = "flip_mask"
     val inBound = plan()
     assert(inBound.contains("vec_srp_bits"),
       "graded density lost its SRP band join — the router misfired low")
+    assert(!inBound.contains(FlipMarker),
+      "graded density is paying the multiprobe expansion")
     spark.conf.set(graft.queries.VectorQs.SrpMaxCandsKey, "0")
     try {
+      val escalated = plan()
+      assert(escalated.contains("vec_srp_bits"),
+        "escalation tier lost the 16-bit band build — router skipped to cell")
+      assert(escalated.contains(FlipMarker),
+        "escalation tier is not expanding the Hamming ball")
+      // escalated query runs end-to-end with q139's shape
+      val outE = Queries.byName("q139_srp_multi_lsh").fn(spark, sf)
+      assert(outE.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+      outE.collect()
+      // past BOTH bounds: the cell-bounded plan, no band relation at all
+      spark.conf.set(graft.queries.VectorQs.SrpMaxProbeRowsKey, "0")
       val routed = plan()
       assert(!routed.contains("vec_srp_bits"),
-        "past the bound the plan still builds the SRP band relation — the router is dead")
+        "past both bounds the plan still builds an SRP band relation — the cell fallback is dead")
       assert(routed.contains("vec_dot"),
         "routed plan lost the exact-cosine verify")
-      // and the routed query actually runs end-to-end with q139's shape
       val out = Queries.byName("q139_srp_multi_lsh").fn(spark, sf)
       assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
       out.collect()
-    } finally spark.conf.unset(graft.queries.VectorQs.SrpMaxCandsKey)
+      // and the explicit opt-out skips the escalation tier entirely
+      spark.conf.unset(graft.queries.VectorQs.SrpMaxProbeRowsKey)
+      spark.conf.set(graft.queries.VectorQs.SrpEscalateKey, "false")
+      assert(!plan().contains("vec_srp_bits"),
+        "escalateMultiprobe=false still builds an SRP band relation")
+    } finally {
+      spark.conf.unset(graft.queries.VectorQs.SrpMaxCandsKey)
+      spark.conf.unset(graft.queries.VectorQs.SrpMaxProbeRowsKey)
+      spark.conf.unset(graft.queries.VectorQs.SrpEscalateKey)
+    }
   }
 
   test("q19: estimate and verify stay partial-aggregated; emitted plan joins on the group key") {
