@@ -27,5 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
+  // local[N] heartbeats ride the same JVM as the work: a full-GC pause
+  // during a multi-GB expansion join can exceed the 10 s default and
+  // kill the run with RpcTimeoutException — generous bounds cost
+  // nothing in local mode (no real executor liveness to detect)
+  "-Dspark.executor.heartbeatInterval=60s",
+  "-Dspark.network.timeout=600s",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
