@@ -1016,6 +1016,72 @@ object DedupQs {
       WHERE rn = 1 ORDER BY comp"""),
     headline = true)
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * CLUSTER label, not the document, so near-duplicate pairs can never
+    * straddle a split boundary — the eval-contamination bug a per-doc
+    * hash split (q44) structurally cannot prevent (two 0.9-Jaccard
+    * copies hash independently and land train/test ~32% of the time at
+    * 80/10/10). Composition: q39's verified MinHash-LSH pair chain →
+    * connected components labels each duplicated doc with its cluster
+    * representative; singletons (the overwhelming majority) label
+    * themselves via a left join + coalesce, so the label relation the
+    * join carries is only PAIR-sized. q44's portable md5-mod split then
+    * keys on the LABEL, and cluster size rides along so a selector can
+    * audit how much correlated mass each split absorbed.
+    *
+    * Scale shape: components run on the verified pair set (tiny next to
+    * the corpus — LSH-banded, cap-bounded); the label join and the size
+    * aggregate are comp-keyed with map-side partials; the split itself
+    * is a per-row projection. Nothing after the band probe re-touches
+    * `text`.
+    */
+  val q144 = Q(
+    "q144_cluster_split",
+    (s, d) => {
+      val pairs = minhashNearDupPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val comps = DedupOps.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+      val lab = Tables.documents(s, d).select("doc_id")
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val sz = lab.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      lab.join(sz, "comp")
+        .select(col("doc_id"), col("comp"), col("cluster_size"),
+          graft.ops.SampleOps.splitAssign(col("comp"),
+            Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, list_distinct([string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2]
+               for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]) AS shingles
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(id, reach) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach),
+      cc AS (SELECT id AS doc_id, min(reach) AS comp FROM walk GROUP BY id),
+      lab AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS comp
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY comp)
+      SELECT lab.doc_id, lab.comp, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        CASE WHEN CAST(concat('0x', substr(md5(CAST(lab.comp AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(CAST(lab.comp AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM lab JOIN sz ON lab.comp = sz.comp
+      ORDER BY lab.doc_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q35, q36, q37, q38, q39, q57, q69, q83, q106, q114,
-    q122, q128, q130, q134, q141)
+    q122, q128, q130, q134, q141, q144)
 }

@@ -1892,9 +1892,96 @@ object TextQs {
       ORDER BY a.doc_id"""),
     headline = true)
 
+  /** Token-budget selection — the "fill the training budget" step that
+    * turns a scored corpus into a dataset: rank documents by quality and
+    * admit them greedily until a global token budget is exhausted.
+    * Quality here is the distinct-token count (an integer, portable
+    * proxy — any integer score slots into the same key), packed with the
+    * doc id into ONE sortable long (`doc_id - n_types·2³²`: score DESC,
+    * id ASC, total and collision-free for int-range ids) so the global
+    * order is engine-portable. The running token count is the two-level
+    * distributed prefix sum ([[graft.ops.PrefixOps]]) — the naive
+    * `sum() OVER (ORDER BY key)` the oracle runs is a ONE-partition
+    * window at scale — and a document is admitted iff the budget was
+    * not yet spent when its turn came (exclusive prefix < budget), i.e.
+    * exactly the greedy prefix of the ranking survives, never a
+    * mid-document truncation.
+    */
+  val q145 = Q(
+    "q145_token_budget_select",
+    (s, d) => {
+      val Budget = 20000L
+      val toks = TextOps.tokens(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"))
+        .withColumn("rank_key",
+          col("doc_id") - col("n_types") * lit(4294967296L))
+      graft.ops.PrefixOps
+        .withExclusivePrefixSum(scored, "rank_key", "n_tokens", "tokens_before")
+        .filter(col("tokens_before") < Budget)
+        .select("doc_id", "n_types", "n_tokens", "tokens_before")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_types, n_tokens, tokens_before FROM (
+        SELECT doc_id, n_types, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id - n_types * 4294967296
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        FROM (SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents) t) r
+      WHERE tokens_before < 20000 ORDER BY doc_id"""),
+    headline = true)
+
+  /** Overlapping context windows (width 32, stride 24): every document
+    * re-cut into fixed-width token windows with 8 tokens of carried
+    * context — the chunking step for context-window training and
+    * retrieval indexing. Window starts are 0, S, 2S, …; the start count
+    * `1 + ceil(max(n−W,0)/S)` guarantees full coverage (every token is
+    * in ≥1 window), the LAST window may run short (the tail is kept,
+    * never padded or dropped), and a document shorter than one window
+    * emits exactly one. Pure per-row generate: a document's windows
+    * never leave its task (no shuffle but the presentation sort), and
+    * the explode carries (id, window) rows only — `toks` is dropped
+    * before the slice output, so nothing row-multiplies the full text.
+    */
+  val q146 = Q(
+    "q146_context_windows",
+    (s, d) => {
+      val W = 32; val S = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            expr(s"(cast(greatest(size(toks) - $W, 0) as bigint) + ${S - 1}) div $S")))
+            .as("w"))
+        .select(col("doc_id"),
+          col("w").cast("int").as("win_id"),
+          (col("w") * S).cast("int").as("start_pos"),
+          slice(col("toks"), (col("w") * S + 1).cast("int"), lit(W)).as("win"))
+        .select(col("doc_id"), col("win_id"), col("start_pos"),
+          size(col("win")).as("win_tokens"),
+          array_join(col("win"), " ").as("window_text"))
+        .orderBy("doc_id", "win_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      w AS (SELECT doc_id, toks,
+              unnest(range(0, 1 + (greatest(len(toks) - 32, 0) + 23) // 24)) AS win_id
+            FROM t)
+      SELECT doc_id, CAST(win_id AS INT) AS win_id,
+        CAST(win_id * 24 AS INT) AS start_pos,
+        CAST(len(toks[(win_id*24 + 1):(win_id*24 + 32)]) AS INT) AS win_tokens,
+        array_to_string(toks[(win_id*24 + 1):(win_id*24 + 32)], ' ') AS window_text
+      FROM w ORDER BY doc_id, win_id"""),
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136, q137, q138, q140, q142, q143)
+    q133, q135, q136, q137, q138, q140, q142, q143, q145, q146)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with
