@@ -87,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecSrpBits].getName, "vec_srp_bits"),
       (children: Seq[Expression]) => VecSrpBits(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_srp_probe_masks"),
+      new ExpressionInfo(classOf[VecSrpProbeMasks].getName, "vec_srp_probe_masks"),
+      (children: Seq[Expression]) =>
+        VecSrpProbeMasks(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
       new FunctionIdentifier("shingle_hash64"),
       new ExpressionInfo(classOf[ShingleHash64].getName, "shingle_hash64"),
       (children: Seq[Expression]) => ShingleHash64(children(0), children(1))))

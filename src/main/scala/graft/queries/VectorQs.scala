@@ -548,8 +548,36 @@ object VectorQs {
     * multiplies by at most the probe count (9 at w=8/r=1, 137 at
     * w=16/r=2) but over buckets ~2^w sparser. */
   private[graft] def srpMultiProbePairs(s: SparkSession, d: String,
-      bandBits: Int, numMatrices: Int, flipRadius: Int): DataFrame = {
+      bandBits: Int, numMatrices: Int, flipRadius: Int,
+      maxProbes: Int = Int.MaxValue): DataFrame = {
     val planesL = (0 until numMatrices).map(srpPlanesL)
+    if (maxProbes < srpFlipMasks(bandBits, 2).size) {
+      // QUERY-DIRECTED tier (Lv et al. 2007 §4.2): instead of the whole
+      // Hamming ball, each band row carries only its `maxProbes` most
+      // probable flips — ranked per vector by the hyperplane margins of
+      // the flipped bits (graft.expressions.VecSrpProbeMasks), so the
+      // expansion stream (the escalated form's dominant cost) shrinks by
+      // ball/maxProbes while keeping the probes that find near pairs.
+      // The flipRadius arg is subsumed: the neighborhood is weight <= 2
+      // and maxProbes truncates it.
+      val tag = s"srp_multi_b${bandBits}_L${numMatrices}_qd$maxProbes"
+      val probed = graft.Memo.cached(s, d, tag) {
+        VectorOps.srpBandsMultiProbed(Tables.embeddings(s, d), "vec_id",
+          "embedding", planesL, bandBits, maxProbes)
+      }
+      val capped = graft.Memo.cached(s, d, tag + "_capped") {
+        graft.ops.DedupOps.capBuckets(probed, Seq("table_idx", "bits"), 1000)
+      }
+      val probe = capped.select(col("vec_id").as("vec_a"), col("table_idx"),
+          explode(transform(col("probes"), m => col("bits").bitwiseXOR(m)))
+            .as("bits"))
+      val cands = probe
+        .join(capped.select(col("vec_id").as("vec_b"), col("table_idx"),
+          col("bits")), Seq("table_idx", "bits"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      return srpCosVerify(s, d, cands)
+    }
     val tag = s"srp_multi_b${bandBits}_L$numMatrices"
     val bands = graft.Memo.cached(s, d, tag) {
       VectorOps.srpBandsMulti(Tables.embeddings(s, d), "vec_id", "embedding",

@@ -56,7 +56,9 @@ object SrpMultiProbe {
         multiProbeTier(s, d, args(1), args(2).toInt,
           args.lift(4).getOrElse("16:4:1,16:4:2,16:8:2,16:16:2,8:4:1")
             .split(",").map { c =>
-              val p = c.trim.split(":"); (p(0).toInt, p(1).toInt, p(2).toInt)
+              val p = c.trim.split(":")
+              (p(0).toInt, p(1).toInt, p(2).toInt,
+                p.lift(3).map(_.toInt).getOrElse(Int.MaxValue))
             }.toSeq)
       else
         recallUnderCap(s, d, args(1), args(2).toInt,
@@ -160,7 +162,7 @@ object SrpMultiProbe {
     * literal ~9×-coverage variant, measured for the record. */
   private def multiProbeTier(s: org.apache.spark.sql.SparkSession,
       baseDir: String, replDir: String, factor: Int,
-      configs: Seq[(Int, Int, Int)]): Unit = {
+      configs: Seq[(Int, Int, Int, Int)]): Unit = {
     ScaleEvidence.generateEmbeddings(s, baseDir, replDir, factor)
     val truth = truthImages(s, baseDir, factor)
     val nTruth = truth.count()
@@ -168,17 +170,19 @@ object SrpMultiProbe {
     println(s"\ntier: ${factor}x = $nVecs vectors; truth-pair subset: $nTruth")
     println("| width | L | tables | radius | probes/table | wall | verified pairs | truth found | subset recall |")
     println("|---|---|---|---|---|---|---|---|---|")
-    configs.foreach { case (bits, l, r) =>
-      val probes = VectorQs.srpFlipMasks(bits, r).size
+    configs.foreach { case (bits, l, r, maxProbes) =>
+      val ball = VectorQs.srpFlipMasks(bits, r).size
+      val probes = math.min(maxProbes, ball)
+      val label = if (maxProbes < ball) s"$r (qd)" else s"$r"
       val t0 = System.nanoTime()
-      val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r)
+      val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r, maxProbes)
         .select("vec_a", "vec_b").cache()
       val nOut = out.count()
       val secs = (System.nanoTime() - t0) / 1e9
       val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
       out.unpersist()
       val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
-      println(f"| $bits-bit | $l | ${l * 64 / bits} | $r | $probes " +
+      println(f"| $bits-bit | $l | ${l * 64 / bits} | $label | $probes " +
         f"| $secs%.1f s | $nOut | $nFound | $recall%.3f |")
     }
   }
