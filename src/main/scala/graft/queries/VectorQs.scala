@@ -400,18 +400,26 @@ object VectorQs {
   private[graft] val SrpMaxCandsKey = "spark.graft.srp.maxCandidates"
 
   /** Conf bound for the router's MULTIPROBE escalation tier: the
-    * expansion-row budget (vectors × tables × probes) the 16-bit flip-2
-    * form may cost before the router falls through to the cell-bounded
-    * path. The expansion stream is the escalated form's dominant cost
-    * (its candidate mass is tiny — 2^16-value buckets), measured ~1 s
-    * per ~1 M expanded rows at the 50 k/200 k tiers (§2.0.2 multiprobe
-    * table), so the 2×10⁹ default bounds the escalated job at roughly
-    * half an hour — a maintenance-window cost, past which (≈450 k+
-    * vectors at the 32-table budget) the cell path is the only
-    * family member left. `spark.graft.srp.escalateMultiprobe=false`
-    * skips the tier entirely. */
+    * expansion-row budget (vectors × tables × probes) the 16-bit
+    * query-directed form may cost before the router falls through to
+    * the cell-bounded path. The expansion stream is the escalated
+    * form's dominant cost (its candidate mass is tiny — 2^16-value
+    * buckets), measured ~0.8 s per ~1 M expanded rows at the 50 k/200 k
+    * tiers (§2.0.2 multiprobe tables), so the 2×10⁹ default bounds the
+    * escalated job at roughly half an hour — a maintenance-window cost,
+    * past which (≈490 k+ vectors at the doubled 64-table/T=64 budget)
+    * the cell path is the only family member left.
+    * `spark.graft.srp.escalateMultiprobe=false` skips the tier
+    * entirely. */
   private[graft] val SrpMaxProbeRowsKey = "spark.graft.srp.maxProbeRows"
   private[graft] val SrpEscalateKey = "spark.graft.srp.escalateMultiprobe"
+
+  /** Probes per band row for the escalation tier's QUERY-DIRECTED
+    * multiprobe (margin-ranked prefix of the weight-≤2 neighborhood;
+    * ≥ the 137-mask ball = the full flip-2 form). Default 64 — the
+    * measured 200 k point (662 s / recall 0.904 at twice the query's
+    * table budget, vs the full ball's 1 812 s / 0.808 at 1×). */
+  private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
@@ -464,23 +472,39 @@ object VectorQs {
       // 0.444 (cap-truncated), this form reads 1 812 s / recall 0.808;
       // the cell path reads ~1 s / 0.062. The escalated form's cost is
       // the probe-expansion stream, priced below against its own bound.
+      // The escalated form (round 17, re-measured after the
+      // query-directed tier landed): 16-bit codes at TWICE the query's
+      // table budget with T=64 margin-ranked probes per band. At the
+      // 200k-vector cliff it reads 662 s / recall 0.904 where the full
+      // flip-2 ball at the SAME table budget reads 1 812 s / 0.808 —
+      // and it costs FEWER expansion rows (vectors·2tables·64 vs
+      // vectors·tables·137), so it dominates the round-17 full-ball
+      // escalation on wall, probe rows, and recall simultaneously.
+      // spark.graft.srp.qdProbes tunes T (>= the 137-mask ball = the
+      // full flip-2 form).
       val tables = numMatrices * 64 / bandBits
       val escalate = s.conf.getOption(SrpEscalateKey).forall(_.toBoolean)
       val probeBudget = s.conf.getOption(SrpMaxProbeRowsKey).map(_.toLong)
         .getOrElse(2000000000L)
+      val qdProbes = s.conf.getOption(SrpQdProbesKey).map(_.toInt).getOrElse(64)
+      val escTables = 2 * tables
+      val perRow = math.min(qdProbes, srpFlipMasks(16, 2).size)
       val probeRows =
         if (!escalate) Long.MaxValue
-        else Tables.embeddings(s, d).count() * tables * srpFlipMasks(16, 2).size
+        else Tables.embeddings(s, d).count() * escTables * perRow
       if (escalate && probeRows <= probeBudget) {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d — escalating to the " +
-          s"16-bit flip-2 multiprobe form at the same $tables-table budget " +
-          s"($probeRows expansion rows <= $SrpMaxProbeRowsKey=$probeBudget). " +
-          "Measured trade at 200k vectors: 1812 s / recall 0.808 vs the " +
-          "8-bit join's 595 s / 0.444 (cap-truncated) — set " +
-          s"$SrpEscalateKey=false to route straight to the cell-bounded path.")
+          s"16-bit query-directed multiprobe form ($escTables tables, " +
+          s"T=$perRow margin-ranked probes; $probeRows expansion rows <= " +
+          s"$SrpMaxProbeRowsKey=$probeBudget). Measured trade at 200k " +
+          "vectors: 662 s / recall 0.904 vs the 8-bit join's 595 s / " +
+          "0.444 (cap-truncated) and the full flip-2 ball's 1812 s / " +
+          s"0.808 — set $SrpEscalateKey=false to route straight to the " +
+          "cell-bounded path.")
         srpMultiProbePairs(s, d, bandBits = 16,
-          numMatrices = math.max(1, tables * 16 / 64), flipRadius = 2)
+          numMatrices = math.max(1, escTables * 16 / 64), flipRadius = 2,
+          maxProbes = perRow)
       } else {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d" +
@@ -1249,6 +1273,77 @@ object VectorQs {
       ORDER BY cell"""),
     headline = true)
 
+  /** Greedy k-center coreset (Gonzalez farthest-point traversal): K=8
+    * maximally-spread representatives of the embedding corpus — the
+    * diversity-selection step of data pruning (pick exemplars that COVER
+    * the space, where q59's k-means picks density centers) and the
+    * classic 2-approximation to the k-center cover. Deterministic and
+    * hash-graded end to end: the traversal seeds at the smallest vec_id,
+    * each round picks the point with the LARGEST distance to its nearest
+    * chosen center (ties to the smallest id), and every distance is the
+    * engine-portable d² = ‖a‖² + ‖b‖² − 2·a·b on [[VectorOps.dotD]]'s
+    * sequential fold — the identical IEEE op tree in the DuckDB mirror's
+    * 8 unrolled round CTEs.
+    *
+    * Shape at scale: the distributed Gonzalez — the chosen set is K
+    * plan literals (broadcast by construction), each round is ONE narrow
+    * scan of the cached (id, vec, ‖·‖²) relation + a TakeOrdered(1)
+    * reduce; K scans total, nothing corpus-sized shuffles, and the
+    * driver holds exactly K vectors.
+    */
+  val q147 = Q(
+    "q147_kcenter_coreset",
+    (s, d) => {
+      val K = 8
+      val emb = graft.Memo.cached(s, d, "kcenter_sq") {
+        corpus(s, d).withColumn("sq", VectorOps.sqNormD(col("vec")))
+      }
+      val first = emb.orderBy("id").limit(1).select("id", "vec").head()
+      var chosen = Vector[(Int, Long, Option[Double])](
+        (1, first.getLong(0), None))
+      var centerVecs = Vector[Seq[Float]](first.getSeq[Float](1).toSeq)
+      while (chosen.size < K) {
+        val dists = centerVecs.map { c =>
+          val cl = typedlit(c)
+          col("sq") + VectorOps.dotD(cl, cl) - lit(2.0) * VectorOps.dotD(col("vec"), cl)
+        }
+        val minD = if (dists.size == 1) dists.head else least(dists: _*)
+        val next = emb.select(col("id"), col("vec"), minD.as("dmin"))
+          .orderBy(col("dmin").desc, col("id"))
+          .limit(1).head()
+        chosen :+= ((chosen.size + 1, next.getLong(0), Some(next.getDouble(2))))
+        centerVecs :+= next.getSeq[Float](1).toSeq
+      }
+      import s.implicits._
+      chosen.map { case (r, id, dd) => (r, id, dd) }
+        .toDF("rk", "vec_id", "dist2")
+        .orderBy("rk")
+    },
+    Some {
+      val d2 = (v: String, c: String) =>
+        s"($v.sq + $c.sq - 2 * ${dotSql(s"$v.embedding", s"$c.embedding")})"
+      val rounds = (2 to 8).map { r =>
+        val prev = if (r == 2) s"(SELECT s.vec_id, s.embedding, s.sq, ${d2("s", "c")} AS d FROM sq s CROSS JOIN c1 c)"
+          else s"m${r - 1}"
+        s"""m$r AS (SELECT m.vec_id, m.embedding, m.sq,
+             ${if (r == 2) "m.d" else s"least(m.d, ${d2("m", s"c${r - 1}")})"} AS d
+           FROM ${if (r == 2) s"$prev m" else s"$prev m CROSS JOIN c${r - 1} c${r - 1}"}),
+         c$r AS (SELECT vec_id, embedding, sq, d FROM m$r ORDER BY d DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n")
+      val selects = (2 to 8).map(r =>
+        s"SELECT $r AS rk, vec_id, d AS dist2 FROM c$r").mkString("\n      UNION ALL ")
+      s"""
+      WITH sq AS (SELECT vec_id, embedding,
+             ${dotSql("embedding", "embedding")} AS sq FROM embeddings),
+      c1 AS (SELECT vec_id, embedding, sq FROM sq ORDER BY vec_id LIMIT 1),
+      $rounds
+      SELECT CAST(rk AS INT) AS rk, vec_id, dist2 FROM (
+        SELECT 1 AS rk, vec_id, CAST(NULL AS DOUBLE) AS dist2 FROM c1
+        UNION ALL $selects) t
+      ORDER BY rk"""
+    },
+    headline = true)
+
   val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115, q118, q119,
-    q139)
+    q139, q147)
 }

@@ -118,6 +118,40 @@ class SelectionSpec extends AnyFunSuite {
     }
   }
 
+  // --- q147: greedy k-center (Gonzalez) ---------------------------------
+
+  test("q147: traversal matches an in-Scala Gonzalez reference; selection distances never grow") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val sq = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    var chosen = Vector(vecs.head._1)
+    var expect = Vector[(Int, Long, Option[Double])]((1, vecs.head._1, None))
+    while (chosen.size < 8) {
+      val (bestId, bestD) = vecs.map { case (id, v) =>
+        val d = chosen.map(c => (sq(id) + sq(c)) - 2.0 * dot(v, byId(c))).min
+        (id, d)
+      }.maxBy { case (id, d) => (d, -id) }
+      chosen :+= bestId
+      expect :+= ((chosen.size, bestId, Some(bestD)))
+    }
+    val got = Queries.byName("q147_kcenter_coreset").fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toVector == expect, "traversal diverged from the reference")
+    // farthest-point property: the selection distance is non-increasing
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a },
+      "selection distances must be non-increasing")
+    assert(got.map(_._2).distinct.length == 8, "centers must be distinct")
+  }
+
   test("q146: boundary lengths (1, W-1, W, W+1, W+S, W+S+1 tokens) emit the right cuts") {
     val W = 32; val S = 24
     val dir = java.nio.file.Files.createTempDirectory("q146edge").toString
