@@ -537,23 +537,26 @@ class PlanSpec extends AnyFunSuite {
     def plan(): String =
       Queries.byName("q139_srp_multi_lsh").fn(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.SimpleMode)
-    // the expansion generator's output attribute is the multiprobe
-    // plan's deterministic marker (bare "explode" also appears in the
-    // graded band unpack, and mask literals can collide with plane
-    // double-literal digit runs)
+    // the query-directed probe expression is the escalated plan's
+    // deterministic marker (bare "explode" also appears in the graded
+    // band unpack, and mask literals can collide with plane
+    // double-literal digit runs); the full-ball form's marker is its
+    // flip_mask expansion attribute — the escalation must show the
+    // directed form, not the ball
+    val QdMarker = "vec_srp_probe_masks"
     val FlipMarker = "flip_mask"
     val inBound = plan()
     assert(inBound.contains("vec_srp_bits"),
       "graded density lost its SRP band join — the router misfired low")
-    assert(!inBound.contains(FlipMarker),
+    assert(!inBound.contains(QdMarker) && !inBound.contains(FlipMarker),
       "graded density is paying the multiprobe expansion")
     spark.conf.set(graft.queries.VectorQs.SrpMaxCandsKey, "0")
     try {
       val escalated = plan()
-      assert(escalated.contains("vec_srp_bits"),
-        "escalation tier lost the 16-bit band build — router skipped to cell")
-      assert(escalated.contains(FlipMarker),
-        "escalation tier is not expanding the Hamming ball")
+      assert(escalated.contains(QdMarker),
+        "escalation tier is not ranking query-directed probes")
+      assert(!escalated.contains(FlipMarker),
+        "escalation tier fell back to the full Hamming ball")
       // escalated query runs end-to-end with q139's shape
       val outE = Queries.byName("q139_srp_multi_lsh").fn(spark, sf)
       assert(outE.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
