@@ -146,7 +146,16 @@ object ScaleEvidence {
     // pays the two append jobs (memoized), timed runs price the
     // selection scan, q138's class; the [append-100] variant below
     // prices the per-shard append itself
-    "q142_incremental_attrs")
+    "q142_incremental_attrs",
+    // round 17: the dataset-assembly trio. q144 — within-copy near-dup
+    // structure is preserved under the salt (q39's class), so clusters
+    // grow 10x in count at unchanged size and the comp-keyed label/size
+    // join grows linearly; q145 — the token BUDGET is fixed while the
+    // corpus grows, the production posture (a 10x corpus competes for
+    // the same budget): the scored scan and the two-level prefix sum
+    // grow 10x, the kept set shrinks relatively; q146 — pure per-row
+    // generate, q82's scan class at ~2.4 output rows per doc
+    "q144_cluster_split", "q145_token_budget_select", "q146_context_windows")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
