@@ -334,6 +334,11 @@ object ScaleEvidence {
       Queries.byName("q41_cosine_topk").fn(s, d)),
     "q43_embedding_near_dup" -> ((s: SparkSession, d: String) =>
       Queries.byName("q43_embedding_near_dup").fn(s, d)),
+    // round 17: k-center runs as-is — K=8 is FIXED, the seed (min
+    // vec_id) lives in copy 0, and each round is one scan + TakeOrdered
+    // over the replicated corpus: the claim is K linear scans
+    "q147_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Queries.byName("q147_kcenter_coreset").fn(s, d)),
     "q42_ann_ivf [fixed-k]" -> ((s: SparkSession, d: String) =>
       graft.queries.VectorQs.ivfQuery(s, d, idCap = CopyShift)),
     "q59_kmeans_lloyd [fixed-k]" -> ((s: SparkSession, d: String) =>

@@ -269,6 +269,33 @@ class PlanSpec extends AnyFunSuite {
       "intra-bucket cumsum lost its bucket partitioning — corpus would single-partition")
   }
 
+  test("q144: split is projection-cheap — no cartesian, size join keyed, md5 in-plan") {
+    val p = plan("q144_cluster_split")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cluster-split join fell back to an unkeyed pairing")
+    assert(p.contains("md5("), "portable split hash not computed in-plan")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "cluster sizes lost their map-side partials")
+  }
+
+  test("q145: the budget cumsum is bucket-partitioned — no corpus-wide single partition") {
+    val p = plan("q145_token_budget_select")
+    assert(p.contains("windowspecdefinition(__bucket"),
+      "intra-bucket cumsum lost its bucket partitioning — corpus would single-partition")
+  }
+
+  test("q146: window cut is a per-row generate over a pruned two-column scan") {
+    val p = plan("q146_context_windows")
+    assert(p.contains("Generate") && p.contains("explode(sequence("),
+      "window starts not generated in-plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads more than (doc_id, text) — column pruning lost")
+    // the only exchange is the presentation sort: windows never leave
+    // their document's task
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      "window cut shuffles beyond the presentation sort")
+  }
+
   test("q105: grid explodes from sequence, join stays keyed") {
     val p = plan("q105_gap_fill")
     assert(p.contains("sequence("), "hour grid not generated in-plan")
