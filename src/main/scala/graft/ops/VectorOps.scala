@@ -406,9 +406,13 @@ object VectorOps {
     * ([[graft.expressions.VecSrpProbeMasks]]): each (id, table_idx, bits)
     * row carries the `maxProbes` most-probable flip masks from its band's
     * weight-≤2 neighborhood, ranked by the vector's own hyperplane
-    * margins. One fused projection computes both the packed signature and
-    * the ranked masks per matrix (the 64 dots are shared work in the same
-    * stage), so the band relation stays one corpus scan.
+    * margins. Both expressions run in ONE projection over one corpus
+    * scan; the 64 per-matrix dots are computed twice (once for the sign
+    * pack, once for the margins) — a deliberate trade: a fused
+    * bits+masks expression would halve per-row arithmetic that is <2%
+    * of the escalated join's wall (the expansion stream dominates,
+    * §2.0.2), at the cost of a struct-returning expression neither
+    * consumer wants whole.
     */
   def srpBandsMultiProbed(emb: DataFrame, idCol: String, vecCol: String,
       planesL: Seq[Seq[Seq[Float]]], bandBits: Int, maxProbes: Int): DataFrame = {

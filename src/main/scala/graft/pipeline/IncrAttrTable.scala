@@ -151,9 +151,43 @@ object IncrAttrTable {
   /** Root of `rel`'s live generation — every read and every per-batch
     * write resolves through this (never the bare `root/rel` tree, which
     * may briefly hold a half-written next generation or a
-    * not-yet-GC'd previous one). */
-  private[graft] def liveRelDir(s: SparkSession, root: String, rel: String): String =
-    s"$root/$rel/gen=${relGen(s, root, rel)}"
+    * not-yet-GC'd previous one). Artifacts written BEFORE the
+    * generational layout (flat `root/rel/batch_id=N` dirs, no `_gen`
+    * pointer) are migrated in place on first touch — without this, a
+    * long-lived ingest dir upgraded across the layout change would
+    * silently hide every committed row (reads resolve to a gen=0 dir
+    * that does not exist) and the LM-seed check would re-seed the
+    * frozen LM against a different basis. */
+  private[graft] def liveRelDir(s: SparkSession, root: String, rel: String): String = {
+    val g = relGen(s, root, rel)
+    if (g == 0L) migrateLegacyFlat(s, s"$root/$rel")
+    s"$root/$rel/gen=$g"
+  }
+
+  /** One-time legacy-layout migration: move flat `batch_id=N` dirs under
+    * `gen=0`. Idempotent (a second pass finds none), driver-side renames
+    * only, and memoized per (session, rel dir) so the steady-state
+    * gen-0 path (every fresh artifact before its first compaction) pays
+    * ONE listing per session, not one per read. */
+  private val legacyChecked =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+  private def migrateLegacyFlat(s: SparkSession, dir: String): Unit =
+    legacyChecked.computeIfAbsent((s, dir), { _ =>
+      val hc = hconf(s)
+      val flat = Fs.list(dir, hc).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+      if (flat.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hc)
+        val gen0 = new org.apache.hadoop.fs.Path(s"$dir/gen=0")
+        fs.mkdirs(gen0)
+        flat.foreach { st =>
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(gen0, st.getPath.getName))
+        }
+        log.warn(s"migrated ${flat.size} pre-generational batch dirs under $dir/gen=0")
+      }
+      java.lang.Boolean.TRUE
+    })
 
   // the CANONICAL bucket conventions ([[IndexLayout.bucketExpr]]) — one
   // layout, two ingestion modes, and the re-bucketing compaction must
@@ -199,14 +233,19 @@ object IncrAttrTable {
     }
   }
 
-  /** The folded manifest [[compactIndex]] writes: (max folded batch id,
-    * max folded doc_id). A third field records whether the frozen LM had
-    * been seeded by fold time — see [[cumulativeLmSeeded]]. */
-  private def cumulativeMeta(s: SparkSession, root: String): Option[(Long, Long)] =
+  /** The folded manifest [[compactIndex]] writes, parsed ONCE: max
+    * folded batch id, max folded doc_id, and (third field, absent on
+    * pre-flag files) whether the frozen LM had been seeded by fold
+    * time. One parser so the two consumers cannot drift on the format. */
+  private case class Cumulative(maxBatch: Long, maxDoc: Long, lmSeeded: Boolean)
+  private def cumulative(s: SparkSession, root: String): Option[Cumulative] =
     Fs.readBytes(s"${metaDir(root)}/_cumulative", hconf(s)).map { b =>
       val parts = new String(b, "UTF-8").trim.split("\\s+")
-      (parts(0).toLong, parts(1).toLong)
+      Cumulative(parts(0).toLong, parts(1).toLong, parts.lift(2).contains("1"))
     }
+
+  private def cumulativeMeta(s: SparkSession, root: String): Option[(Long, Long)] =
+    cumulative(s, root).map(c => (c.maxBatch, c.maxDoc))
 
   /** Whether the folded manifest records the frozen LM as seeded. The
     * flag exists because compaction destroys the evidence the live
@@ -219,9 +258,7 @@ object IncrAttrTable {
     * re-seed the frozen LM on the next surviving batch (scoring every
     * later shard against a different basis than the committed rows). */
   private def cumulativeLmSeeded(s: SparkSession, root: String): Boolean =
-    Fs.readBytes(s"${metaDir(root)}/_cumulative", hconf(s)).exists { b =>
-      new String(b, "UTF-8").trim.split("\\s+").lift(2).contains("1")
-    }
+    cumulative(s, root).exists(_.lmSeeded)
 
   /** Crash-residue sweep (content-independent heal): every append
     * records its batch id in `_batchmeta/_inflight` before writing and
@@ -338,9 +375,18 @@ object IncrAttrTable {
     // the replay is a NO-OP instead: the committed state already holds
     // exactly this batch's effects, which is what replay convergence
     // means.
+    // The no-op rests on the MONOTONE-ID contract (ids are assigned in
+    // delivery order and never reused — the same contract the manifest
+    // require enforces pre-fold). An operator who resets a stream's
+    // checkpoint AND re-numbers genuinely new batches from 0 against a
+    // folded artifact would have those batches skipped here — hence
+    // WARN, not info: the message is the loud trace such a
+    // contract-violating restart leaves.
     if (cumulativeMeta(s, root).exists { case (mb, _) => eff <= mb }) {
-      log.info(s"batch $eff re-delivered at or below the compaction-folded " +
-        "boundary — already committed, skipping (replay no-op)")
+      log.warn(s"batch $eff re-delivered at or below the compaction-folded " +
+        "boundary — treating as a committed replay and skipping (no-op). " +
+        "If this batch is NEW data under a re-numbered stream, the " +
+        "monotone-id contract was violated: resume ids above the folded max.")
       return None
     }
     val span = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -491,8 +537,9 @@ object IncrAttrTable {
           // attrs slice, and (for the crash window where manifests fold
           // before attrs do) any attrs dir at or below the folded max —
           // a batch id can only have an attrs dir if it committed one.
-          val cumMax = cumulativeMeta(s, root).map(_._1).getOrElse(Long.MinValue)
-          val tagged = cumulativeLmSeeded(s, root) ||
+          val cum = cumulative(s, root)
+          val cumMax = cum.map(_.maxBatch).getOrElse(Long.MinValue)
+          val tagged = cum.exists(_.lmSeeded) ||
             Fs.list(liveRelDir(s, root, "attrs"), hconf(s)).exists { st =>
               val n = st.getPath.getName
               n == "batch_id=-1" || (n.startsWith("batch_id=") &&

@@ -422,6 +422,12 @@ object VectorQs {
   private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  /** Memoized corpus cardinality for the escalation gate's probe-row
+    * pricing — without it every escalated call pays a full embeddings
+    * count scan, in exactly the large-corpus regime the tier exists
+    * for. Per-(session, corpus) bounded, like [[srpCandEst]]. */
+  private val embCount =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
 
   /** q139's body with width and table count as parameters — the graded
@@ -491,7 +497,8 @@ object VectorQs {
       val perRow = math.min(qdProbes, srpFlipMasks(16, 2).size)
       val probeRows =
         if (!escalate) Long.MaxValue
-        else Tables.embeddings(s, d).count() * escTables * perRow
+        else embCount.computeIfAbsent((s, d),
+          _ => Tables.embeddings(s, d).count()) * escTables * perRow
       if (escalate && probeRows <= probeBudget) {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d — escalating to the " +

@@ -453,7 +453,11 @@ object ScaleEvidence {
         .withColumn("doc_id",
           col("doc_id") + lit(10000000000L + seq * 1000000L))
       graft.pipeline.IncrAttrTable.appendBatch(s, root, batch)
-      s.read.parquet(s"$root/attrs")
+      // through the live-generation resolver, never the bare tree: a
+      // crash between pointer swap and GC briefly leaves two
+      // generations under root/attrs, and the bare read would union
+      // (double-count) them
+      graft.pipeline.IncrAttrTable.attrsOf(s, root)
         .filter(col("doc_id") >= 10000000000L + seq * 1000000L)
     }))
 

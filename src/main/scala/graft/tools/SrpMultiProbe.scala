@@ -171,9 +171,14 @@ object SrpMultiProbe {
     println("| width | L | tables | radius | probes/table | wall | verified pairs | truth found | subset recall |")
     println("|---|---|---|---|---|---|---|---|---|")
     configs.foreach { case (bits, l, r, maxProbes) =>
-      val ball = VectorQs.srpFlipMasks(bits, r).size
-      val probes = math.min(maxProbes, ball)
-      val label = if (maxProbes < ball) s"$r (qd)" else s"$r"
+      // the qd path (maxProbes below the radius-2 ball) ALWAYS draws
+      // from the weight-<=2 neighborhood regardless of the config's r —
+      // label it as such so a radius-1 config with an explicit T cannot
+      // print a row describing a form that did not run
+      val ball2 = VectorQs.srpFlipMasks(bits, 2).size
+      val qd = maxProbes < ball2
+      val probes = if (qd) maxProbes else VectorQs.srpFlipMasks(bits, r).size
+      val label = if (qd) "2 (qd)" else s"$r"
       val t0 = System.nanoTime()
       val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r, maxProbes)
         .select("vec_a", "vec_b").cache()
