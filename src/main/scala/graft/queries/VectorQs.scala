@@ -1351,6 +1351,63 @@ object VectorQs {
     },
     headline = true)
 
+  /** The QUERY-DIRECTED probe ranking itself, oracle-graded: for every
+    * vector, the 8 most-probable flip masks of band 0's weight-≤2
+    * neighborhood ([[graft.expressions.VecSrpProbeMasks]]) — the novel
+    * mechanism of the multiprobe escalation tier, hash-matched against a
+    * DuckDB mirror that enumerates the same 137-mask neighborhood in
+    * SQL, computes the same 16 hyperplane margins (|sequential-fold
+    * dot|, q43's plane-literal convention), and ranks by the identical
+    * (Σ|margin| asc, mask asc) key. Deterministic because every
+    * arithmetic step is the same IEEE op tree in both engines; ties
+    * break on the mask value. Scale shape: one narrow corpus scan, one
+    * per-row expression, no shuffle but the presentation sort.
+    */
+  val q148 = Q(
+    "q148_qd_probe_ranks",
+    (s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(element_at(
+            call_function("vec_srp_probe_masks", col("embedding"),
+              typedlit(srpPlanesL(0)), lit(16), lit(8)), 1))
+            .as(Seq("pos0", "mask")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("int").as("rk"), col("mask"))
+        .orderBy("vec_id", "rk")
+    },
+    Some {
+      // band 0 of matrix 0 = the first 16 planes, inlined exact-decimal
+      val pl16 = srpPlanesL(0).take(16).map(row =>
+        row.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""
+      WITH pl AS (SELECT $pl16 AS p),
+      marg AS (
+        SELECT e.vec_id,
+          [abs(list_sum([CAST(e.embedding[k] AS DOUBLE) * pl.p[q][k]
+             for k in range(1, 65)])) for q in range(1, 17)] AS m
+        FROM embeddings e CROSS JOIN pl),
+      masks AS (
+        SELECT CAST(0 AS BIGINT) AS mask, -1 AS i, -1 AS j
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) << i, CAST(i AS INT), -1 FROM range(16) t(i)
+        UNION ALL
+        SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j),
+               CAST(i AS INT), CAST(j AS INT)
+        FROM range(16) a(i), range(16) b(j) WHERE j > i),
+      scored AS (
+        SELECT marg.vec_id, masks.mask,
+          (CASE WHEN masks.i >= 0 THEN marg.m[masks.i + 1] ELSE 0.0 END) +
+          (CASE WHEN masks.j >= 0 THEN marg.m[masks.j + 1] ELSE 0.0 END) AS score
+        FROM marg CROSS JOIN masks)
+      SELECT vec_id, CAST(rk AS INT) AS rk, mask FROM (
+        SELECT vec_id, mask,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score, mask) AS rk
+        FROM scored) t
+      WHERE rk <= 8 ORDER BY vec_id, rk"""
+    },
+    headline = true)
+
   val defs: Seq[Q] = Seq(q41, q42, q43, q59, q66, q78, q85, q91, q115, q118, q119,
-    q139, q147)
+    q139, q147, q148)
 }
