@@ -65,6 +65,22 @@ class VecProbeSpec extends AnyFunSuite {
     bands.foreach(_.foreach(m =>
       assert(java.lang.Long.bitCount(m) <= 2, s"mask $m outside the weight-2 neighborhood")))
 
+  test("the router's escalation tier IS the qd form: routed output == direct srpMultiProbePairs") {
+    // force escalation (candidate bound 0) and pin that the routed
+    // answer equals the directly-invoked 16-bit qd form at the doubled
+    // table budget — the wiring identity PlanSpec's shape pin can't see
+    val direct = VectorQs.srpMultiProbePairs(spark, sf, bandBits = W,
+        numMatrices = 16, flipRadius = 2, maxProbes = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set(VectorQs.SrpMaxCandsKey, "0")
+    try {
+      val routed = Queries.byName("q139_srp_multi_lsh").fn(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(routed == direct,
+        "escalated router output diverged from the direct query-directed form")
+    } finally spark.conf.unset(VectorQs.SrpMaxCandsKey)
+  }
+
   test("query-directed candidates nest: exact bucket ⊆ T=16 ⊆ full flip-2, recall monotone") {
     def pairs(maxProbes: Int): Set[(Long, Long)] =
       VectorQs.srpMultiProbePairs(spark, sf, bandBits = W, numMatrices = 4,
