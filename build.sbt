@@ -33,5 +33,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // nothing in local mode (no real executor liveness to detect)
   "-Dspark.executor.heartbeatInterval=60s",
   "-Dspark.network.timeout=600s",
+  // G1 + 32 task threads running lz4/parquet JNI (GetPrimitiveArrayCritical
+  // pins the heap via the GCLocker) starve allocation retries at the
+  // JDK-17 default of 2 — multi-GB spill jobs then throw OOM with
+  // gigabytes reclaimable ("Retried waiting for GCLocker too often",
+  // observed round 18 on the SRP expansion join at the 8g default heap).
+  // A generous retry count lets the allocation wait out the critical
+  // sections instead of dying; it costs nothing when the locker is idle.
+  // (Diagnostic flag on JDK 17, hence the unlock.)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

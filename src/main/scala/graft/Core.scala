@@ -36,6 +36,36 @@ object Tables {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // Tungsten's default on-heap execution pages reach 64 MB; on a
+      // local[32] JVM with G1's 4 MB regions (the ≤8 GiB-heap default)
+      // every such page is a HUMONGOUS allocation of 16 contiguous
+      // regions, and 32 tasks allocating them concurrently fragments the
+      // old gen until small allocations OOM with gigabytes nominally
+      // free (observed as a GCLocker retry storm, round 18: the SRP
+      // expansion join died this way at the default heap while the same
+      // job ran at 48g). 2 MB pages stay under G1's humongous threshold
+      // at every heap size the harness uses; the cost is only more
+      // spill-page bookkeeping on multi-GB sorts.
+      .config("spark.buffer.pageSize", "2m")
+      // The default 0.6 unified-memory fraction lets 32 concurrent sorts
+      // pin ~4.3 GB of execution pages on an 8 GiB heap — and AQE
+      // materializes independent broadcast exchanges IN PARALLEL with
+      // those sort stages, so the unmanaged side (broadcast builds,
+      // columnar cache batches, codegen/iterator transients) needs real
+      // headroom precisely when execution is capped out. 0.5 spills the
+      // monster sorts ~0.8 GB earlier (disk they already use) and buys
+      // the margin that kept the SRP expansion join alive at the default
+      // heap (round 18); sub-GB bench queries never touch either limit.
+      .config("spark.memory.fraction", "0.5")
+      // Every spill READER allocates a 1 MB unmanaged read-ahead buffer;
+      // a spill-heavy hash-agg merge (the SRP candidate distinct reads
+      // back ~60 spill files per task × 32 tasks) holds gigabytes of
+      // them — unaccounted by the memory manager, proportional to spill
+      // count, and the round-18 OOM site once pages and GCLocker were
+      // fixed. Off, a reader costs its ~100 KB codec buffers; the
+      // sequential disk reads it prefetched are already the OS page
+      // cache's job on a single node.
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")

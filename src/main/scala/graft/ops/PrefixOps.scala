@@ -61,7 +61,35 @@ object PrefixOps {
       orderCol: String,
       valueCol: String,
       out: String,
+      targetBuckets: Int = 0): DataFrame =
+    withExclusivePrefixSumMulti(df, Seq(orderCol), valueCol, out, targetBuckets)
+
+  /** The multi-column-key form: rows are ordered by `orderCols`
+    * lexicographically (each ascending); the FIRST column must be a
+    * long and drives the range bucketing, the rest only break its ties.
+    * This exists so callers with a composite ranking (q145's
+    * quality-desc-then-id greedy order) never have to PACK the key into
+    * one long — a packing like `doc_id - n_types·2³²` is collision-free
+    * only while doc_id < 2³², a bound replication-scaled corpora
+    * silently cross (ADVICE r17), whereas the composite key is exact
+    * over the full long range of every component.
+    *
+    * Correctness of bucketing on the first column alone: equal
+    * first-column values land in the SAME bucket (bucket id is a pure
+    * function of it), so lexicographic tie-breaks happen entirely
+    * inside one intra-bucket window, and the cross-bucket order is the
+    * first column's order — together the global lexicographic order.
+    * The first column may repeat; only the COMPOSITE key must be
+    * unique.
+    */
+  def withExclusivePrefixSumMulti(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String,
       targetBuckets: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val orderCol = orderCols.head
     val buckets =
       if (targetBuckets > 0) targetBuckets else defaultTargetBuckets(df)
     // One cheap job to size the buckets: min/max of the key only, so
@@ -99,7 +127,8 @@ object PrefixOps {
           Window.orderBy("__bucket")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__bucket", "__boff")
-    val intra = Window.partitionBy("__bucket").orderBy(orderCol)
+    val intra = Window.partitionBy("__bucket")
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), "__bucket")
       .withColumn(out,

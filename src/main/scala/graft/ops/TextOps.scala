@@ -361,4 +361,92 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
   }
+
+  /** q146's overlapping context windows (width `w`, stride `st`) as a
+    * relation transform over (doc_id, text, …) — ONE definition shared
+    * by the batch query and [[graft.pipeline.IncrAttrTable]]'s
+    * per-admitted-batch window emission (windows are per-doc local, so
+    * the streamed union over admitted batches equals the batch answer
+    * over the admitted corpus — IngestSpec pins it). Start count
+    * `1 + ceil(max(n−w,0)/st)` guarantees full coverage; the last
+    * window may run short (kept, never padded); a doc shorter than one
+    * window emits exactly one. Pure per-row generate — a document's
+    * windows never leave its task. */
+  def contextWindowsOf(docs: DataFrame, w: Int = 32, st: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"(cast(greatest(size(toks) - $w, 0) as bigint) + ${st - 1}) div $st")))
+          .as("w"))
+      .select(col("doc_id"),
+        col("w").cast("int").as("win_id"),
+        (col("w") * st).cast("int").as("start_pos"),
+        slice(col("toks"), (col("w") * st + 1).cast("int"), lit(w)).as("win"))
+      .select(col("doc_id"), col("win_id"), col("start_pos"),
+        size(col("win")).as("win_tokens"),
+        array_join(col("win"), " ").as("window_text"))
+
+  /** Character n-grams WITH multiplicity (stride 1) — the fastText-style
+    * language-ID feature stream. Same UDF-over-HOF reasoning as
+    * [[shingles]]: a JVM while-loop beats the CodegenFallback
+    * `transform(sequence(...))` by ~an order of magnitude on a
+    * corpus-sized scan, and both are narrow maps. Mirrored exactly by
+    * DuckDB's `[substr(text, i, n) for i in range(1, len-n+2)]`
+    * (corpus text is ASCII, so Java's UTF-16 indexing and DuckDB's
+    * character indexing agree). */
+  def charGrams(text: Column, n: Int = 3): Column = charGramUdf(text, lit(n))
+
+  private val charGramUdf = udf((text: String, n: Int) =>
+    if (text == null || text.length < n) Array.empty[String]
+    else {
+      val out = new Array[String](text.length - n + 1)
+      var i = 0
+      while (i + n <= text.length) { out(i) = text.substring(i, i + n); i += 1 }
+      out
+    })
+
+  /** Hashed char-n-gram LINEAR language classifier (the fastText
+    * lang-id architecture — Joulin et al. 2016 — built from q129's
+    * machinery, one weight vector per language): char trigrams are
+    * md5-bucketed into [[LangIdBuckets]] buckets (the engine-portable
+    * q44/q129 hash convention), each language contributes a PLANTED
+    * deterministic integer weight table ([[langIdWeights]] — a real
+    * deployment swaps the literals for trained weights and keeps the
+    * plan), per-doc scores are exact integer sums, and the prediction
+    * is the argmax (ties to the alphabetically first language, q32's
+    * convention).
+    *
+    * Languages = [[langMarkers]]' key set, so the marker heuristic
+    * (q32) and the classifier (q150) grade the same label space.
+    *
+    * Shape at scale: one corpus scan; the gram explode is narrow (a
+    * doc's grams stay in its task), ONE md5 per gram feeds all L
+    * weight lookups, and the per-doc sums partial-combine map-side —
+    * the single exchange carries (doc_id, L sums + count), never a
+    * gram, never text. */
+  val LangIdBuckets = 1024
+  def langIdWeights(li: Int): Seq[Long] =
+    (0 until LangIdBuckets).map(b =>
+      ((b.toLong + 7919L * (li + 1)) * 2654435761L) % 1000003L - 501001L)
+
+  def langIdScoresOf(docs: DataFrame): DataFrame = {
+    val langs = langMarkers.map(_._1)
+    val bucket = (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+      % LangIdBuckets + 1).cast("int")
+    val scored = docs
+      .select(col("doc_id"), explode(charGrams(col("text"))).as("f"))
+      .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+        element_at(typedlit(langIdWeights(i)), bucket).as(s"__w_$l")
+      }: _*)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        langs.map(l => sum(col(s"__w_$l")).as(s"score_$l")): _*)
+    val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    // ties to the alphabetically-first language: earlier langs outermost
+    val pred = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
 }

@@ -61,15 +61,26 @@ object AttrTable {
   }
 
   /** The wide attribute row the artifact stores: q136's graded columns +
-    * the frozen `is_dup` flag. */
+    * the frozen `is_dup` flag + (round 18) the ASSEMBLY columns — the
+    * dup-cluster label/size (q144's graded `clusterLabels` composition)
+    * and the distinct-token count (q145's quality key) — so the
+    * dataset-assembly recipes (leakage-safe split, token-budget
+    * selection) are narrow projections over this artifact instead of
+    * re-runs of the banding chain and the tokenizer (q149 grades that
+    * equivalence the way q138 grades it for the q137 selection). */
   private def build(s: SparkSession, d: String): DataFrame = {
     val dups = graft.queries.DedupQs.q36.fn(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("__dup", lit(true))
+    val types = graft.Tables.documents(s, d)
+      .select(col("doc_id"), size(array_distinct(
+        graft.ops.TextOps.tokens(col("text")))).cast("long").as("n_types"))
     graft.queries.TextQs.q136.fn(s, d)
       .join(dups, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
+      .join(graft.queries.DedupQs.clusterLabels(s, d), "doc_id")
+      .join(types, "doc_id")
   }
 
   /** Read the materialized table, writing it first if this process has

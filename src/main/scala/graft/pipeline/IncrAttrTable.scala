@@ -107,6 +107,12 @@ import graft.streaming.IndexLayout
 object IncrAttrTable {
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
 
+  /** Conf switch: the fused ingest loop also emits q146's context
+    * windows for each batch's ADMITTED docs (per-batch parquet shards
+    * under `root/windows` — the streaming twin of the batch chunking).
+    * Default off: window emission roughly doubles output bytes. */
+  val EmitWindowsKey = "spark.graft.ingest.emitWindows"
+
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -168,7 +174,13 @@ object IncrAttrTable {
     * `gen=0`. Idempotent (a second pass finds none), driver-side renames
     * only, and memoized per (session, rel dir) so the steady-state
     * gen-0 path (every fresh artifact before its first compaction) pays
-    * ONE listing per session, not one per read. */
+    * ONE listing per session, not one per read. A failed rename THROWS
+    * before the memo is written: `fs.rename` reports failure as a
+    * `false` return (dest exists, permissions, cross-FS move), and
+    * swallowing it would leave those batch dirs invisible to gen-0
+    * readers — committed rows silently missing — with the per-session
+    * memo suppressing any retry. Loud-and-retryable beats
+    * quietly-partial. */
   private val legacyChecked =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
   private def migrateLegacyFlat(s: SparkSession, dir: String): Unit =
@@ -181,8 +193,12 @@ object IncrAttrTable {
         val gen0 = new org.apache.hadoop.fs.Path(s"$dir/gen=0")
         fs.mkdirs(gen0)
         flat.foreach { st =>
-          fs.rename(st.getPath,
-            new org.apache.hadoop.fs.Path(gen0, st.getPath.getName))
+          val dest = new org.apache.hadoop.fs.Path(gen0, st.getPath.getName)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"legacy migration: rename ${st.getPath} -> $dest failed " +
+                "(dest exists / permissions / cross-FS?) — aborting so the " +
+                "next read retries instead of hiding committed batches")
         }
         log.warn(s"migrated ${flat.size} pre-generational batch dirs under $dir/gen=0")
       }
@@ -551,12 +567,31 @@ object IncrAttrTable {
           val keepSh = newSh.join(hinted(admitted), "doc_id")
           val keepBands = newBands.join(hinted(admitted), "doc_id")
           val attrsDir = s"${liveRelDir(s, root, "attrs")}/batch_id=$eff"
-          awaitAll(
+          // optional per-batch context-window emission (q146's chunking,
+          // ONE shared definition — TextOps.contextWindowsOf — so the
+          // streamed union over admitted batches equals the batch answer
+          // over the admitted corpus; IngestSpec pins it). Windows are
+          // per-doc local, so the step is embarrassingly incremental;
+          // conf-gated (default off) because it roughly doubles the
+          // batch's output bytes, a cost only window-training consumers
+          // should pay. Idempotent like every write here (per-batch-dir
+          // overwrite); windows are a dataset OUTPUT artifact, so
+          // compaction leaves its per-batch shards in place (they are
+          // the natural training-shard layout) — replays after
+          // compaction are no-ops at openBatch and never touch them.
+          val emitWindows =
+            s.conf.getOption(EmitWindowsKey).exists(_.toBoolean)
+          val windowWrites: Seq[() => Unit] =
+            if (!emitWindows) Seq.empty
+            else Seq(() => TextOps.contextWindowsOf(survivors)
+              .write.mode("overwrite")
+              .parquet(s"${liveRelDir(s, root, "windows")}/batch_id=$eff"))
+          awaitAll((Seq[() => Unit](
             () => attrs.write.mode("overwrite").parquet(attrsDir),
             () => IndexLayout.appendTailSlice(keepBands, idx, "bands", eff),
             () => IndexLayout.appendTailSlice(
               keepSh.filter(size(col("shingles")) > 0),
-              idx, "shingles", eff))
+              idx, "shingles", eff)) ++ windowWrites): _*)
           commitBatch(s, root, eff, bMax)
         }
       } finally {

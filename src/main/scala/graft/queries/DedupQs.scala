@@ -1035,19 +1035,30 @@ object DedupQs {
     * is a per-row projection. Nothing after the band probe re-touches
     * `text`.
     */
+  /** Every doc's dup-cluster label + cluster size — q144's composition
+    * up to (but not including) the split projection, factored out so the
+    * attribute artifact ([[graft.pipeline.AttrTable]]) can freeze the
+    * SAME graded definition as columns (q149 then runs the split as a
+    * narrow projection over the artifact — the q138 lesson applied to
+    * assembly). Components run on the PAIR-sized verified relation;
+    * singletons label themselves via left join + coalesce. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashNearDupPairs(s, d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val comps = DedupOps.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    val lab = Tables.documents(s, d).select("doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    val sz = lab.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sz, "comp")
+  }
+
   val q144 = Q(
     "q144_cluster_split",
     (s, d) => {
-      val pairs = minhashNearDupPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val comps = DedupOps.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("comp"))
-      val lab = Tables.documents(s, d).select("doc_id")
-        .join(comps, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-      val sz = lab.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
-      lab.join(sz, "comp")
+      clusterLabels(s, d)
         .select(col("doc_id"), col("comp"), col("cluster_size"),
           graft.ops.SampleOps.splitAssign(col("comp"),
             Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"))

@@ -417,15 +417,21 @@ object VectorQs {
   /** Probes per band row for the escalation tier's QUERY-DIRECTED
     * multiprobe (margin-ranked prefix of the weight-≤2 neighborhood;
     * ≥ the 137-mask ball = the full flip-2 form). Default 64 — the
-    * measured 200 k point (662 s / recall 0.904 at twice the query's
-    * table budget, vs the full ball's 1 812 s / 0.808 at 1×). */
+    * measured 200 k point (round 18: 1 384 s / recall 0.948 at the
+    * DEFAULT 8 GiB heap, at twice the query's table budget, vs the full
+    * ball's 1 812 s / 0.808 at 48 g). */
   private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
   /** Memoized corpus cardinality for the escalation gate's probe-row
     * pricing — without it every escalated call pays a full embeddings
     * count scan, in exactly the large-corpus regime the tier exists
-    * for. Per-(session, corpus) bounded, like [[srpCandEst]]. */
+    * for. Per-(session, corpus) bounded, like [[srpCandEst]] — and it
+    * SHARES srpCandEst's immutable-corpus-per-dir convention: a corpus
+    * regenerated in place under the same dir within one session would
+    * price the gate on the stale count (and serve stale candidate
+    * estimates anyway). Writers that regenerate use a fresh dir
+    * (ScaleEvidence keys replicated corpora by factor in the path). */
   private val embCount =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
   private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
@@ -478,16 +484,20 @@ object VectorQs {
       // 0.444 (cap-truncated), this form reads 1 812 s / recall 0.808;
       // the cell path reads ~1 s / 0.062. The escalated form's cost is
       // the probe-expansion stream, priced below against its own bound.
-      // The escalated form (round 17, re-measured after the
-      // query-directed tier landed): 16-bit codes at TWICE the query's
-      // table budget with T=64 margin-ranked probes per band. At the
-      // 200k-vector cliff it reads 662 s / recall 0.904 where the full
-      // flip-2 ball at the SAME table budget reads 1 812 s / 0.808 —
-      // and it costs FEWER expansion rows (vectors·2tables·64 vs
-      // vectors·tables·137), so it dominates the round-17 full-ball
-      // escalation on wall, probe rows, and recall simultaneously.
-      // spark.graft.srp.qdProbes tunes T (>= the 137-mask ball = the
-      // full flip-2 form).
+      // The escalated form (round 18 measurements, §2.0.2's default-heap
+      // table): 16-bit codes at TWICE the query's table budget with
+      // T=64 margin-ranked probes per band, pairs normalized
+      // least/greatest (either side's probes may discover the pair). At
+      // the 200k-vector cliff it reads 1 384 s / recall 0.948 AT THE
+      // DEFAULT 8 GiB HEAP (the round-17 form needed 48 g and read
+      // 662 s / 0.904 — the recall delta is the pair normalization, the
+      // wall delta is 6× less memory; a provisioned driver gets the fast
+      // wall back with no conf changes) where the full flip-2 ball reads
+      // 1 812 s / 0.808 at 48 g — and it costs FEWER expansion rows
+      // (vectors·2tables·64 vs vectors·tables·137), so it dominates the
+      // full-ball escalation on probe rows and recall, and on wall at
+      // equal provisioning. spark.graft.srp.qdProbes tunes T (>= the
+      // 137-mask ball = the full flip-2 form).
       val tables = numMatrices * 64 / bandBits
       val escalate = s.conf.getOption(SrpEscalateKey).forall(_.toBoolean)
       val probeBudget = s.conf.getOption(SrpMaxProbeRowsKey).map(_.toLong)
@@ -505,7 +515,8 @@ object VectorQs {
           s"16-bit query-directed multiprobe form ($escTables tables, " +
           s"T=$perRow margin-ranked probes; $probeRows expansion rows <= " +
           s"$SrpMaxProbeRowsKey=$probeBudget). Measured trade at 200k " +
-          "vectors: 662 s / recall 0.904 vs the 8-bit join's 595 s / " +
+          "vectors: 1384 s / recall 0.948 at the default 8g heap (662 s " +
+          "at 48g under the round-17 form) vs the 8-bit join's 595 s / " +
           "0.444 (cap-truncated) and the full flip-2 ball's 1812 s / " +
           s"0.808 — set $SrpEscalateKey=false to route straight to the " +
           "cell-bounded path.")
@@ -591,22 +602,52 @@ object VectorQs {
       // ball/maxProbes while keeping the probes that find near pairs.
       // The flipRadius arg is subsumed: the neighborhood is weight <= 2
       // and maxProbes truncates it.
-      val tag = s"srp_multi_b${bandBits}_L${numMatrices}_qd$maxProbes"
-      val probed = graft.Memo.cached(s, d, tag) {
-        VectorOps.srpBandsMultiProbed(Tables.embeddings(s, d), "vec_id",
-          "embedding", planesL, bandBits, maxProbes)
+      // CACHE ONLY SLIM RELATIONS (round 18 — the default-heap fix
+      // behind SURVEY §2.0.2's old 48g footnote): the round-17 form
+      // memoized the probed relation itself — corpus×tables rows each
+      // carrying a T-long probe array (~530 B/row of UnsafeArrayData) —
+      // and at the 200k/64-table tier the cache builder's columnar
+      // batches alone OOM'd an 8 GiB local[32] JVM (ColumnBuilder
+      // .ensureFreeSpace in the captured stack), at ANY storage level,
+      // because in local mode the "executor" heap IS the driver heap.
+      // Now the cached relations are the 3-long-column band/capped-band
+      // relations the full-ball branch below already memoizes (SHARED
+      // tags, so the qd and ball forms reuse one cache), the probe
+      // masks are computed in ONE fresh streaming pass that feeds the
+      // expansion join's shuffle directly (never materialized, never
+      // cached), and the cap reaches the probe side by a semi-join on
+      // the slim (vec_id, table_idx, bits) key — identical candidate
+      // semantics, heap cost flat in corpus density.
+      val tag = s"srp_multi_b${bandBits}_L$numMatrices"
+      val bands = graft.Memo.cached(s, d, tag) {
+        VectorOps.srpBandsMulti(Tables.embeddings(s, d), "vec_id",
+          "embedding", planesL, bandBits)
       }
       val capped = graft.Memo.cached(s, d, tag + "_capped") {
-        graft.ops.DedupOps.capBuckets(probed, Seq("table_idx", "bits"), 1000)
+        graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
       }
-      val probe = capped.select(col("vec_id").as("vec_a"), col("table_idx"),
+      val probedRaw = VectorOps.srpBandsMultiProbed(Tables.embeddings(s, d),
+        "vec_id", "embedding", planesL, bandBits, maxProbes)
+      val probe = probedRaw
+        .join(capped, Seq("vec_id", "table_idx", "bits"), "left_semi")
+        .select(col("vec_id").as("vec_a"), col("table_idx"),
           explode(transform(col("probes"), m => col("bits").bitwiseXOR(m)))
             .as("bits"))
+      // normalize with least/greatest, do NOT pre-filter on vec_a <
+      // vec_b: unlike the full-ball form (uniform masks make probing
+      // symmetric, so the a<b filter loses nothing), qd probe sets are
+      // PER-VECTOR — a pair counts when EITHER side's probe prefix
+      // reaches the other's exact bucket, and keeping only the
+      // smaller-id side's discoveries threw away roughly half the
+      // matches for the identical expansion-row budget (round-18 fix;
+      // measured below in §2.0.2's qd tables).
       val cands = probe
         .join(capped.select(col("vec_id").as("vec_b"), col("table_idx"),
           col("bits")), Seq("table_idx", "bits"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
+        .filter(col("vec_a") =!= col("vec_b"))
+        .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+        .distinct()
       return srpCosVerify(s, d, cands)
     }
     val tag = s"srp_multi_b${bandBits}_L$numMatrices"
@@ -1298,34 +1339,59 @@ object VectorQs {
     * reduce; K scans total, nothing corpus-sized shuffles, and the
     * driver holds exactly K vectors.
     */
+  /** q147's body with K as a parameter (`tools.ScaleEvidence` prices the
+    * K=64 rung). CARRIED-dmin form (round-18, verdict ask #4): the loop
+    * maintains a persisted (id, vec, sq, dmin) relation and each round
+    * folds ONE new-center distance into it via `least` — O(K) dots per
+    * point across the whole loop, per-round cost FLAT in the round
+    * number, where the round-17 form re-evaluated a growing
+    * `least(d(c1)…d(cm))` literal list every round (O(K²) dots, per-
+    * round cost linear in m). Answer-identical to that form: `least` is
+    * exact min (no FP order dependence), each per-center distance is the
+    * same IEEE op tree, and the (dmin desc, id) argmax tie-break is
+    * unchanged — q147's K=8 oracle hash pins it. Only two rounds'
+    * relations are ever persisted at once (the previous unpersists as
+    * soon as the next is materialized by its own TakeOrdered head). */
+  private[graft] def kcenterQuery(s: SparkSession, d: String, K: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ()): DataFrame = {
+    val emb = graft.Memo.cached(s, d, "kcenter_sq") {
+      corpus(s, d).withColumn("sq", VectorOps.sqNormD(col("vec")))
+    }
+    val first = emb.orderBy("id").limit(1).select("id", "vec").head()
+    var chosen = Vector[(Int, Long, Option[Double])](
+      (1, first.getLong(0), None))
+    var centerVec: Seq[Float] = first.getSeq[Float](1).toSeq
+    var cur: DataFrame = null
+    var prev: DataFrame = null
+    while (chosen.size < K) {
+      val t0 = System.nanoTime()
+      val cl = typedlit(centerVec)
+      val dNew = col("sq") + VectorOps.dotD(cl, cl) -
+        lit(2.0) * VectorOps.dotD(col("vec"), cl)
+      cur =
+        if (cur == null)
+          emb.select(col("id"), col("vec"), col("sq"), dNew.as("dmin"))
+        else
+          cur.select(col("id"), col("vec"), col("sq"),
+            least(col("dmin"), dNew).as("dmin"))
+      cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = cur.orderBy(col("dmin").desc, col("id")).limit(1).head()
+      if (prev != null) prev.unpersist()
+      prev = cur
+      chosen :+= ((chosen.size + 1, next.getLong(0), Some(next.getDouble(3))))
+      centerVec = next.getSeq[Float](1).toSeq
+      onRound(chosen.size, (System.nanoTime() - t0) / 1e9)
+    }
+    if (prev != null) prev.unpersist()
+    import s.implicits._
+    chosen.map { case (r, id, dd) => (r, id, dd) }
+      .toDF("rk", "vec_id", "dist2")
+      .orderBy("rk")
+  }
+
   val q147 = Q(
     "q147_kcenter_coreset",
-    (s, d) => {
-      val K = 8
-      val emb = graft.Memo.cached(s, d, "kcenter_sq") {
-        corpus(s, d).withColumn("sq", VectorOps.sqNormD(col("vec")))
-      }
-      val first = emb.orderBy("id").limit(1).select("id", "vec").head()
-      var chosen = Vector[(Int, Long, Option[Double])](
-        (1, first.getLong(0), None))
-      var centerVecs = Vector[Seq[Float]](first.getSeq[Float](1).toSeq)
-      while (chosen.size < K) {
-        val dists = centerVecs.map { c =>
-          val cl = typedlit(c)
-          col("sq") + VectorOps.dotD(cl, cl) - lit(2.0) * VectorOps.dotD(col("vec"), cl)
-        }
-        val minD = if (dists.size == 1) dists.head else least(dists: _*)
-        val next = emb.select(col("id"), col("vec"), minD.as("dmin"))
-          .orderBy(col("dmin").desc, col("id"))
-          .limit(1).head()
-        chosen :+= ((chosen.size + 1, next.getLong(0), Some(next.getDouble(2))))
-        centerVecs :+= next.getSeq[Float](1).toSeq
-      }
-      import s.implicits._
-      chosen.map { case (r, id, dd) => (r, id, dd) }
-        .toDF("rk", "vec_id", "dist2")
-        .orderBy("rk")
-    },
+    (s, d) => kcenterQuery(s, d, K = 8),
     Some {
       val d2 = (v: String, c: String) =>
         s"($v.sq + $c.sq - 2 * ${dotSql(s"$v.embedding", s"$c.embedding")})"

@@ -339,6 +339,15 @@ object ScaleEvidence {
     // over the replicated corpus: the claim is K linear scans
     "q147_kcenter_coreset" -> ((s: SparkSession, d: String) =>
       Queries.byName("q147_kcenter_coreset").fn(s, d)),
+    // round 18: the K=64 rung of the carried-dmin Gonzalez loop
+    // (verdict ask #4) — the claim is per-round cost FLAT in the round
+    // number (ONE new-center dot folds into the persisted dmin each
+    // round), where the round-17 `least(d(c1)…d(cm))` recompute form
+    // grew linearly in m; per-round walls go to stderr for the
+    // §2.0.2 flatness table
+    "q147_kcenter_coreset [K=64]" -> ((s: SparkSession, d: String) =>
+      graft.queries.VectorQs.kcenterQuery(s, d, 64,
+        (r, secs) => System.err.println(f"[kcenter] round $r%3d: $secs%.2f s"))),
     "q42_ann_ivf [fixed-k]" -> ((s: SparkSession, d: String) =>
       graft.queries.VectorQs.ivfQuery(s, d, idCap = CopyShift)),
     "q59_kmeans_lloyd [fixed-k]" -> ((s: SparkSession, d: String) =>

@@ -250,4 +250,39 @@ class IngestSpec extends AnyFunSuite {
       .orderBy("gram_order", "gram").collect().map(_.toString).toSeq
     assert(lmAfter == lmBefore, "a later batch re-seeded the frozen LM")
   }
+
+  test("streamed context windows equal q146's batch answer over the admitted docs") {
+    // the round-17 verdict's ask #7: q146 gets an incremental expression
+    // — each ingest transaction emits the admitted docs' windows (ONE
+    // shared definition, TextOps.contextWindowsOf), and because windows
+    // are per-doc local, the union of per-batch shards must equal the
+    // batch chunking of the admitted corpus, byte for byte
+    val root = freshRoot()
+    spark.conf.set(IncrAttrTable.EmitWindowsKey, "true")
+    try {
+      IncrAttrTable.ingestBatch(spark, root, df(batch0), batchId = 0L)
+      IncrAttrTable.ingestBatch(spark, root, df(batch1), batchId = 1L)
+    } finally spark.conf.unset(IncrAttrTable.EmitWindowsKey)
+    val cols = Seq("doc_id", "win_id", "start_pos", "win_tokens", "window_text")
+    val streamed = spark.read.parquet(
+        s"${IncrAttrTable.liveRelDir(spark, root, "windows")}")
+      .select(cols.map(col): _*)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val admitted = spark.read.parquet(s"$root/admissions")
+      .filter(col("status") === "new").select("doc_id")
+    val batchAnswer = graft.ops.TextOps.contextWindowsOf(
+        df(batch0).unionByName(df(batch1)).join(admitted, "doc_id"))
+      .select(cols.map(col): _*)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batchAnswer,
+      s"streamed windows diverged from the batch chunking " +
+        s"(streamed ${streamed.size}, batch ${batchAnswer.size})")
+    // a doc long enough to chunk produced MULTIPLE overlapping windows
+    assert(streamed.groupBy(_._1).exists(_._2.size > 1), "fixture too weak")
+    // default-off: a fresh root ingested without the flag writes none
+    val quiet = freshRoot()
+    IncrAttrTable.ingestBatch(spark, quiet, df(batch0), batchId = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$quiet/windows")),
+      "window emission ran without the conf flag")
+  }
 }

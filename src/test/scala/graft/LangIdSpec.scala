@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hashed char-trigram language classifier (q150 /
+  * [[TextOps.langIdScoresOf]]): scores must equal an independent
+  * in-Scala reference (same md5 bucketing, same planted integer
+  * weights), the argmax tie-break is q32's alphabetical-first, and the
+  * q136 `spark.graft.attrs.derivedLang` switch swaps the artifact's
+  * lang column for the classifier's argmax.
+  */
+class LangIdSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessions.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Independent reference: trigrams by hand, bucket via
+    * MessageDigest-md5 (first 4 hex chars), weights from the same
+    * planted formula. */
+  private def refScores(text: String): (Long, Seq[Long]) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to text.length - 3).map(i => text.substring(i, i + 3))
+    val weights = TextOps.langMarkers.indices.map(TextOps.langIdWeights)
+    val sums = Array.fill(weights.size)(0L)
+    grams.foreach { g =>
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      val b = (java.lang.Long.parseLong(hex, 16) % TextOps.LangIdBuckets).toInt
+      weights.indices.foreach(i => sums(i) += weights(i)(b))
+    }
+    (grams.size.toLong, sums.toSeq)
+  }
+
+  test("classifier scores equal the in-Scala md5/planted-weight reference") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(20).collect()
+    val langs = TextOps.langMarkers.map(_._1)
+    val got = TextOps.langIdScoresOf(Tables.documents(spark, sf))
+      .select(col("doc_id") +: col("n_grams") +: col("pred_lang") +:
+        langs.map(l => col(s"score_$l")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { d =>
+      val (nGrams, sums) = refScores(d.getString(1))
+      val r = got(d.getLong(0))
+      assert(r.getLong(1) == nGrams, s"doc ${d.getLong(0)}: n_grams")
+      langs.indices.foreach { i =>
+        assert(r.getLong(3 + i) == sums(i),
+          s"doc ${d.getLong(0)}: score_${langs(i)}")
+      }
+      // argmax with alphabetical-first tie-break
+      val best = sums.max
+      val expectPred = langs(sums.indexWhere(_ == best))
+      assert(r.getString(2) == expectPred, s"doc ${d.getLong(0)}: pred")
+    }
+  }
+
+  test("prediction spreads across several languages (weights are per-language)") {
+    val preds = TextOps.langIdScoresOf(Tables.documents(spark, sf))
+      .groupBy("pred_lang").count().collect().map(_.getString(0)).toSet
+    assert(preds.size >= 2,
+      s"planted per-language weights collapsed to one argmax: $preds")
+  }
+
+  test("q136 derivedLang swap: artifact lang == q150 pred_lang under the flag") {
+    val q136 = Queries.byName("q136_attribute_table")
+    val q150 = Queries.byName("q150_lang_classifier")
+    val givenLangs = q136.fn(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    spark.conf.set("spark.graft.attrs.derivedLang", "true")
+    val derived =
+      try q136.fn(spark, sf).select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      finally spark.conf.unset("spark.graft.attrs.derivedLang")
+    val preds = q150.fn(spark, sf).select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(derived.keySet == givenLangs.keySet, "row set changed under the flag")
+    derived.foreach { case (id, l) =>
+      assert(l == preds.getOrElse(id, "und"), s"doc $id")
+    }
+    assert(derived != givenLangs,
+      "fixture too weak: derived labels identical to the given column")
+  }
+}

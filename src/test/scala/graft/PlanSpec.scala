@@ -481,6 +481,22 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected scan locations: $locs")
   }
 
+  test("q149: assembly selection reads ONLY the attribute artifact — zero documents scans") {
+    // the q138 claim extended to dataset assembly: cluster split +
+    // token-budget selection run as projections over the written
+    // artifact (comp/cluster_size/n_types columns), so the plan scans
+    // the artifact parquet and nothing else — no re-banding, no
+    // re-tokenizing, no documents relation
+    val p = plan("q149_assembly_select")
+    assert(p.contains("graft-attrs"),
+      "assembly plan does not scan the written attribute artifact")
+    assert(!p.contains("documents"),
+      "assembly plan still scans the documents table — the recipe re-derives")
+    val locs = "Location:.*\\[([^\\]]*)\\]".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(locs.nonEmpty && locs.forall(_.contains("graft-attrs")),
+      s"unexpected scan locations: $locs")
+  }
+
   test("q130: doc-broadcast verify guard — broadcast inside the bound, shuffle past it") {
     // the round-14 validity guard: the verify posture ships the whole
     // shingle relation to every executor ONLY while its estimated size

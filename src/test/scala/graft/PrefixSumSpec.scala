@@ -97,6 +97,27 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(got.columns.contains("got") && got.count() === 0)
   }
 
+  test("composite key: repeated primary + tie-break column, ids past 2^32") {
+    // the ADVICE-r17 case the packed single-long key got wrong: a
+    // quality-desc-then-id greedy order where ids exceed 2^32 (the
+    // replication-scaled regime). The primary (-score) REPEATS heavily,
+    // so bucketing degrades to per-score groups and all tie-breaking
+    // happens inside intra-bucket windows — the result must still equal
+    // the naive two-column window cumsum exactly.
+    val df = spark.range(0, 3000).toDF("i")
+      .select((col("i") * 104729L + lit(4294967296L) * (col("i") % 50)).as("id"),
+        (-(col("i") % 7)).as("neg_score"),
+        (col("i") % 13 + 1).as("v"))
+    val got = PrefixOps.withExclusivePrefixSumMulti(
+      df, Seq("neg_score", "id"), "v", "got", targetBuckets = 16)
+    val expect = df.withColumn("expect",
+      coalesce(sum("v").over(Window.orderBy("neg_score", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val joined = got.join(expect, Seq("neg_score", "id"))
+    assert(joined.filter(col("got") =!= col("expect")).count() === 0)
+    assert(got.count() === 3000)
+  }
+
   test("weighted systematic sample: boundary crossings, certainty inclusion, invariance") {
     import graft.ops.SampleOps
     // weights 3,4,5,… over ids 0..: crossings of step 10 at cum 10,20,…
