@@ -423,6 +423,11 @@ object VectorQs {
   private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
+  /** Memoized "no bucket exceeds the cap" verdicts for the qd path's cap
+    * elision — per (session, corpus, band tag), same immutable-corpus
+    * convention as [[srpCandEst]]/[[embCount]]. */
+  private val srpCapNoop =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Boolean]()
   /** Memoized corpus cardinality for the escalation gate's probe-row
     * pricing — without it every escalated call pays a full embeddings
     * count scan, in exactly the large-corpus regime the tier exists
@@ -623,13 +628,29 @@ object VectorQs {
         VectorOps.srpBandsMulti(Tables.embeddings(s, d), "vec_id",
           "embedding", planesL, bandBits)
       }
-      val capped = graft.Memo.cached(s, d, tag + "_capped") {
-        graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
-      }
+      // CAP ELISION (round 18, after the 128-table disk-ceiling deaths):
+      // when NO bucket exceeds the cap — the common case at the 16-bit
+      // width, where occupancy is corpus/2^16 per table — capBuckets is
+      // the identity, so both its count+semi-join shuffle AND the
+      // probe-side cap semi-join (which must shuffle the T-long probe
+      // ARRAYS, ~550 B/row) are pure disk cost for nothing. One bounded
+      // aggregate over the memoized slim bands decides (memoized per
+      // corpus like srpCandEst); when a bucket IS overfull both sides
+      // keep the full cap discipline unchanged.
+      val capNoop: Boolean = srpCapNoop.computeIfAbsent((s, d, tag), { _ =>
+        bands.groupBy("table_idx", "bits").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1000).isEmpty
+      })
+      val capped =
+        if (capNoop) bands
+        else graft.Memo.cached(s, d, tag + "_capped") {
+          graft.ops.DedupOps.capBuckets(bands, Seq("table_idx", "bits"), 1000)
+        }
       val probedRaw = VectorOps.srpBandsMultiProbed(Tables.embeddings(s, d),
         "vec_id", "embedding", planesL, bandBits, maxProbes)
-      val probe = probedRaw
-        .join(capped, Seq("vec_id", "table_idx", "bits"), "left_semi")
+      val probe = (if (capNoop) probedRaw
+        else probedRaw.join(capped, Seq("vec_id", "table_idx", "bits"),
+          "left_semi"))
         .select(col("vec_id").as("vec_a"), col("table_idx"),
           explode(transform(col("probes"), m => col("bits").bitwiseXOR(m)))
             .as("bits"))

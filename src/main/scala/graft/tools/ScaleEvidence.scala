@@ -155,7 +155,17 @@ object ScaleEvidence {
     // the same budget): the scored scan and the two-level prefix sum
     // grow 10x, the kept set shrinks relatively; q146 — pure per-row
     // generate, q82's scan class at ~2.4 output rows per doc
-    "q144_cluster_split", "q145_token_budget_select", "q146_context_windows")
+    "q144_cluster_split", "q145_token_budget_select", "q146_context_windows",
+    // round 18: assembly over the artifact — run 1 pays the memoized tag
+    // job (q136 + q36 + clusterLabels + the clustered write), the timed
+    // runs price what ANY (budget, split) recipe costs forever after: a
+    // 5-column scan of doc_id-clustered parquet + the bounded two-level
+    // prefix machinery (q138's decoupling, extended to assembly); the
+    // classifier lang-id — q129's scan class at ~4x the feature count
+    // (char trigrams vs tokens+bigrams): gram explode is narrow, ONE md5
+    // per gram feeds all 5 weight lookups, the exchange carries
+    // (doc_id, 5 sums)
+    "q149_assembly_select", "q150_lang_classifier")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps

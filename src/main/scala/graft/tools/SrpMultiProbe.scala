@@ -45,8 +45,16 @@ import org.apache.spark.sql.functions._
 object SrpMultiProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // zstd shuffle/spill compression, tool-scoped: the dense-tier
+    // expansion joins write O(100 GB) of highly-compressible slim-long
+    // shuffle rows, and lz4's weaker ratio is the difference between
+    // fitting a single node's scratch disk and ENOSPC (the 128-table
+    // 200k rungs died on disk at lz4 — round 18); the bench/Verify
+    // sessions keep lz4 (their shuffles are MBs, codec latency wins).
     val s = Tables.configure(org.apache.spark.sql.SparkSession.builder(),
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.io.compression.codec", "zstd")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
     if (args.length >= 3) {
