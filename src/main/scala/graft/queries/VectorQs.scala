@@ -407,7 +407,8 @@ object VectorQs {
     * buckets), measured ~0.8 s per ~1 M expanded rows at the 50 k/200 k
     * tiers (§2.0.2 multiprobe tables), so the 2×10⁹ default bounds the
     * escalated job at roughly half an hour — a maintenance-window cost,
-    * past which (≈490 k+ vectors at the doubled 64-table/T=64 budget)
+    * past which (≈490 k+ vectors at the 4×-table/T=32 budget — the
+    * same rows-per-vector as the old 2×/T=64 pairing)
     * the cell path is the only family member left.
     * `spark.graft.srp.escalateMultiprobe=false` skips the tier
     * entirely. */
@@ -416,10 +417,16 @@ object VectorQs {
 
   /** Probes per band row for the escalation tier's QUERY-DIRECTED
     * multiprobe (margin-ranked prefix of the weight-≤2 neighborhood;
-    * ≥ the 137-mask ball = the full flip-2 form). Default 64 — the
-    * measured 200 k point (round 18: 1 384 s / recall 0.948 at the
-    * DEFAULT 8 GiB heap, at twice the query's table budget, vs the full
-    * ball's 1 812 s / 0.808 at 48 g). */
+    * ≥ the 137-mask ball = the full flip-2 form). Default is
+    * HEAP-KEYED with the table multiplier (see the router): 32 at four
+    * times the query's table budget on a ≥40 GiB heap — the measured
+    * recall-per-row optimum (round 18, §2.0.2: at the 200 k cliff and
+    * the IDENTICAL 819 M expansion-row budget, 128 tables/T=32 reads
+    * recall 0.987 where 64 tables/T=64 reads 0.948 — table diversity
+    * beats probe depth at equal rows, the Indyk–Motwani amplifier
+    * prediction measured both ways at two tiers) — and 64 at twice the
+    * budget below it, the form measured to SURVIVE a default 8 GiB
+    * heap. */
   private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
@@ -490,25 +497,43 @@ object VectorQs {
       // the cell path reads ~1 s / 0.062. The escalated form's cost is
       // the probe-expansion stream, priced below against its own bound.
       // The escalated form (round 18 measurements, §2.0.2's default-heap
-      // table): 16-bit codes at TWICE the query's table budget with
-      // T=64 margin-ranked probes per band, pairs normalized
-      // least/greatest (either side's probes may discover the pair). At
-      // the 200k-vector cliff it reads 1 384 s / recall 0.948 AT THE
-      // DEFAULT 8 GiB HEAP (the round-17 form needed 48 g and read
-      // 662 s / 0.904 — the recall delta is the pair normalization, the
-      // wall delta is 6× less memory; a provisioned driver gets the fast
-      // wall back with no conf changes) where the full flip-2 ball reads
-      // 1 812 s / 0.808 at 48 g — and it costs FEWER expansion rows
-      // (vectors·2tables·64 vs vectors·tables·137), so it dominates the
-      // full-ball escalation on probe rows and recall, and on wall at
-      // equal provisioning. spark.graft.srp.qdProbes tunes T (>= the
-      // 137-mask ball = the full flip-2 form).
+      // table): 16-bit codes at FOUR times the query's table budget with
+      // T=32 margin-ranked probes per band, pairs normalized
+      // least/greatest (either side's probes may discover the pair). The
+      // (4×, 32) pairing is the measured recall-per-row optimum: at the
+      // 200k cliff and the IDENTICAL 819 M expansion-row budget it reads
+      // recall 0.987 where (2×, 64) reads 0.948 — table diversity beats
+      // probe depth at equal rows, measured both ways at two tiers
+      // (§2.0.2). The round-17 form needed a 48 g driver; the round-18
+      // restructure (slim-only caching, cap elision) runs the tier at
+      // the DEFAULT 8 GiB heap, spill-bound — a provisioned driver gets
+      // the fast wall back with no conf changes. The full flip-2 ball
+      // at 1× tables reads 1 812 s / 0.808 (48 g) for MORE expansion
+      // rows (vectors·tables·137 vs vectors·4tables·32), so the qd form
+      // dominates it on probe rows and recall simultaneously.
+      // spark.graft.srp.qdProbes tunes T (>= the 137-mask ball = the
+      // full flip-2 form).
       val tables = numMatrices * 64 / bandBits
       val escalate = s.conf.getOption(SrpEscalateKey).forall(_.toBoolean)
       val probeBudget = s.conf.getOption(SrpMaxProbeRowsKey).map(_.toLong)
         .getOrElse(2000000000L)
-      val qdProbes = s.conf.getOption(SrpQdProbesKey).map(_.toInt).getOrElse(64)
-      val escTables = 2 * tables
+      // FORM SELECTION IS HEAP-KEYED (round 18): the (4×-table, T=32)
+      // pairing wins on recall-per-row at the identical expansion
+      // budget (0.987 vs 0.948 at the 200 k cliff), but its 128-table
+      // hash builds were MEASURED to OOM the default 8 GiB heap
+      // (134–165 MB dedicated hash-map pages × 32 tasks), while the
+      // (2×, T=64) form is measured-survivable there (1 384 s / 0.948
+      // at 8 g) and the (4×, 32) form is measured-good at 48 g
+      // (1 217 s / 0.987). Shipping the optimum unconditionally would
+      // recreate the round-17 default-heap OOM this router exists to
+      // prevent, so the form keys on the heap the JVM actually has —
+      // boundary above the measured-failing point with margin;
+      // spark.graft.srp.qdProbes overrides T either way. probeRows is
+      // identical for both pairings, so the budget gate is form-blind.
+      val bigHeap = Runtime.getRuntime.maxMemory() >= (40L << 30)
+      val qdProbes = s.conf.getOption(SrpQdProbesKey).map(_.toInt)
+        .getOrElse(if (bigHeap) 32 else 64)
+      val escTables = (if (bigHeap) 4 else 2) * tables
       val perRow = math.min(qdProbes, srpFlipMasks(16, 2).size)
       val probeRows =
         if (!escalate) Long.MaxValue
@@ -520,11 +545,13 @@ object VectorQs {
           s"16-bit query-directed multiprobe form ($escTables tables, " +
           s"T=$perRow margin-ranked probes; $probeRows expansion rows <= " +
           s"$SrpMaxProbeRowsKey=$probeBudget). Measured trade at 200k " +
-          "vectors: 1384 s / recall 0.948 at the default 8g heap (662 s " +
-          "at 48g under the round-17 form) vs the 8-bit join's 595 s / " +
-          "0.444 (cap-truncated) and the full flip-2 ball's 1812 s / " +
-          s"0.808 — set $SrpEscalateKey=false to route straight to the " +
-          "cell-bounded path.")
+          (if (bigHeap) "vectors: recall 0.987 at 1217 s (48g heap)"
+           else "vectors: recall 0.948 at 1384 s (default 8g heap, " +
+             "spill-bound; a >=40g heap upgrades the form to " +
+             "4x-tables/T=32 = recall 0.987 at the same row budget)") +
+          " vs the 8-bit join's 595 s / 0.444 (cap-truncated) and the " +
+          s"full flip-2 ball's 1812 s / 0.808 — set $SrpEscalateKey" +
+          "=false to route straight to the cell-bounded path.")
         srpMultiProbePairs(s, d, bandBits = 16,
           numMatrices = math.max(1, escTables * 16 / 64), flipRadius = 2,
           maxProbes = perRow)

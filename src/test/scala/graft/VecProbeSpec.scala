@@ -67,10 +67,14 @@ class VecProbeSpec extends AnyFunSuite {
 
   test("the router's escalation tier IS the qd form: routed output == direct srpMultiProbePairs") {
     // force escalation (candidate bound 0) and pin that the routed
-    // answer equals the directly-invoked 16-bit qd form at the doubled
-    // table budget — the wiring identity PlanSpec's shape pin can't see
+    // answer equals the directly-invoked 16-bit qd form the router's
+    // HEAP-KEYED selection picks on this JVM — (4×-table, T=32) on a
+    // ≥40 GiB heap, the measured-survivable (2×, T=64) below it — the
+    // wiring identity PlanSpec's shape pin can't see
+    val bigHeap = Runtime.getRuntime.maxMemory() >= (40L << 30)
+    val (nm, t) = if (bigHeap) (32, 32) else (16, 64)
     val direct = VectorQs.srpMultiProbePairs(spark, sf, bandBits = W,
-        numMatrices = 16, flipRadius = 2, maxProbes = 64)
+        numMatrices = nm, flipRadius = 2, maxProbes = t)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     spark.conf.set(VectorQs.SrpMaxCandsKey, "0")
     try {
