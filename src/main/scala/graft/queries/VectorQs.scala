@@ -506,10 +506,13 @@ object VectorQs {
       // probe depth at equal rows, measured both ways at two tiers
       // (§2.0.2). The round-17 form needed a 48 g driver; the round-18
       // restructure (slim-only caching, cap elision) runs the tier at
-      // the DEFAULT 8 GiB heap, spill-bound — a provisioned driver gets
-      // the fast wall back with no conf changes. The full flip-2 ball
-      // at 1× tables reads 1 812 s / 0.808 (48 g) for MORE expansion
-      // rows (vectors·tables·137 vs vectors·4tables·32), so the qd form
+      // the DEFAULT 8 GiB heap, spill-bound — and what extra heap buys
+      // under this form is RECALL, not wall (measured: 2×/T=64 reads
+      // 1 384 s at 8 g vs 1 151 s at 48 g — the shuffle pipeline is
+      // disk-bound either way; the heap-keyed 4×/T=32 upgrade spends
+      // the same rows for 0.987). The full flip-2 ball at 1× tables
+      // reads 1 812 s / 0.808 (48 g) for MORE expansion rows
+      // (vectors·tables·137 vs vectors·4tables·32), so the qd form
       // dominates it on probe rows and recall simultaneously.
       // spark.graft.srp.qdProbes tunes T (>= the 137-mask ball = the
       // full flip-2 form).
