@@ -496,17 +496,31 @@ object IncrAttrTable {
         else IndexLayout.initMeta(s, idx)
       def hinted(df: DataFrame): DataFrame =
         if (broadcastProbe) broadcast(df) else df
-      // optional quality gate (DocStream's conf and semantics): rejected
-      // docs are excluded from shingling, so they produce no candidates,
-      // classify as nothing but low_quality, and never enter the index
+      // optional language gate FIRST, then the quality gate — both
+      // DocStream's confs and semantics verbatim (IngestSpec pins the
+      // fused loop equals DocStream-then-tagging, so the precedence
+      // wrong_lang → low_quality → dup_corpus → dup_batch → new must be
+      // identical): rejected docs are excluded from scoring/shingling,
+      // so they produce no candidates, classify as nothing but their
+      // gate status, and never enter the index
+      val wrongLang: Option[DataFrame] =
+        s.conf.getOption(graft.streaming.DocStream.LangAllowConfKey)
+          .map { csv =>
+            val allow = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            TextOps.langIdScoresOf(docs)
+              .filter(!col("pred_lang").isin(allow: _*))
+              .select(col("doc_id")).persist()
+          }
+      val postLang = wrongLang.fold(docs)(w =>
+        docs.join(w, Seq("doc_id"), "left_anti"))
       val lowQ: Option[DataFrame] =
         s.conf.getOption(graft.streaming.DocStream.MinScoreConfKey)
           .map(_.toLong).map { m =>
-            TextOps.modelScoresOf(docs).filter(col("score") <= m)
+            TextOps.modelScoresOf(postLang).filter(col("score") <= m)
               .select(col("doc_id")).persist()
           }
-      val eligible = lowQ.fold(docs)(l =>
-        docs.join(l, Seq("doc_id"), "left_anti"))
+      val eligible = lowQ.fold(postLang)(l =>
+        postLang.join(l, Seq("doc_id"), "left_anti"))
       val newSh = DedupQs.shinglesOf(eligible).persist()
       val newBands = DedupQs.minhashBandsOf(newSh).persist()
       var cands: DataFrame = null
@@ -514,10 +528,16 @@ object IncrAttrTable {
         val (dupResident, dupBatch, c) =
           dupProbe(s, root, nb, newSh, newBands, broadcastProbe, eff)
         cands = c
-        val withLq = lowQ match {
-          case Some(l) => docs.select("doc_id")
-            .join(hinted(l.withColumn("__lq", lit(true))), Seq("doc_id"), "left")
+        val withWl = wrongLang match {
+          case Some(w) => docs.select("doc_id")
+            .join(hinted(w.withColumn("__wl", lit(true))), Seq("doc_id"), "left")
           case None => docs.select("doc_id")
+            .withColumn("__wl", lit(null).cast("boolean"))
+        }
+        val withLq = lowQ match {
+          case Some(l) => withWl
+            .join(hinted(l.withColumn("__lq", lit(true))), Seq("doc_id"), "left")
+          case None => withWl
             .withColumn("__lq", lit(null).cast("boolean"))
         }
         withLq
@@ -526,7 +546,8 @@ object IncrAttrTable {
           .join(hinted(dupBatch.withColumn("__db", lit(true))),
             Seq("doc_id"), "left")
           .select(col("doc_id"),
-            when(col("__lq"), "low_quality")
+            when(col("__wl"), "wrong_lang")
+              .when(col("__lq"), "low_quality")
               .when(col("__dc"), "dup_corpus")
               .when(col("__db"), "dup_batch")
               .otherwise("new").as("status"))
@@ -597,6 +618,7 @@ object IncrAttrTable {
       } finally {
         newSh.unpersist(); newBands.unpersist()
         lowQ.foreach(_.unpersist())
+        wrongLang.foreach(_.unpersist())
         if (cands != null) cands.unpersist()
       }
     }

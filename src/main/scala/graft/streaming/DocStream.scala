@@ -83,6 +83,20 @@ object DocStream {
     * gate is off and admission behavior is byte-identical to before. */
   val MinScoreConfKey = "spark.graft.stream.minScore"
 
+  /** Conf key for the OPTIONAL streaming LANGUAGE gate: a CSV of allowed
+    * language codes. When set, each micro-batch runs the q150 classifier
+    * ([[TextOps.langIdScoresOf]] — the exact graded definition) FIRST,
+    * and docs whose argmax lands outside the set are recorded
+    * `wrong_lang` and neither quality-scored, dedup-classified, nor
+    * indexed — the CCNet/Dolma pipeline order, where lang-id is the
+    * first gate and everything downstream sees one language. Precedence
+    * above the quality gate: `wrong_lang` → `low_quality` →
+    * `dup_corpus` → `dup_batch` → `new`. A doc too short to classify
+    * (no char trigram — q150's absent-row contract) PASSES the gate:
+    * it cannot be attributed to a wrong language. Unset (default) the
+    * gate is off and admission behavior is byte-identical to before. */
+  val LangAllowConfKey = "spark.graft.stream.langAllow"
+
   // the canonical bucket assignments ([[IndexLayout.bucketExpr]]) — the
   // re-bucketing compaction reassigns with the identical expressions
   private def bandBucket(nb: Int): Column = IndexLayout.bucketExpr("bands", nb)
@@ -168,6 +182,21 @@ object DocStream {
       outDir: String, batchId: Long): Unit = {
     val spark = docs.sparkSession
     val nb = IndexLayout.numBuckets(spark, indexDir)
+    // optional language gate FIRST (see LangAllowConfKey): rejected
+    // docs skip the quality scorer, the shingler, and the index —
+    // everything downstream of lang-id sees one language. Persisted for
+    // the same two consumers as the quality flag.
+    val wrongLang: Option[DataFrame] =
+      spark.conf.getOption(LangAllowConfKey).map { csv =>
+        val allow = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        TextOps.langIdScoresOf(docs)
+          .filter(!col("pred_lang").isin(allow: _*))
+          .select(col("doc_id")).persist()
+      }
+    val postLang = wrongLang match {
+      case Some(w) => docs.join(w, Seq("doc_id"), "left_anti")
+      case None => docs
+    }
     // optional quality gate (see MinScoreConfKey): rejected docs are
     // excluded from shingling, so they produce no candidates, classify
     // as nothing but low_quality, and never enter the index. Persisted
@@ -175,12 +204,12 @@ object DocStream {
     // final status projection.
     val lowQ: Option[DataFrame] =
       spark.conf.getOption(MinScoreConfKey).map(_.toLong).map { m =>
-        TextOps.modelScoresOf(docs).filter(col("score") <= m)
+        TextOps.modelScoresOf(postLang).filter(col("score") <= m)
           .select(col("doc_id")).persist()
       }
     val eligible = lowQ match {
-      case Some(l) => docs.join(l, Seq("doc_id"), "left_anti")
-      case None => docs
+      case Some(l) => postLang.join(l, Seq("doc_id"), "left_anti")
+      case None => postLang
     }
     val sh = eligible
       .select(col("doc_id"), TextOps.shingleHashes(col("text")).as("shingles"))
@@ -243,17 +272,24 @@ object DocStream {
       val dupCorpus = verify(candsCorpus, idxSh).withColumn("__dc", lit(true))
       val dupBatch = verify(candsBatch, sh).withColumn("__db", lit(true))
 
-      val withLq = lowQ match {
-        case Some(l) => docs.select("doc_id")
-          .join(l.withColumn("__lq", lit(true)), Seq("doc_id"), "left")
+      val withWl = wrongLang match {
+        case Some(w) => docs.select("doc_id")
+          .join(w.withColumn("__wl", lit(true)), Seq("doc_id"), "left")
         case None => docs.select("doc_id")
+          .withColumn("__wl", lit(null).cast("boolean"))
+      }
+      val withLq = lowQ match {
+        case Some(l) => withWl
+          .join(l.withColumn("__lq", lit(true)), Seq("doc_id"), "left")
+        case None => withWl
           .withColumn("__lq", lit(null).cast("boolean"))
       }
       withLq
         .join(dupCorpus, Seq("doc_id"), "left")
         .join(dupBatch, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          when(col("__lq"), "low_quality")
+          when(col("__wl"), "wrong_lang")
+            .when(col("__lq"), "low_quality")
             .when(col("__dc"), "dup_corpus")
             .when(col("__db"), "dup_batch")
             .otherwise("new").as("status"),
@@ -282,6 +318,7 @@ object DocStream {
       sh.unpersist()
       bands.unpersist()
       lowQ.foreach(_.unpersist())
+      wrongLang.foreach(_.unpersist())
       if (candsCorpus != null) candsCorpus.unpersist()
     }
   }

@@ -251,6 +251,55 @@ class IngestSpec extends AnyFunSuite {
     assert(lmAfter == lmBefore, "a later batch re-seeded the frozen LM")
   }
 
+  test("language gate: wrong_lang precedence, fused equals composed, nothing indexed") {
+    // the CCNet order at the admission boundary: lang-id (q150's graded
+    // classifier, one definition) gates FIRST; rejected docs are never
+    // scored, classified, or indexed. The allow-list is derived from the
+    // classifier itself so the fixture cannot drift: allow the majority
+    // prediction, expect the minority to read wrong_lang in BOTH loops.
+    val all = df(batch0 ++ batch1)
+    val preds = graft.ops.TextOps.langIdScoresOf(all)
+      .select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    val majority = preds.values.groupBy(identity).maxBy(_._2.size)._1
+    val expectWrong = preds.filter(_._2 != majority).keySet
+    assert(expectWrong.nonEmpty && expectWrong.size < preds.size,
+      s"fixture too weak: preds $preds")
+
+    spark.conf.set(DocStream.LangAllowConfKey, majority)
+    try {
+      val fusedRoot = freshRoot()
+      IncrAttrTable.ingestBatch(spark, fusedRoot, df(batch0), batchId = 0L)
+      IncrAttrTable.ingestBatch(spark, fusedRoot, df(batch1), batchId = 1L)
+      val fused = spark.read.parquet(s"$fusedRoot/admissions")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+
+      val base = java.nio.file.Files.createTempDirectory("ingest-lang")
+      val (indexDir, outDir) = (s"$base/index", s"$base/out")
+      DocStream.seedIndex(
+        spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("text"))
+          .filter(lit(false)), indexDir)
+      DocStream.admitBatch(df(batch0).select("doc_id", "text"), indexDir, outDir, 0L)
+      DocStream.admitBatch(df(batch1).select("doc_id", "text"), indexDir, outDir, 1L)
+      val composed = spark.read.parquet(s"$outDir/admissions")
+        .select("doc_id", "status").as[(Long, String)].collect().toMap
+
+      assert(fused == composed,
+        s"lang-gated fused/composed diverged:\n$fused\n$composed")
+      expectWrong.foreach { id =>
+        assert(fused(id) == "wrong_lang", s"doc $id: ${fused(id)}")
+      }
+      // wrong_lang docs are tagged as nothing (the eligibility anti-join
+      // excludes them from shingling, so they also never enter the
+      // index — the same mechanism the low_quality tests already pin)
+      val attrs = spark.read.parquet(s"$fusedRoot/attrs")
+        .select("doc_id").as[Long].collect().toSet
+      assert(attrs.intersect(expectWrong).isEmpty,
+        "a wrong_lang doc got an attribute row")
+      assert(attrs.nonEmpty, "fixture too weak: nothing admitted at all")
+    } finally spark.conf.unset(DocStream.LangAllowConfKey)
+  }
+
   test("streamed context windows equal q146's batch answer over the admitted docs") {
     // the round-17 verdict's ask #7: q146 gets an incremental expression
     // — each ingest transaction emits the admitted docs' windows (ONE
