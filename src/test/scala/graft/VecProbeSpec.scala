@@ -102,4 +102,34 @@ class VecProbeSpec extends AnyFunSuite {
     // exact 16-bit matching (the regime the escalation exists for)
     assert(qd16.size >= exactBucket.size)
   }
+
+  test("cap elision must NOT elide when a bucket genuinely exceeds the cap") {
+    // plant a corpus where 1100 identical vectors share every band
+    // bucket (occupancy 1100 > the 1000 cap): the round-18 elision
+    // predicate must come back false and the capped path must DROP the
+    // over-cap bucket's candidates — the identical vectors' pairs are
+    // absent while a distinct under-cap near pair still verifies. An
+    // incorrect always-elide would emit ~604 k identical-vector pairs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vecprobe-cap").toString
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val nearA = base.clone(); val nearB = base.map(f => (f * 1.001f))
+    val hot = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val rows =
+      Seq(1L -> nearA.toSeq, 2L -> nearB.toSeq) ++
+        (10L until 1110L).map(id => id -> hot.toSeq)
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0L))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = VectorQs.srpMultiProbePairs(spark, dir, bandBits = W,
+        numMatrices = 1, flipRadius = 2, maxProbes = 4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 10L && p._2 >= 10L),
+      s"over-cap bucket's pairs leaked through (${pairs.size} pairs) — " +
+        "the elision predicate fired on an overfull corpus")
+    assert(pairs.contains((1L, 2L)),
+      "the under-cap near pair vanished — the capped path over-dropped")
+  }
 }
