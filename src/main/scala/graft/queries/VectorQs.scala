@@ -49,9 +49,10 @@ object VectorQs {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
   private[graft] def vecBroadcastOk(s: SparkSession, d: String): Boolean = {
-    val est = vecBroadcastEst.computeIfAbsent((s, d), { _ =>
-      Tables.embeddings(s, d).count() * 64L
-    })
+    // memoFill, not computeIfAbsent: the fill runs a Spark count (see
+    // the non-blocking-memo note at [[memoFill]])
+    val est = memoFill(vecBroadcastEst, (s, d))(
+      Long.box(Tables.embeddings(s, d).count() * 64L))
     val bound = s.conf.getOption("spark.graft.vec.broadcastMaxFloats")
       .map(_.toLong).getOrElse(64000000L)
     est <= bound
@@ -428,6 +429,103 @@ object VectorQs {
     * budget below it, the form measured to SURVIVE a default 8 GiB
     * heap. */
   private[graft] val SrpQdProbesKey = "spark.graft.srp.qdProbes"
+
+  /** Conf override for the escalation tier's TABLE MULTIPLIER — the
+    * heap-keyed 4×-vs-2× choice ([[qdForm]]) becomes the DEFAULT only.
+    * Together with [[SrpQdProbesKey]] this pins the FULL escalated form
+    * explicitly, so a routed query's candidate set and recall are
+    * reproducible by configuration alone across machines with different
+    * heaps (round-18 ADVICE: nothing could pin the multiplier). */
+  private[graft] val SrpQdTableMultKey = "spark.graft.srp.qdTableMultiplier"
+
+  /** Conf override (bytes) for the scratch-space budget the escalation's
+    * DISK gate prices against — see [[qdScratchBudgetBytes]]. */
+  private[graft] val SrpQdScratchKey = "spark.graft.srp.qdScratchBytes"
+
+  /** Measured shuffle-scratch cost per expansion row for the escalated
+    * qd form, compression included (round-18 §2.0.2 calibration: the
+    * 128-table/T=64 rung at 200 k vectors = 1.638 G expansion rows died
+    * at ENOSPC with ~77 GB of scratch written → ~47 B/row; rounded up).
+    * The dominant term is the expansion join's shuffle spill — slim
+    * (vec_a, table_idx, bits) rows, but written once per sort pass on
+    * both the expansion and distinct exchanges. */
+  private[graft] val QdScratchBytesPerRow = 48L
+
+  /** The JVM heap the escalated form's hash builds will actually get —
+    * the EXECUTOR's, because the OOM this key guards against is
+    * executor-side (134–165 MB dedicated hash-map pages × tasks in the
+    * 128-table build, captured round 18). In local mode the driver JVM
+    * IS the executor, so `Runtime.maxMemory` is exact — every measured
+    * configuration. On a real cluster the planner runs on the driver
+    * and its own heap is irrelevant: the key reads
+    * `spark.executor.memory` (the executor JVM's -Xmx; Spark's default
+    * 1g when unset). Round-19 fix — the round-18 form read
+    * `Runtime.maxMemory` unconditionally, so a 64 g-driver/8 g-executor
+    * deployment would have shipped the measured-OOM form and an
+    * 8 g-driver/64 g-executor one silently forfeited 0.04 recall. */
+  private[graft] def qdEffectiveHeapBytes(master: String,
+      executorMemory: Option[String], runtimeMax: Long): Long =
+    if (master.startsWith("local")) runtimeMax
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      executorMemory.getOrElse("1g"))
+
+  /** The escalated form — (table multiplier, probes per band row) — for
+    * an effective executor heap, with conf overrides applied. Pure so
+    * VecProbeSpec pins BOTH cluster regimes without a second JVM: the
+    * (4×, T=32) pairing is the measured recall-per-row optimum (0.987
+    * at the 200 k cliff) but its 128-table hash builds measured-OOM an
+    * 8 GiB heap, while (2×, T=64) is measured-survivable there (0.948);
+    * the boundary sits above the failing point with margin. */
+  private[graft] def qdForm(effectiveHeap: Long, confMult: Option[Int],
+      confProbes: Option[Int]): (Int, Int) = {
+    val bigHeap = effectiveHeap >= (40L << 30)
+    (confMult.getOrElse(if (bigHeap) 4 else 2),
+      confProbes.getOrElse(if (bigHeap) 32 else 64))
+  }
+
+  /** The scratch budget the escalated tier's expansion shuffle must fit
+    * (the HEAP lesson applied to disk — round-18 measured the dense
+    * 128-table/T=64 rung dying at ENOSPC, ~77 GB on a 78 GB disk, with
+    * nothing gating it: a user raising [[SrpQdProbesKey]] re-created the
+    * death). In local mode the budget is the measured usable space of
+    * the shuffle dirs (`spark.local.dir`, default java.io.tmpdir) — the
+    * JVM writing the spill is THIS one. On a real cluster executor
+    * disks parallelize the scratch (exactly the resource the single-node
+    * ceiling identified), and the driver's own disk says nothing about
+    * them — so the default is unbounded and [[SrpQdScratchKey]] is the
+    * explicit per-deployment bound. */
+  private[graft] def qdScratchBudgetBytes(s: SparkSession): Long =
+    s.conf.getOption(SrpQdScratchKey).map(_.toLong).getOrElse {
+      if (!s.conf.get("spark.master", "local").startsWith("local"))
+        Long.MaxValue
+      else
+        s.conf.getOption("spark.local.dir")
+          .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(",").map(_.trim).filter(_.nonEmpty).distinct
+          .map(p => new java.io.File(p).getUsableSpace).sum
+    }
+
+  /** Non-blocking memo fill for the per-corpus verdict maps below:
+    * `computeIfAbsent` holds the hash bin's lock for the mapping
+    * function's whole duration, and these fills run FULL SPARK JOBS — a
+    * concurrent caller hashing to the same bin would stall behind the
+    * job (and ConcurrentHashMap documents mapping functions "short and
+    * simple"). Compute OUTSIDE the map instead: at worst two concurrent
+    * callers duplicate one bounded aggregate, and `putIfAbsent` keeps
+    * the first verdict so every caller agrees. */
+  private def memoFill[K, V <: AnyRef](
+      map: java.util.concurrent.ConcurrentHashMap[K, V], k: K)(
+      compute: => V): V = {
+    val hit = map.get(k)
+    if (hit != null) hit
+    else {
+      val v = compute
+      val prev = map.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+
   private val srpCandEst =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), java.lang.Long]()
   /** Memoized "no bucket exceeds the cap" verdicts for the qd path's cap
@@ -479,12 +577,12 @@ object VectorQs {
     }
     val bound = s.conf.getOption(SrpMaxCandsKey).map(_.toLong)
       .getOrElse(100000000L)
-    val est: Long = srpCandEst.computeIfAbsent((s, d, tag), { _ =>
+    val est: Long = memoFill(srpCandEst, (s, d, tag)) {
       val row = capped.groupBy("table_idx", "bits")
         .agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) div 2"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    })
+      Long.box(if (row.isNullAt(0)) 0L else row.getLong(0))
+    }
     if (est > bound) {
       // ESCALATION TIER (round 17, measured at §2.0.2's multiprobe
       // table): before conceding the density to the recall-poor cell
@@ -520,49 +618,73 @@ object VectorQs {
       val escalate = s.conf.getOption(SrpEscalateKey).forall(_.toBoolean)
       val probeBudget = s.conf.getOption(SrpMaxProbeRowsKey).map(_.toLong)
         .getOrElse(2000000000L)
-      // FORM SELECTION IS HEAP-KEYED (round 18): the (4×-table, T=32)
-      // pairing wins on recall-per-row at the identical expansion
-      // budget (0.987 vs 0.948 at the 200 k cliff), but its 128-table
-      // hash builds were MEASURED to OOM the default 8 GiB heap
-      // (134–165 MB dedicated hash-map pages × 32 tasks), while the
-      // (2×, T=64) form is measured-survivable there (1 384 s / 0.948
-      // at 8 g) and the (4×, 32) form is measured-good at 48 g
-      // (1 217 s / 0.987). Shipping the optimum unconditionally would
-      // recreate the round-17 default-heap OOM this router exists to
-      // prevent, so the form keys on the heap the JVM actually has —
-      // boundary above the measured-failing point with margin;
-      // spark.graft.srp.qdProbes overrides T either way. probeRows is
-      // identical for both pairings, so the budget gate is form-blind.
-      val bigHeap = Runtime.getRuntime.maxMemory() >= (40L << 30)
-      val qdProbes = s.conf.getOption(SrpQdProbesKey).map(_.toInt)
-        .getOrElse(if (bigHeap) 32 else 64)
-      val escTables = (if (bigHeap) 4 else 2) * tables
+      // FORM SELECTION IS HEAP-KEYED (round 18; round 19 made the key
+      // CLUSTER-CORRECT and conf-pinnable): the (4×-table, T=32) pairing
+      // wins on recall-per-row at the identical expansion budget (0.987
+      // vs 0.948 at the 200 k cliff), but its 128-table hash builds were
+      // MEASURED to OOM a default 8 GiB heap (134–165 MB dedicated
+      // hash-map pages × 32 tasks), while the (2×, T=64) form is
+      // measured-survivable there (1 384 s / 0.948 at 8 g) and the
+      // (4×, 32) form is measured-good at 48 g (1 217 s / 0.987).
+      // Shipping the optimum unconditionally would recreate the
+      // round-17 default-heap OOM this router exists to prevent, so the
+      // form keys on the heap the EXECUTORS actually have
+      // ([[qdEffectiveHeapBytes]] — the hash builds are executor-side;
+      // `spark.executor.memory` when the master is not local, this JVM
+      // otherwise), boundary above the measured-failing point with
+      // margin. spark.graft.srp.qdTableMultiplier / qdProbes pin the
+      // full form explicitly (reproducibility across heaps). probeRows
+      // is identical for both default pairings, so the budget gate is
+      // form-blind.
+      val effHeap = qdEffectiveHeapBytes(s.conf.get("spark.master", "local"),
+        s.conf.getOption("spark.executor.memory"),
+        Runtime.getRuntime.maxMemory())
+      val (qdMult, qdProbes) = qdForm(effHeap,
+        s.conf.getOption(SrpQdTableMultKey).map(_.toInt),
+        s.conf.getOption(SrpQdProbesKey).map(_.toInt))
+      val escTables = qdMult * tables
       val perRow = math.min(qdProbes, srpFlipMasks(16, 2).size)
       val probeRows =
         if (!escalate) Long.MaxValue
-        else embCount.computeIfAbsent((s, d),
-          _ => Tables.embeddings(s, d).count()) * escTables * perRow
-      if (escalate && probeRows <= probeBudget) {
+        else memoFill(embCount, (s, d))(
+          Long.box(Tables.embeddings(s, d).count())) * escTables * perRow
+      // DISK GATE (round 19): the expansion shuffle's spill must also
+      // FIT — the 128-table/T=64 rung died twice at ENOSPC (~77 GB
+      // scratch on a 78 GB disk, §2.0.2) and nothing guarded it; a user
+      // raising qdProbes re-created the death. Same shape as the row
+      // budget: divide (not multiply) so the !escalate sentinel can't
+      // overflow. Budget semantics in [[qdScratchBudgetBytes]].
+      val scratchBudget = qdScratchBudgetBytes(s)
+      val fitsScratch = probeRows <= scratchBudget / QdScratchBytesPerRow
+      if (escalate && probeRows <= probeBudget && fitsScratch) {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d — escalating to the " +
-          s"16-bit query-directed multiprobe form ($escTables tables, " +
-          s"T=$perRow margin-ranked probes; $probeRows expansion rows <= " +
-          s"$SrpMaxProbeRowsKey=$probeBudget). Measured trade at 200k " +
-          (if (bigHeap) "vectors: recall 0.987 at 1217 s (48g heap)"
-           else "vectors: recall 0.948 at 1384 s (default 8g heap, " +
-             "spill-bound; a >=40g heap upgrades the form to " +
-             "4x-tables/T=32 = recall 0.987 at the same row budget)") +
-          " vs the 8-bit join's 595 s / 0.444 (cap-truncated) and the " +
-          s"full flip-2 ball's 1812 s / 0.808 — set $SrpEscalateKey" +
-          "=false to route straight to the cell-bounded path.")
+          s"16-bit query-directed multiprobe form ($escTables tables = " +
+          s"${qdMult}x the query's budget, T=$perRow margin-ranked probes; " +
+          s"$probeRows expansion rows <= $SrpMaxProbeRowsKey=$probeBudget, " +
+          s"~${probeRows * QdScratchBytesPerRow >> 30} GiB scratch <= " +
+          s"budget ${scratchBudget >> 30} GiB). Measured trades at 200k " +
+          "vectors: (4x, T=32) = recall 0.987 at 1217 s on a >=40g heap; " +
+          "(2x, T=64) = recall 0.948 at 1384 s at the default 8g, " +
+          "spill-bound — vs the 8-bit join's 595 s / 0.444 (cap-" +
+          "truncated) and the full flip-2 ball's 1812 s / 0.808. Set " +
+          s"$SrpEscalateKey=false to route straight to the cell-bounded " +
+          s"path; $SrpQdTableMultKey/$SrpQdProbesKey pin the form.")
         srpMultiProbePairs(s, d, bandBits = 16,
           numMatrices = math.max(1, escTables * 16 / 64), flipRadius = 2,
           maxProbes = perRow)
       } else {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d" +
-          (if (escalate) s" and the multiprobe escalation's $probeRows " +
-            s"expansion rows exceed $SrpMaxProbeRowsKey=$probeBudget" else "") +
+          (if (escalate && probeRows > probeBudget)
+            s" and the multiprobe escalation's $probeRows expansion rows " +
+              s"exceed $SrpMaxProbeRowsKey=$probeBudget" else "") +
+          (if (escalate && !fitsScratch)
+            s" and the escalation's estimated shuffle scratch " +
+              s"(~${probeRows * QdScratchBytesPerRow >> 30} GiB at " +
+              s"$QdScratchBytesPerRow B/row) exceeds the " +
+              s"${scratchBudget >> 30} GiB budget ($SrpQdScratchKey; the " +
+              "measured ENOSPC class this gate exists for)" else "") +
           " — the SRP family is past its measured feasibility point at this " +
           "density. Routing to the cell-bounded semantic path; raise the " +
           "bounds to force an SRP form.")
@@ -667,10 +789,10 @@ object VectorQs {
       // aggregate over the memoized slim bands decides (memoized per
       // corpus like srpCandEst); when a bucket IS overfull both sides
       // keep the full cap discipline unchanged.
-      val capNoop: Boolean = srpCapNoop.computeIfAbsent((s, d, tag), { _ =>
-        bands.groupBy("table_idx", "bits").agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1000).isEmpty
-      })
+      val capNoop: Boolean = memoFill(srpCapNoop, (s, d, tag))(
+        java.lang.Boolean.valueOf(
+          bands.groupBy("table_idx", "bits").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1000).isEmpty))
       val capped =
         if (capNoop) bands
         else graft.Memo.cached(s, d, tag + "_capped") {
