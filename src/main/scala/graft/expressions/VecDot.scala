@@ -104,6 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramHash128].getName, "ngram_hash128"),
       (children: Seq[Expression]) => NgramHash128(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("char_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "char_grams"),
+      (children: Seq[Expression]) => CharGrams(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("chunk_hash64"),
       new ExpressionInfo(classOf[ChunkHash64].getName, "chunk_hash64"),
       (children: Seq[Expression]) => ChunkHash64(children(0), children(1))))

@@ -388,23 +388,16 @@ object TextOps {
         array_join(col("win"), " ").as("window_text"))
 
   /** Character n-grams WITH multiplicity (stride 1) — the fastText-style
-    * language-ID feature stream. Same UDF-over-HOF reasoning as
-    * [[shingles]]: a JVM while-loop beats the CodegenFallback
-    * `transform(sequence(...))` by ~an order of magnitude on a
-    * corpus-sized scan, and both are narrow maps. Mirrored exactly by
-    * DuckDB's `[substr(text, i, n) for i in range(1, len-n+2)]`
-    * (corpus text is ASCII, so Java's UTF-16 indexing and DuckDB's
-    * character indexing agree). */
-  def charGrams(text: Column, n: Int = 3): Column = charGramUdf(text, lit(n))
-
-  private val charGramUdf = udf((text: String, n: Int) =>
-    if (text == null || text.length < n) Array.empty[String]
-    else {
-      val out = new Array[String](text.length - n + 1)
-      var i = 0
-      while (i + n <= text.length) { out(i) = text.substring(i, i + n); i += 1 }
-      out
-    })
+    * language-ID feature stream. Native codegen expression
+    * ([[graft.expressions.CharGrams]], the ShingleHash64 precedent —
+    * round 19 replaced the per-row Scala UDF that sat on q150 AND on
+    * every streamed batch through the language gate): grams are
+    * zero-copy byte slices inside whole-stage codegen, indexed BY CODE
+    * POINT, so DuckDB's `[substr(text, i, n) for i in range(1,
+    * len-n+2)]` mirror agrees on every string — not just ASCII, which
+    * was all the UDF's UTF-16 indexing could guarantee. */
+  def charGrams(text: Column, n: Int = 3): Column =
+    call_function("char_grams", text, lit(n))
 
   /** Hashed char-n-gram LINEAR language classifier (the fastText
     * lang-id architecture — Joulin et al. 2016 — built from q129's
@@ -431,7 +424,12 @@ object TextOps {
       ((b.toLong + 7919L * (li + 1)) * 2654435761L) % 1000003L - 501001L)
 
   def langIdScoresOf(docs: DataFrame): DataFrame = {
-    val langs = langMarkers.map(_._1)
+    // sorted EXPLICITLY: the argmax tie-break below resolves to the
+    // outermost `when`, i.e. the first element of this seq — the
+    // documented "alphabetically first language" contract must be
+    // structural, not a coincidence of langMarkers' declaration order
+    // (round-18 ADVICE; the oracle generator sorts the same way)
+    val langs = langMarkers.map(_._1).sorted
     val bucket = (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
       % LangIdBuckets + 1).cast("int")
     val scored = docs

@@ -194,7 +194,9 @@ object TextQs {
   val q32 = Q(
     "q32_lang_id",
     (s, d) => {
-      val scoreCols = TextOps.langMarkers.map { case (l, ms) =>
+      // sortBy: the tie-break contract is "alphabetically first", which
+      // must not depend on langMarkers' declaration order (ADVICE r18)
+      val scoreCols = TextOps.langMarkers.sortBy(_._1).map { case (l, ms) =>
         l -> TextOps.langScore(col("text"), ms)
       }
       val best = scoreCols.map(_._2).reduce(greatest(_, _))
@@ -2057,7 +2059,7 @@ object TextQs {
     (s, d) => {
       TextOps.langIdScoresOf(Tables.documents(s, d))
         .select(col("doc_id") +: col("pred_lang") +: col("n_grams") +:
-          TextOps.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+          TextOps.langMarkers.map(_._1).sorted.map(l => col(s"score_$l")): _*)
         .orderBy("doc_id")
     },
     Some {
@@ -2098,5 +2100,7 @@ object TextQs {
   * [[graft.ops.TextOps.langMarkers]] by construction — same value).
   */
 private object TextQsOracle {
-  val markers: Seq[(String, Seq[String])] = TextOps.langMarkers
+  // sorted like every engine-side consumer (the alphabetical tie-break
+  // and column order must be structural on BOTH sides — ADVICE r18)
+  val markers: Seq[(String, Seq[String])] = TextOps.langMarkers.sortBy(_._1)
 }

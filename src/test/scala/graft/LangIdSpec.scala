@@ -55,6 +55,48 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  /** Code-point reference for [[TextOps.charGrams]] — what DuckDB's
+    * `substr`/`length` (character = code point) compute. */
+  private def cpGrams(text: String, n: Int): Seq[String] = {
+    val cps = text.codePoints.toArray
+    (0 to cps.length - n).map(i => new String(cps, i, n))
+  }
+
+  test("char_grams indexes by CODE POINT: non-BMP text matches the reference, null is empty") {
+    // the round-18 UDF indexed UTF-16 code units, so a surrogate pair
+    // counted as two "characters" and grams could split it — silently
+    // diverging from the oracle's substr on any non-BMP corpus. The
+    // native expression must agree with the code-point reference on
+    // multi-byte AND astral text (ADVICE r18).
+    import spark.implicits._
+    val texts = Seq("héllo wörld", "a🎈b🚀cd",
+      "日本語のテキスト", "ab", "the plain ascii case")
+    val got = texts.toDF("text")
+      .select(col("text"), TextOps.charGrams(col("text")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach(t => assert(got(t) == cpGrams(t, 3), s"text '$t'"))
+    val nullGrams = Seq((1, null: String)).toDF("i", "text")
+      .select(TextOps.charGrams(col("text")).as("g"))
+      .head().getSeq[String](0)
+    assert(nullGrams.isEmpty, "null text must yield an EMPTY gram array")
+  }
+
+  test("the gram stage is codegen-native: q150's plan carries CharGrams, no ScalaUDF") {
+    // the language gate runs charGrams on every admitted micro-batch —
+    // the expression must stay inside whole-stage codegen, never a
+    // per-row Scala UDF (round-18 verdict wrong #2; the ShingleHash64
+    // convention pin)
+    val plan = Queries.byName("q150_lang_classifier").fn(spark, sf)
+      .queryExecution.analyzed
+    val exprs = plan.collect { case p => p.expressions }.flatten
+    assert(exprs.exists(_.exists(
+        _.isInstanceOf[graft.expressions.CharGrams])),
+      "q150's gram stage no longer uses the native char_grams expression")
+    assert(!exprs.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+      "a per-row Scala UDF crept back into q150's plan")
+  }
+
   test("prediction spreads across several languages (weights are per-language)") {
     val preds = TextOps.langIdScoresOf(Tables.documents(spark, sf))
       .groupBy("pred_lang").count().collect().map(_.getString(0)).toSet
