@@ -35,17 +35,28 @@ import org.apache.spark.sql.functions._
   */
 object AttrTable {
   private val written =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), String]()
 
-  /** Artifact directory for corpus `d` — stable per corpus so repeated
-    * sessions land on the same path, disjoint across corpora. The
+  /** Whether this session's artifact derives `lang` from the q150
+    * classifier (q136's `spark.graft.attrs.derivedLang`). The posture
+    * is part of the MEMO KEY and the DIRECTORY SLUG: the artifact
+    * freezes whichever lang definition built it, so without the split a
+    * mid-session flag flip would silently serve stale lang labels to
+    * artifact consumers (q138's lang-filtered recipes) — each posture
+    * materializes its own artifact instead (round-18 ADVICE). */
+  private def derivedLang(s: SparkSession): Boolean =
+    s.conf.getOption(graft.queries.TextQs.DerivedLangKey).exists(_.toBoolean)
+
+  /** Artifact directory for corpus `d` — stable per (corpus, lang
+    * posture) so repeated sessions land on the same path, disjoint
+    * across corpora and across [[derivedLang]] postures. The
     * leading-underscore strip is load-bearing: Hadoop's hidden-file
     * filter skips `_`/`.`-prefixed basenames, so a naively sanitized
     * `/root/...` → `_root_...` directory would be invisible to any scan
     * that lists the parent tree (and logs "All paths were ignored" even
     * on direct reads). */
-  def dir(d: String): String =
-    "/tmp/graft-attrs/" + pathSlug(d)
+  def dir(d: String, derivedLang: Boolean = false): String =
+    "/tmp/graft-attrs/" + pathSlug(d) + (if (derivedLang) "-dlang" else "")
 
   /** Injective corpus-path → directory-name mapping. The readable
     * sanitized prefix alone is LOSSY (`/data/sf0.1` and `_data/sf0_1`
@@ -90,12 +101,13 @@ object AttrTable {
   def materialized(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensureWritten(s, d))
 
-  /** Write-once-per-(session, corpus) tag job; returns the artifact dir.
-    * computeIfAbsent is safe here (no nested map updates) and serializes
-    * concurrent first-touch so the overwrite never races itself. */
+  /** Write-once-per-(session, corpus, lang-posture) tag job; returns the
+    * artifact dir. computeIfAbsent is safe here (no nested map updates)
+    * and serializes concurrent first-touch so the overwrite never races
+    * itself. */
   def ensureWritten(s: SparkSession, d: String): String =
-    written.computeIfAbsent((s, d), { _ =>
-      val out = dir(d)
+    written.computeIfAbsent((s, d, derivedLang(s)), { k =>
+      val out = dir(d, k._3)
       graft.ops.SinkOps.rangedSortedParquet(build(s, d), "doc_id", out,
         parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         maxRecordsPerFile = 5000000L)

@@ -104,6 +104,33 @@ class LangIdSpec extends AnyFunSuite {
       s"planted per-language weights collapsed to one argmax: $preds")
   }
 
+  test("the WRITTEN artifact splits by lang posture: a mid-session flag flip never serves stale labels") {
+    // AttrTable's write-once memo used to key on (session, corpus)
+    // only, so the artifact froze whichever lang definition was active
+    // at first touch and a later flag flip silently served stale labels
+    // to artifact consumers (ADVICE r18). Each posture must materialize
+    // its own artifact.
+    def langs(): Map[Long, String] =
+      graft.pipeline.AttrTable.materialized(spark, sf)
+        .select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val given = langs()
+    spark.conf.set("spark.graft.attrs.derivedLang", "true")
+    val derived = try langs()
+      finally spark.conf.unset("spark.graft.attrs.derivedLang")
+    val after = langs()
+    val preds = TextOps.langIdScoresOf(Tables.documents(spark, sf))
+      .select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    derived.foreach { case (id, l) =>
+      assert(l == preds.getOrElse(id, "und"),
+        s"doc $id: derived-posture artifact must carry the classifier label")
+    }
+    assert(after == given,
+      "flipping the flag back must serve the given-label artifact again")
+    assert(derived != given, "fixture too weak: postures indistinguishable")
+  }
+
   test("q136 derivedLang swap: artifact lang == q150 pred_lang under the flag") {
     val q136 = Queries.byName("q136_attribute_table")
     val q150 = Queries.byName("q150_lang_classifier")
