@@ -2091,9 +2091,56 @@ object TextQs {
     },
     headline = true)
 
+  /** ASSEMBLY OVER THE *INCREMENTAL* ARTIFACT — q149's projection run
+    * against [[graft.pipeline.IncrAttrTable]]'s grow-as-you-ingest
+    * table instead of [[graft.pipeline.AttrTable]]'s one-shot batch
+    * write (the round-18 verdict's ask #2). What makes it possible:
+    * the admission path already computes every batch↔corpus and
+    * within-batch verified dup pair, and round 19 folds that pair
+    * stream into incrementally-maintained component labels
+    * (`IncrAttrTable.labelDelta` — union-find over the stream:
+    * batch-sized CC with resident components substituted in, merge
+    * re-labels bounded by the merged clusters, representative
+    * re-labeling at compaction) plus the per-doc `n_types` quality key
+    * on the incremental row. A user running the streaming ingest loop
+    * can now do leakage-safe splits and token-budget selection without
+    * a full batch re-derivation of the cluster structure.
+    *
+    * Graded with q149's COMPOSED ORACLE VERBATIM — hash-equality of
+    * incremental-over-two-batches against the one-shot q144+q145
+    * mirrors IS the incremental≡batch proof (q142's shape, applied to
+    * the assembly columns: comp/cluster_size from the label stream,
+    * n_types from the incremental row).
+    *
+    * Shape at scale: each append's label delta is bounded by the
+    * batch's verified pairs plus the clusters they merge — never the
+    * corpus; the read is a narrow artifact scan + the label join; the
+    * prefix machinery is q145's bounded two-level form. */
+  val q151 = Q(
+    "q151_incr_assembly",
+    (s, d) => {
+      val Budget = 20000L
+      val root = graft.pipeline.IncrAttrTable.ensureBuilt(s, d)
+      val at = graft.pipeline.IncrAttrTable.clusteredAttrsOf(s, root)
+        .select(col("doc_id"), col("comp"), col("cluster_size"),
+          col("n_types"), col("n_tokens").cast("long").as("n_tokens"))
+        .withColumn("neg_types", -col("n_types"))
+      graft.ops.PrefixOps
+        .withExclusivePrefixSumMulti(at, Seq("neg_types", "doc_id"),
+          "n_tokens", "tokens_before")
+        .filter(col("tokens_before") < Budget)
+        .select(col("doc_id"), col("comp"), col("cluster_size"),
+          graft.ops.SampleOps.splitAssign(col("comp"),
+            Seq("train" -> 80, "val" -> 90, "test" -> 100)).as("split"),
+          col("n_types"), col("n_tokens"), col("tokens_before"))
+        .orderBy("doc_id")
+    },
+    q149.oracle,
+    headline = true)
+
   val defs: Seq[Q] = Seq(q30, q31, q32, q33, q34, q44, q45, q46, q47, q48, q49, q64,
     q81, q82, q84, q96, q98, q100, q112, q116, q123, q124, q125, q127, q129, q131,
-    q133, q135, q136, q137, q138, q140, q142, q143, q145, q146, q149, q150)
+    q133, q135, q136, q137, q138, q140, q142, q143, q145, q146, q149, q150, q151)
 }
 
 /** Marker profiles mirrored into the oracle SQL (kept in lock-step with

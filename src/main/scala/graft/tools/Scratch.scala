@@ -51,7 +51,7 @@ object Scratch {
     println("--- decomposition ---")
     val b = batch()
     t("span agg") { b.agg(min(col("doc_id")), max(col("doc_id"))).head() }
-    val (attrs, newSh, newBands, done) = t("batchPlans") {
+    val (attrs, newSh, newBands, _, done) = t("batchPlans") {
       graft.pipeline.IncrAttrTable.batchPlans(s, root, b)
     }
     val hc = s.sparkContext.hadoopConfiguration

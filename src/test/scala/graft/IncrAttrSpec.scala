@@ -163,7 +163,7 @@ class IncrAttrSpec extends AnyFunSuite {
       df(Seq(doc(1L, baseText("a")), doc(2L, baseText("b")))))
     val batch = df(Seq(doc(10L, baseText("c")), doc(11L, baseText("d"))))
     def broadcasts(probe: Boolean): Int = {
-      val (attrs, _, _, done) =
+      val (attrs, _, _, _, done) =
         IncrAttrTable.batchPlans(spark, root, batch, broadcastProbe = probe)
       try "BroadcastHashJoin".r.findAllIn(
         attrs.queryExecution.explainString(
@@ -702,5 +702,79 @@ class IncrAttrSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("documents"),
       s"selection plan still scans documents:\n$plan")
+  }
+
+  // ——— incremental cluster labels (round 19; q151's machinery) ———
+  //
+  // Fixture geometry (3-token shingle windows, exact J >= 0.8 verify):
+  // a shared 35-token prefix P gives every doc 33 prefix windows; the
+  // 5-token suffixes control similarity. Within a cluster, docs differ
+  // in ONE final token → J = 37/39 ≈ 0.95 (dup). Across clusters the
+  // suffixes differ entirely → J = 33/43 ≈ 0.767 (NOT dup, but close —
+  // the Jaccard-metric regime where a bridge doc CAN sit >= 0.8 from
+  // both). The bridge carries one boundary window of cluster A
+  // (p34 p35 a1) and one full suffix window of cluster B (b3 b4 b5) →
+  // J = 34/41 ≈ 0.829 to doc1/doc2/doc10 — a genuine two-cluster merge.
+  private val pfx = (1 to 35).map(i => s"p$i").mkString(" ")
+  private def labDoc(id: Long, suffix: String) = doc(id, s"$pfx $suffix")
+
+  test("label stream: within-batch pairs label; a later bridge doc MERGES two resident clusters") {
+    val root = freshRoot()
+    // batch 1 → cluster A {1, 2}; batch 2 → cluster B {10, 11}
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(1L, "a1 a2 a3 a4 a5"), labDoc(2L, "a1 a2 a3 a4 ax"))))
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(10L, "b1 b2 b3 b4 b5"), labDoc(11L, "b1 b2 b3 b4 by"))))
+    def resolved(): Map[Long, Long] =
+      IncrAttrTable.labelsResolved(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved() == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
+      "two disjoint resident clusters expected before the bridge")
+    // batch 3: the bridge — dup of doc1/doc2 (cluster A) AND doc10
+    // (cluster B); doc11 stays connected only THROUGH doc10's comp,
+    // which is exactly the resident re-label union-find must emit
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(20L, "a1 b3 b4 b5"))))
+    assert(resolved() ==
+      Map(2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 1L) + (1L -> 1L),
+      "the bridge must re-label cluster B's docs (incl. doc11, reached " +
+        "only transitively) to the global component min")
+    // the composed read: comp + cluster_size on every attribute row,
+    // singletons labeling themselves is implicit (none here — all 5 dup)
+    val at = IncrAttrTable.clusteredAttrsOf(spark, root)
+      .select("doc_id", "comp", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(at == Set(1L, 2L, 10L, 11L, 20L).map(id => (id, 1L, 5L)),
+      s"clustered attrs wrong: $at")
+  }
+
+  test("labels survive the compaction fold resolved: superseded merge rows die, answers do not change") {
+    val root = freshRoot()
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(1L, "a1 a2 a3 a4 a5"), labDoc(2L, "a1 a2 a3 a4 ax"))))
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(10L, "b1 b2 b3 b4 b5"), labDoc(11L, "b1 b2 b3 b4 by"))))
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(20L, "a1 b3 b4 b5"))))
+    val before = IncrAttrTable.labelsResolved(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    IncrAttrTable.compactIndex(spark, root)
+    val after = IncrAttrTable.labelsResolved(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "compaction changed the resolved labels")
+    // the fold RESOLVED: one batch_id=-1 dir, and no doc carries two
+    // rows anymore (batch 2 wrote 10→10/11→10, batch 3 re-labeled both
+    // to 1 — pre-fold that is two rows per doc, post-fold one)
+    val live = IncrAttrTable.liveRelDir(spark, root, "labels")
+    val folded = spark.read.parquet(s"$live/batch_id=-1")
+    assert(folded.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "superseded label rows survived the fold")
+    assert(folded.count() == before.size)
+    // and a post-compaction append still merges against the folded state
+    IncrAttrTable.appendBatch(spark, root, df(Seq(
+      labDoc(30L, "a1 a2 a3 a4 a5"))))
+    val grown = IncrAttrTable.labelsResolved(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grown(30L) == 1L, "post-fold append lost the resident labels")
   }
 }
