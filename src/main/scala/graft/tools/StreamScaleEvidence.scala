@@ -156,10 +156,57 @@ object StreamScaleEvidence {
     println(f"| 400 + maybeCompact (fired=$fired) | ${maxDirsPerBucket(spark, indexDir, "vectors")} | — | $after%.2f |")
   }
 
+  /** LANGUAGE-GATE rung (round 19, verdict ask #7): the gate
+    * ([[DocStream.LangAllowConfKey]] → wrong_lang before every other
+    * status) runs on every micro-batch, so its cost class matters — and
+    * it is PER-BATCH-LOCAL by construction (charGrams + the planted
+    * linear model read batch text only, never the resident index), so
+    * its per-batch cost must be FLAT in resident-corpus size. This
+    * measures the claim: identical probe batches against a 1× and a 10×
+    * resident index, gate off vs on; the evidence is that the on−off
+    * delta does not grow with the resident corpus (the absolute numbers
+    * carry the usual small-batch job overhead). */
+  private def langGateCurve(spark: SparkSession): Unit = {
+    println("\nLanguage-gate cost vs resident-corpus size (10-doc probe batches):")
+    println("| seed corpus | index band rows | probe median, gate OFF (s) | gate ON (s) | delta (s) |")
+    println("|---|---|---|---|---|")
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sfDir =>
+      val root = java.nio.file.Files.createTempDirectory("lang-gate")
+      val (indexDir, outDir) = (s"$root/index", s"$root/out")
+      DocStream.seedIndex(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), indexDir)
+      val bandRows = spark.read
+        .parquet(s"$indexDir/bands/gen=${IndexLayout.gen(spark, indexDir)}").count()
+      var batchId = 0L
+      def admit(docs: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        DocStream.admitBatch(docs, indexDir, outDir, batchId)
+        batchId += 1
+        (System.nanoTime() - t0) / 1e9
+      }
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      admit(probeDocs(spark, sfDir, 900000L)) // warm + admit the synthetics
+      val off = median((1 to 5).map(i =>
+        admit(probeDocs(spark, sfDir, 900000L + i * 1000L))))
+      spark.conf.set(DocStream.LangAllowConfKey, "en,de,es,fr,zh")
+      val on =
+        try median((1 to 5).map(i =>
+          admit(probeDocs(spark, sfDir, 930000L + i * 1000L))))
+        finally spark.conf.unset(DocStream.LangAllowConfKey)
+      println(f"| $sfDir | $bandRows%,d | $off%.2f | $on%.2f | ${on - off}%.2f |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Tables.configure(
       SparkSession.builder().appName("stream-scale"), "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("--langgate")) {
+      langGateCurve(spark)
+      spark.stop()
+      return
+    }
 
     if (args.contains("--growth")) {
       docGrowthCurve(spark)
