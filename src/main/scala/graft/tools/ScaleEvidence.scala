@@ -165,7 +165,13 @@ object ScaleEvidence {
     // (char trigrams vs tokens+bigrams): gram explode is narrow, ONE md5
     // per gram feeds all 5 weight lookups, the exchange carries
     // (doc_id, 5 sums)
-    "q149_assembly_select", "q150_lang_classifier")
+    "q149_assembly_select", "q150_lang_classifier",
+    // round 19: assembly over the INCREMENTAL artifact — run 1 pays
+    // ensureBuilt (two appendBatch halves + compaction over the
+    // replicated corpus: q142's growth class, labels riding the
+    // admission pair stream), the timed runs price the recipe: attrs
+    // scan + the min-resolved label join + q145's prefix machinery
+    "q151_incr_assembly")
 
   /** Event-table queries measured against the 10x events replication.
     * Note on q63: event replication shifts user/event ids but keeps
