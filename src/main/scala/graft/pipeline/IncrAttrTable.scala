@@ -343,11 +343,12 @@ object IncrAttrTable {
       try {
       // CLUSTER LABELS (round 19): fold this batch's verified dup pairs
       // into the incrementally-maintained component labels BEFORE the
-      // concurrent writes (the delta is computed eagerly — its CC loop
-      // localCheckpoints — so the labels write below is a pure replay of
-      // materialized rows and never races the index writes it reads
+      // concurrent writes (the delta is computed eagerly — collected on
+      // the driver in the shard form, localCheckpointed by the CC loop
+      // in the corpus form — so the labels write below is a pure replay
+      // of materialized rows and never races the index writes it reads
       // nothing from). See [[labelDelta]] for the union-find shape.
-      val labels = labelDelta(s, root, dupPairs, eff, bMin)
+      val labels = labelDelta(s, root, dupPairs, eff, bMin, broadcastProbe)
       // The three writes are INDEPENDENT jobs — attrs reads the resident
       // index through file indexes snapshotted at plan time, filtered
       // batch_id < eff, so it can never observe the concurrent eff
@@ -833,7 +834,19 @@ object IncrAttrTable {
     * loop localCheckpoints each round), so callers can write the result
     * while other jobs run. */
   private def labelDelta(s: SparkSession, root: String, pairs: DataFrame,
-      eff: Long, bMin: Long): DataFrame = {
+      eff: Long, bMin: Long, broadcastProbe: Boolean): DataFrame =
+    if (broadcastProbe) labelDeltaShard(s, root, pairs, eff, bMin)
+    else labelDeltaDistributed(s, root, pairs, eff, bMin)
+
+  /** The corpus-sized form: one distributed CC over the substituted
+    * edges (a "batch" here can be half the corpus — `ensureBuilt`'s
+    * halves — so nothing may collect). Shard appends take
+    * [[labelDeltaShard]] instead: the CC loop's fixed overhead
+    * (per-round localCheckpoints, counts, the symmetric-edge persist)
+    * measured +~2 s on EVERY [append-100] shard append for a graph of
+    * ~100 edges — the round-19 in-round profiling that split the form. */
+  private def labelDeltaDistributed(s: SparkSession, root: String,
+      pairs: DataFrame, eff: Long, bMin: Long): DataFrame = {
     val resolved = labelsResolved(s, root, upTo = eff)
     val withComp = pairs
       .join(resolved.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left")
@@ -849,6 +862,67 @@ object IncrAttrTable {
     val repRows = remap
       .select(col("old_comp").as("doc_id"), col("new_comp").as("comp"))
     newDocs.unionByName(relabel).unionByName(repRows).distinct()
+  }
+
+  /** The SHARD form: the batch's pair graph is bounded by the shard's
+    * verified dups (the same boundedness that lets the probe broadcast),
+    * so the union-find runs ON THE DRIVER — q68's bounded-collect
+    * posture — for three jobs total (collect pairs; look up the touched
+    * resident comps; write) instead of the distributed CC's
+    * checkpoint-per-round loop. Byte-identical label rows to the
+    * distributed form (IncrAttrSpec runs the merge fixture through BOTH
+    * postures); only the resident-member RELABEL scan stays a DataFrame
+    * op (merged clusters can be any size — their members never collect). */
+  private def labelDeltaShard(s: SparkSession, root: String,
+      pairs: DataFrame, eff: Long, bMin: Long): DataFrame = {
+    val pe = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], LabelsSchema)
+    if (pe.isEmpty) return empty
+    // current comps of the RESIDENT doc_a side (batch docs have no rows;
+    // an unlabeled resident doc_a is its own singleton comp)
+    val residentAs = pe.map(_._1).distinct.filter(_ < bMin)
+    val resolved = labelsResolved(s, root, upTo = eff)
+    val compOf: Map[Long, Long] =
+      if (residentAs.isEmpty) Map.empty
+      else resolved.filter(col("doc_id").isin(residentAs: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find with min-id roots (path-compressing find)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    pe.foreach { case (a, b) =>
+      union(if (a < bMin) compOf.getOrElse(a, a) else a, b)
+    }
+    val nodes = parent.keySet ++
+      pe.flatMap { case (a, b) =>
+        Seq(if (a < bMin) compOf.getOrElse(a, a) else a, b) }
+    val newDocs = nodes.iterator.filter(_ >= bMin)
+      .map(d => (d, find(d))).toSeq
+    val merges = nodes.iterator.filter(_ < bMin)
+      .map(c => (c, find(c))).filter { case (c, m) => m < c }.toSeq
+    import s.implicits._
+    val direct = (newDocs ++ merges).distinct.toDF("doc_id", "comp")
+    if (merges.isEmpty) direct
+    else {
+      // members of the merged resident clusters re-label to the new min
+      // — a DataFrame op (cluster sizes are unbounded), tiny map side
+      val remap = merges.toDF("old_comp", "new_comp")
+      val relabel = resolved
+        .join(broadcast(remap), resolved("comp") === col("old_comp"))
+        .select(resolved("doc_id"), col("new_comp").as("comp"))
+      direct.unionByName(relabel).distinct()
+    }
   }
 
   /** The attribute rows JOINED with their dup-cluster labels — `comp`
