@@ -410,6 +410,40 @@ object MultimodalQs {
     * (PlanSpec-class pin in MultimodalSpec: no cartesian/BNLJ) — the
     * q130 cost class, with the cap discipline available unchanged if a
     * degenerate bucket (all-black thumbnails) ever needs it. */
+  /** The q152 pipeline over ANY media relation — factored out so
+    * `tools.MediaScale` measures the same plan at synthetic scale:
+    * perceptual hash in the decode pass, 4×16-bit band explode,
+    * equi-join candidates, exact Hamming verify. */
+  private[graft] def perceptualNearDupPairs(
+      media: org.apache.spark.sql.Dataset[MediaRow],
+      maxHamming: Int = 3): org.apache.spark.sql.DataFrame = {
+    val hashes = MultimodalOps.perceptualHashes(media).toDF()
+      .select("media_id", "phash")
+    val bands = hashes.select(col("media_id"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
+        shiftrightunsigned(col("phash"), 16 * i)
+          .bitwiseAND(lit(65535L)).as("band_bits"))): _*)).as("b"))
+      .select(col("media_id"), col("b.band_idx"), col("b.band_bits"))
+    def side(n: String) = bands.select(col("media_id").as(s"media_$n"),
+      col("band_idx"), col("band_bits"))
+    val cands = side("a").join(side("b"), Seq("band_idx", "band_bits"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    val pa = hashes.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val pb = hashes.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
+    cands.join(pa, "media_a").join(pb, "media_b")
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  /** A 24bpp BMP with pixel grayscale v(x, y) — shared with
+    * `tools.MediaScale`'s synthetic corpus generator. */
+  private[graft] def bmpOf(width: Int, height: Int,
+      v: (Int, Int) => Int): Array[Byte] = bmpPixels(width, height, v)
+
   val q152 = Q(
     "q152_perceptual_near_dup",
     (s, d) => {
@@ -420,26 +454,7 @@ object MultimodalQs {
         .select(col("media_id"), col("kind"), col("uri"),
           unhex(col("hex")).as("bytes"))
         .as[MediaRow]
-      val hashes = MultimodalOps.perceptualHashes(media).toDF()
-        .select("media_id", "phash")
-      val bands = hashes.select(col("media_id"),
-        explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
-          shiftrightunsigned(col("phash"), 16 * i)
-            .bitwiseAND(lit(65535L)).as("band_bits"))): _*)).as("b"))
-        .select(col("media_id"), col("b.band_idx"), col("b.band_bits"))
-      def side(n: String) = bands.select(col("media_id").as(s"media_$n"),
-        col("band_idx"), col("band_bits"))
-      val cands = side("a").join(side("b"), Seq("band_idx", "band_bits"))
-        .filter(col("media_a") < col("media_b"))
-        .select("media_a", "media_b").distinct()
-      val pa = hashes.select(col("media_id").as("media_a"), col("phash").as("ph_a"))
-      val pb = hashes.select(col("media_id").as("media_b"), col("phash").as("ph_b"))
-      cands.join(pa, "media_a").join(pb, "media_b")
-        .withColumn("hamming",
-          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select("media_a", "media_b", "hamming")
-        .orderBy("media_a", "media_b")
+      perceptualNearDupPairs(media)
     },
     Some {
       val ph = phFixtures.map { case (id, _, fmt, hx) =>

@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.Tables
+import graft.ops.MultimodalOps.MediaRow
+import graft.queries.MultimodalQs
+
+import org.apache.spark.sql.SparkSession
+
+/** Measured scale evidence for the perceptual near-dup tier (q152's
+  * pipeline at synthetic scale — SURVEY §2.0.2): N deterministic 9×8
+  * BMP payloads generated IN-PLAN (no corpus table carries media), 1%
+  * planted exact near-dups (row i ≡ row i−1 when i % 100 == 1), the
+  * rest pseudo-random textures — so the banded join runs in the
+  * realistic regime where random 16-bit band values collide at
+  * ~C(N,2)/2¹⁶ per band (the LSH noise floor the exact Hamming verify
+  * exists to kill) while the planted pairs are the recall set.
+  *
+  * What the numbers claim: the decode+hash pass is one narrow
+  * mapPartitions scan (linear), bands are 4 rows/media, and the
+  * candidate join grows with collision mass (~N²/2¹⁶ per band for
+  * random content) — at production scale the operating point is a
+  * wider band / more bands (the q37→q43 width ladder lesson), and the
+  * planted-pair recall is exact at any size (identical payloads hash
+  * identically).
+  *
+  * Usage: runMain graft.tools.MediaScale [n1,n2,...]   (default
+  * 20000,200000)
+  */
+object MediaScale {
+
+  private def splitmix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic synthetic media row: id i's texture is a pure
+    * function of `i / 100 * 100 + (if (i % 100 == 1) 0 else i)` — i.e.
+    * row i copies row i−1's payload exactly when i % 100 == 1 (the
+    * planted 1% dup rate), every other row is its own texture. */
+  private def rowOf(i: Long): MediaRow = {
+    val basis = if (i % 100 == 1) i - 1 else i
+    val bytes = MultimodalQs.bmpOf(9, 8, (x, y) =>
+      java.lang.Long.remainderUnsigned(
+        splitmix(basis * 72L + y * 9L + x), 200L).toInt)
+    MediaRow(i, "image", s"mem://$i.bmp", bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.lift(0).getOrElse("20000,200000")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = Tables.configure(
+      SparkSession.builder().appName("media-scale"), "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    println("| media rows | planted pairs | found pairs | hash pass (s) | full banded pipeline (s) |")
+    println("|---|---|---|---|---|")
+    sizes.foreach { n =>
+      val media = spark.range(0, n.toLong, 1, 32).map(i => rowOf(i))
+      def timed[A](f: => A): (A, Double) = {
+        System.gc()
+        val t0 = System.nanoTime()
+        val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // warm the generation path once so the timed rows price the operator
+      media.count()
+      val (_, tHash) = timed(
+        graft.ops.MultimodalOps.perceptualHashes(media).count())
+      val (pairs, tFull) = timed(
+        MultimodalQs.perceptualNearDupPairs(media).count())
+      println(f"| $n%,d | ~${n / 100}%,d | $pairs%,d | $tHash%.2f | $tFull%.2f |")
+    }
+    spark.stop()
+  }
+}
