@@ -704,6 +704,21 @@ class IncrAttrSpec extends AnyFunSuite {
       s"selection plan still scans documents:\n$plan")
   }
 
+  test("q151's assembly plan reads artifact relations ONLY — no documents scan, labels joined in") {
+    // the q138/q149 discipline applied to the incremental artifact: once
+    // built, the assembly recipe's plan must touch attrs + labels parquet
+    // and never the documents relation (the point of carrying
+    // comp/cluster_size/n_types incrementally)
+    val sf = "/root/testdata/sf0.001"
+    val root = IncrAttrTable.ensureBuilt(spark, sf)
+    val plan = IncrAttrTable.clusteredAttrsOf(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents"),
+      s"q151's recipe plan still scans documents:\n$plan")
+    assert(plan.contains("graft-attrs-incr"),
+      "q151's recipe plan does not read the incremental artifact")
+  }
+
   // ——— incremental cluster labels (round 19; q151's machinery) ———
   //
   // Fixture geometry (3-token shingle windows, exact J >= 0.8 verify):
