@@ -176,8 +176,8 @@ object SrpMultiProbe {
     val nTruth = truth.count()
     val nVecs = Tables.embeddings(s, replDir).count()
     println(s"\ntier: ${factor}x = $nVecs vectors; truth-pair subset: $nTruth")
-    println("| width | L | tables | radius | probes/table | wall | verified pairs | truth found | subset recall |")
-    println("|---|---|---|---|---|---|---|---|---|")
+    println("| width | L | tables | radius | probes/table | wall | verified pairs | truth found | subset recall | expansion rows | shuffle written | spill | B/row |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     configs.foreach { case (bits, l, r, maxProbes) =>
       // the qd path (maxProbes below the radius-2 ball) ALWAYS draws
       // from the weight-<=2 neighborhood regardless of the config's r —
@@ -187,6 +187,23 @@ object SrpMultiProbe {
       val qd = maxProbes < ball2
       val probes = if (qd) maxProbes else VectorQs.srpFlipMasks(bits, r).size
       val label = if (qd) "2 (qd)" else s"$r"
+      // SCRATCH instrumentation (round 19 — calibrates the router's
+      // disk gate's B/row constant): sum every task's shuffle-write and
+      // disk-spill bytes across the run; their sum over the expansion
+      // row count is the constant the gate prices with
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val spillBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r, maxProbes)
         .select("vec_a", "vec_b").cache()
@@ -194,9 +211,14 @@ object SrpMultiProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
       out.unpersist()
+      s.sparkContext.removeSparkListener(listener)
       val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
+      val expRows = nVecs * (l * 64 / bits) * probes
+      val scratch = shuffleBytes.get + spillBytes.get
       println(f"| $bits-bit | $l | ${l * 64 / bits} | $label | $probes " +
-        f"| $secs%.1f s | $nOut | $nFound | $recall%.3f |")
+        f"| $secs%.1f s | $nOut | $nFound | $recall%.3f " +
+        f"| $expRows%,d | ${shuffleBytes.get >> 20} MiB | ${spillBytes.get >> 20} MiB " +
+        f"| ${scratch.toDouble / expRows}%.1f |")
     }
   }
 
