@@ -45,6 +45,11 @@ case class CharGrams(left: Expression, right: Expression)
           TypeCheckResult.TypeCheckFailure("char_grams requires a literal n")
         else if (right.eval() == null)
           TypeCheckResult.TypeCheckFailure("char_grams requires a non-null n")
+        else if (right.eval().asInstanceOf[Int] <= 0)
+          // reject at PLAN time: n is a literal, so the analyzer can see
+          // it — otherwise every task throws compute()'s require and the
+          // user gets a retried job failure instead of an analysis error
+          TypeCheckResult.TypeCheckFailure("char_grams requires a positive n")
         else TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         TypeCheckResult.TypeCheckFailure(

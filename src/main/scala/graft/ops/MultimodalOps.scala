@@ -310,14 +310,17 @@ object MultimodalOps {
     val dataOff = buf.getInt(10)
     val w = buf.getInt(18)
     val h = buf.getInt(22) // positive = bottom-up (the only form planted)
-    if (w < 1 || h < 1) return fnv64(b)
-    val stride = ((w * 3 + 3) / 4) * 4
+    // corrupt headers quarantine as opaque, never index out of bounds:
+    // dataOff below the header span (incl. negative) and stride in LONG
+    // (w near 2^30 overflows w*3 in Int) both fall back to FNV
+    if (w < 1 || h < 1 || dataOff < 54) return fnv64(b)
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff.toLong + (h.toLong - 1) * stride + (w.toLong - 1) * 3 + 3 > b.length)
       return fnv64(b) // truncated pixel array: quarantine as opaque
     def gray(i: Int, j: Int): Int = {
       val x = i * w / 9
       val y = j * h / 8
-      val off = dataOff + (h - 1 - y) * stride + x * 3
+      val off = (dataOff + (h - 1 - y).toLong * stride + x * 3).toInt
       ((b(off) & 0xFF) + (b(off + 1) & 0xFF) + (b(off + 2) & 0xFF)) / 3
     }
     var hash = 0L

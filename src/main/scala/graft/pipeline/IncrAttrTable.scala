@@ -861,7 +861,12 @@ object IncrAttrTable {
       .select(resolved("doc_id"), col("new_comp").as("comp"))
     val repRows = remap
       .select(col("old_comp").as("doc_id"), col("new_comp").as("comp"))
+    // eager localCheckpoint: the caller probes isEmpty AND writes — with
+    // only the CC rounds checkpointed, both would re-run the relabel
+    // join and the committed-labels parquet scan; this makes the
+    // "pure replay of materialized rows" contract true for this form too
     newDocs.unionByName(relabel).unionByName(repRows).distinct()
+      .localCheckpoint(true)
   }
 
   /** The SHARD form: the batch's pair graph is bounded by the shard's

@@ -465,7 +465,11 @@ object VectorQs {
     * 8 g-driver/64 g-executor one silently forfeited 0.04 recall. */
   private[graft] def qdEffectiveHeapBytes(master: String,
       executorMemory: Option[String], runtimeMax: Long): Long =
-    if (master.startsWith("local")) runtimeMax
+    // `local-cluster[n,c,mem]` is NOT local for this purpose: its
+    // executors are separate JVMs sized independently of the driver —
+    // exactly the split this key exists to respect
+    if (master.startsWith("local") && !master.startsWith("local-cluster"))
+      runtimeMax
     else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       executorMemory.getOrElse("1g"))
 

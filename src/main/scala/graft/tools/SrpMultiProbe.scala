@@ -209,15 +209,26 @@ object SrpMultiProbe {
         .select("vec_a", "vec_b").cache()
       val nOut = out.count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // SNAPSHOT the counters BEFORE the recall join (its shuffle is not
+      // the measured job's), and only after the async listener bus
+      // drains — task-end events are delivered off-thread, so reading
+      // immediately would undercount; poll until the sums stop moving
+      var prev = -1L
+      var cur = shuffleBytes.get + spillBytes.get
+      while (cur != prev) {
+        Thread.sleep(300); prev = cur
+        cur = shuffleBytes.get + spillBytes.get
+      }
+      val (sw, sp) = (shuffleBytes.get, spillBytes.get)
       val nFound = truth.join(out, Seq("vec_a", "vec_b"), "left_semi").count()
       out.unpersist()
       s.sparkContext.removeSparkListener(listener)
       val recall = if (nTruth == 0) 1.0 else nFound.toDouble / nTruth
       val expRows = nVecs * (l * 64 / bits) * probes
-      val scratch = shuffleBytes.get + spillBytes.get
+      val scratch = sw + sp
       println(f"| $bits-bit | $l | ${l * 64 / bits} | $label | $probes " +
         f"| $secs%.1f s | $nOut | $nFound | $recall%.3f " +
-        f"| $expRows%,d | ${shuffleBytes.get >> 20} MiB | ${spillBytes.get >> 20} MiB " +
+        f"| $expRows%,d | ${sw >> 20} MiB | ${sp >> 20} MiB " +
         f"| ${scratch.toDouble / expRows}%.1f |")
     }
   }

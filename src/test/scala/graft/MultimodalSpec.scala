@@ -254,24 +254,12 @@ class MultimodalSpec extends AnyFunSuite {
   // ——— perceptual near-dup (q152's machinery, round 19) ———
 
   /** A 9×8 24bpp BMP whose pixel (x, y) grayscale is v(x, y) — the grid
-    * where the dHash sample points ARE the pixels. */
-  private def bmp9x8(v: (Int, Int) => Int): Array[Byte] = {
-    val w = 9; val h = 8
-    val stride = ((w * 3 + 3) / 4) * 4
-    val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte)
-    buf.putInt(54 + stride * h).putInt(0).putInt(54)
-    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-    buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    for (fr <- 0 until h) {
-      val y = h - 1 - fr
-      for (x <- 0 until w) {
-        val g = (v(x, y) & 0xFF).toByte; buf.put(g).put(g).put(g)
-      }
-      buf.put(Array.fill[Byte](stride - w * 3)(0))
-    }
-    buf.array()
-  }
+    * where the dHash sample points ARE the pixels. ONE builder
+    * (MultimodalQs.bmpOf) shared with q152's fixtures and MediaScale, so
+    * the spec can never silently test a different byte layout than the
+    * one the oracle and the scale tool exercise. */
+  private def bmp9x8(v: (Int, Int) => Int): Array[Byte] =
+    graft.queries.MultimodalQs.bmpOf(9, 8, v)
 
   test("dHash: controlled pixel dips flip exactly the designed bits; gradients saturate") {
     def grad(x: Int, y: Int) = 10 + 20 * x
@@ -292,19 +280,8 @@ class MultimodalSpec extends AnyFunSuite {
     // never sampled, so the perturbed copy hashes IDENTICALLY (the
     // property that makes dHash a near-dup key where byte hashing isn't)
     def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
-    def big(v: (Int, Int) => Int): Array[Byte] = {
-      val w = 64; val h = 48
-      val stride = w * 3 // already 4-aligned
-      val buf = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
-      buf.put('B'.toByte).put('M'.toByte)
-      buf.putInt(54 + stride * h).putInt(0).putInt(54)
-      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-      buf.putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
-      for (fr <- 0 until h; x <- 0 until w) {
-        val g = (v(x, h - 1 - fr) & 0xFF).toByte; buf.put(g).put(g).put(g)
-      }
-      buf.array()
-    }
+    def big(v: (Int, Int) => Int): Array[Byte] =
+      graft.queries.MultimodalQs.bmpOf(64, 48, v)
     val a = MultimodalOps.perceptualHash64(big(tex))
     val b = MultimodalOps.perceptualHash64(
       big((x, y) => if (x == 1 && y == 1) 255 else tex(x, y)))
@@ -315,6 +292,30 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.perceptualHash64(wav.clone()))
     assert(MultimodalOps.perceptualHash64(wav) !=
       MultimodalOps.perceptualHash64(Array[Byte](1, 2, 3, 5)))
+  }
+
+  test("corrupt BMP headers quarantine as opaque FNV — never an index exception") {
+    // garbage that passes the 'BM'+DIB40+24bpp sniff but carries a
+    // hostile header must fall back to the exact-byte fingerprint (a
+    // 100-TB media scan always contains garbage; a task failure here
+    // kills the whole dedup job)
+    def corrupt(patch: ByteBuffer => Unit): Array[Byte] = {
+      val b = graft.queries.MultimodalQs.bmpOf(9, 8, (x, y) => 10 + 20 * x)
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      patch(buf)
+      b
+    }
+    val cases = Seq[(String, ByteBuffer => Unit)](
+      "negative pixel-array offset" -> (_.putInt(10, -1000)),
+      "offset below the header span" -> (_.putInt(10, 8)),
+      "width overflowing w*3 in Int" -> (_.putInt(18, 0x30000000)),
+      "height past the payload" -> (_.putInt(22, 1000000)))
+    cases.foreach { case (name, patch) =>
+      val bytes = corrupt(patch)
+      val h = MultimodalOps.perceptualHash64(bytes) // must not throw
+      assert(h == MultimodalOps.fnv64(bytes),
+        s"$name: corrupt header was not quarantined to the FNV lane")
+    }
   }
 
   test("q152's candidate join is BANDED: equi-join on band buckets, no cartesian/BNLJ") {

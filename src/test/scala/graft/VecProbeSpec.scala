@@ -85,6 +85,9 @@ class VecProbeSpec extends AnyFunSuite {
     // local: the driver JVM IS the executor
     assert(VectorQs.qdEffectiveHeapBytes("local[32]", Some("64g"), small) === small)
     assert(VectorQs.qdEffectiveHeapBytes("local", None, big) === big)
+    // local-cluster is NOT local: its executors are separate JVMs
+    assert(VectorQs.qdEffectiveHeapBytes("local-cluster[2,1,1024]", Some("8g"), big)
+      === small)
     // form selection at the measured 40 GiB boundary, and the conf pins
     assert(VectorQs.qdForm(big, None, None) === ((4, 32)))
     assert(VectorQs.qdForm(small, None, None) === ((2, 64)))
