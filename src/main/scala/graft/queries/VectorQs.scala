@@ -482,6 +482,12 @@ object VectorQs {
     * the boundary sits above the failing point with margin. */
   private[graft] def qdForm(effectiveHeap: Long, confMult: Option[Int],
       confProbes: Option[Int]): (Int, Int) = {
+    // loud on nonsense overrides: a zero/negative multiplier or T would
+    // silently produce an empty probe stream (recall 0, no error)
+    confMult.foreach(m => require(m > 0,
+      s"$SrpQdTableMultKey must be positive, got $m"))
+    confProbes.foreach(t => require(t > 0,
+      s"$SrpQdProbesKey must be positive, got $t"))
     val bigHeap = effectiveHeap >= (40L << 30)
     (confMult.getOrElse(if (bigHeap) 4 else 2),
       confProbes.getOrElse(if (bigHeap) 32 else 64))

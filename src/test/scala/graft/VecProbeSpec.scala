@@ -96,6 +96,10 @@ class VecProbeSpec extends AnyFunSuite {
     assert(VectorQs.qdForm(small, Some(4), Some(32)) === ((4, 32)),
       "the conf overrides must pin the full form regardless of heap")
     assert(VectorQs.qdForm(big, Some(2), None) === ((2, 32)))
+    // nonsense overrides fail loudly instead of silently emitting an
+    // empty probe stream (recall 0 with no error)
+    intercept[IllegalArgumentException](VectorQs.qdForm(big, Some(0), None))
+    intercept[IllegalArgumentException](VectorQs.qdForm(big, None, Some(-1)))
   }
 
   test("the qd tier's disk gate routes to the cell fallback when the expansion spill cannot fit") {
