@@ -325,6 +325,17 @@ object MultimodalQs {
     buf.array()
   }
 
+  /** A canonical-header 16-bit mono PCM WAV carrying `samples` — the
+    * payload [[graft.ops.MultimodalOps.audioHash64]] walks. */
+  private def wavPcm(samples: Seq[Int]): Array[Byte] = {
+    val b = wavBytes(8000, 1, 16, dataLen = samples.size * 2)
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      buf.putShort(44 + 2 * k, s.toShort)
+    }
+    b
+  }
+
   /** q152's planted corpus. The 9×8 images make the dHash grid the
     * pixel grid (no resampling), so single-pixel dips flip EXACT bit
     * positions: id 2 = base with one flip (bit 18, lane 1), id 3 = base
@@ -332,10 +343,19 @@ object MultimodalQs {
     * are near pairs while (2,3) sits at Hamming 4, past the threshold,
     * exercising the verify. ids 5/6 are 64×48 textures differing only
     * at an UNSAMPLED pixel — Hamming 0, the perceptual-invariance case.
-    * ids 7/8/9 take the opaque-FNV lane: 7 == 8 byte-identical (exact
-    * pair), 9 differs. */
+    * ids 7–10 take the AUDIO lane (round-19 continuation — energy-
+    * bucket dHash over 650 16-bit PCM samples): 7 == 8 byte-identical,
+    * 9 = 7 with one bucket's samples boosted (a localized edit —
+    * perturbs ≤2 adjacent envelope comparisons, a near pair 7/8 never
+    * byte-match), 10 a different signal entirely (far). ids 11/12 are
+    * OPAQUE payloads (no decodable container) — the exact-FNV lane:
+    * byte-identical pair, near nothing else. */
   private def grad(x: Int, y: Int): Int = 10 + 20 * x
   private def tex(x: Int, y: Int): Int = (x * 3 + y * 2) % 200 + 20
+  private def sigA(k: Int): Int = (k * k * 31 + 7 * k) % 4001 - 2000
+  private def sigC(k: Int): Int = (k * 53 + 11) % 3001 - 1500
+  private val opaque: Array[Byte] =
+    Array.tabulate[Byte](96)(i => ((i * 37 + 5) % 251).toByte)
   private val phFixtures: Seq[(Long, String, String, String)] = Seq(
     (1L, "image", "bmp", hex(bmpPixels(9, 8, grad))),
     (2L, "image", "bmp", hex(bmpPixels(9, 8,
@@ -346,9 +366,14 @@ object MultimodalQs {
     (5L, "image", "bmp", hex(bmpPixels(64, 48, tex))),
     (6L, "image", "bmp", hex(bmpPixels(64, 48,
       (x, y) => if (x == 1 && y == 1) 255 else tex(x, y)))),
-    (7L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 64))),
-    (8L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 64))),
-    (9L, "audio", "wav", hex(wavBytes(22050, 1, 16, dataLen = 80))))
+    (7L, "audio", "wav", hex(wavPcm((0 until 650).map(sigA)))),
+    (8L, "audio", "wav", hex(wavPcm((0 until 650).map(sigA)))),
+    (9L, "audio", "wav", hex(wavPcm((0 until 650).map(k =>
+      if (k >= 300 && k < 310) math.min(sigA(k) + 1500, 32767)
+      else sigA(k))))),
+    (10L, "audio", "wav", hex(wavPcm((0 until 650).map(sigC)))),
+    (11L, "video", "bin", hex(opaque)),
+    (12L, "video", "bin", hex(opaque.clone())))
 
   /** The dHash mirror over a BMP hex literal: the SAME integer
     * downsample (gx = i·w div 9, gy = j·h div 8), the same
@@ -371,6 +396,31 @@ object MultimodalQs {
     FROM (SELECT hx, doff, w, h, ((w*3+3)//4)*4 AS stride
           FROM (SELECT '$hx' AS hx, ${le32("10")} AS doff,
                        ${le32("18")} AS w, ${le32("22")} AS h))"""
+  }
+
+  /** The audio dHash mirror over a canonical 16-bit PCM WAV hex
+    * literal: the SAME 65 integer-boundary energy buckets (Σ|sample|,
+    * exact integer sums), the same consecutive-bucket comparisons and
+    * bit packing as [[graft.ops.MultimodalOps.audioHash64]]. Sample k
+    * is the signed LE int16 at byte 44+2k; n clamps the header's data
+    * length to the sampled payload exactly as the engine does. */
+  private def phWavSql(id: Long, hx: String): String = {
+    val v = s"(${byteAt("44 + 2*k")} + 256*${byteAt("45 + 2*k")})"
+    val abs16 = s"abs(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    def rowv(j: Int): String =
+      s"list_sum([CASE WHEN e[${j * 8}+i+2] > e[${j * 8}+i+1] " +
+        "THEN 1<<i ELSE 0 END for i in range(0, 8)])"
+    val hh = (0 until 8)
+      .map(j => s"(CAST(${rowv(j)} AS HUGEINT) << ${8 * j})")
+      .mkString("(", " + ", ")")
+    s"""SELECT CAST($id AS BIGINT) AS media_id, CAST($hh AS UBIGINT) AS ph
+    FROM (
+      SELECT [coalesce(list_sum([$abs16
+                for k in range(b*n//65, (b+1)*n//65)]), 0)
+              for b in range(0, 65)] AS e
+      FROM (SELECT hx,
+              least(${le32("40")}, length(hx)//2 - 44) // 2 AS n
+            FROM (SELECT '$hx' AS hx)))"""
   }
 
   /** The opaque-payload mirror: FNV-1a 64 over the raw bytes
@@ -458,7 +508,11 @@ object MultimodalQs {
     },
     Some {
       val ph = phFixtures.map { case (id, _, fmt, hx) =>
-        if (fmt == "bmp") phBmpSql(id, hx) else phFnvSql(id, hx)
+        fmt match {
+          case "bmp" => phBmpSql(id, hx)
+          case "wav" => phWavSql(id, hx)
+          case _ => phFnvSql(id, hx)
+        }
       }.mkString("(", ") UNION ALL (", ")")
       s"""
       WITH ph AS ($ph),

@@ -294,6 +294,44 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.perceptualHash64(Array[Byte](1, 2, 3, 5)))
   }
 
+  test("audio dHash: localized edits stay near, different signals far, silence is canonical zero") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val dataLen = samples.size * 2
+      val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      b.putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    def sig(k: Int) = (k * k * 31 + 7 * k) % 4001 - 2000
+    val base = MultimodalOps.perceptualHash64(wav((0 until 650).map(sig)))
+    // a localized boost perturbs at most the two comparisons adjacent
+    // to its bucket — the near-dup property the banded join keys on
+    val edited = MultimodalOps.perceptualHash64(wav((0 until 650).map(k =>
+      if (k >= 300 && k < 310) sig(k) + 1500 else sig(k))))
+    val ham = java.lang.Long.bitCount(base ^ edited)
+    assert(ham >= 1 && ham <= 2, s"localized edit moved $ham bits")
+    // a different signal is FAR (envelope shapes decorrelate)
+    val other = MultimodalOps.perceptualHash64(
+      wav((0 until 650).map(k => (k * 53 + 11) % 3001 - 1500)))
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // silence has no envelope: all energies 0, hash 0 — two silent
+    // recordings of different lengths are perceptually identical
+    assert(MultimodalOps.perceptualHash64(wav(Seq.fill(650)(0))) == 0L)
+    assert(MultimodalOps.perceptualHash64(wav(Seq.fill(100)(0))) == 0L)
+    // non-canonical containers (extensible format tag) take the FNV
+    // lane, never a garbage "audio" hash
+    val exotic = wav((0 until 650).map(sig))
+    ByteBuffer.wrap(exotic).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 0xFFFE.toShort) // WAVE_FORMAT_EXTENSIBLE
+    assert(MultimodalOps.perceptualHash64(exotic) ==
+      MultimodalOps.fnv64(exotic))
+  }
+
   test("corrupt BMP headers quarantine as opaque FNV — never an index exception") {
     // garbage that passes the 'BM'+DIB40+24bpp sniff but carries a
     // hostile header must fall back to the exact-byte fingerprint (a
