@@ -553,6 +553,21 @@ object MultimodalOps {
     hash
   }
 
+  /** The canonical 4×16-bit band explode over a (… , phash) relation —
+    * THE single definition of the media banding (q152's candidate join,
+    * q153's cluster tier, and the streaming fingerprint index must
+    * share it, or a resident index written with one banding would be
+    * probed with another). With 4 bands over a ≤3-bit Hamming
+    * threshold the pigeonhole guarantee is EXACT recall. */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hashes.select(hashes.columns.map(col) :+
+      explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
+        shiftrightunsigned(col("phash"), 16 * i)
+          .bitwiseAND(lit(65535L)).as("band_bits"))): _*)).as("__b"): _*)
+      .select(hashes.columns.map(col) :+ col("__b.band_idx") :+ col("__b.band_bits"): _*)
+  }
+
   /** FNV-1a 64 over raw bytes (q130's fingerprint convention). */
   private[graft] def fnv64(b: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L

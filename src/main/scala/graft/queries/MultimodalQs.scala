@@ -662,11 +662,7 @@ object MultimodalQs {
       reps: org.apache.spark.sql.DataFrame, // (phash, rep)
       maxHamming: Int,
       maxBucket: Int): org.apache.spark.sql.DataFrame = {
-    val bands = reps.select(col("rep"), col("phash"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band_idx"),
-        shiftrightunsigned(col("phash"), 16 * i)
-          .bitwiseAND(lit(65535L)).as("band_bits"))): _*)).as("b"))
-      .select(col("rep"), col("phash"), col("b.band_idx"), col("b.band_bits"))
+    val bands = MultimodalOps.phashBands(reps) // + (band_idx, band_bits)
     val capped = graft.ops.DedupOps.capBuckets(
       bands, Seq("band_idx", "band_bits"), maxBucket)
     def side(n: String) = capped.select(col("rep").as(s"rep_$n"),
@@ -849,5 +845,72 @@ object MultimodalQs {
       ORDER BY media_id"""),
     headline = true)
 
-  val defs: Seq[Q] = Seq(q86, q132, q152, q153)
+  /** INCREMENTAL media admission, graded end-to-end (round-19 verdict
+    * ask #4): the fixture corpus arrives in the standard two-batch mid
+    * split and each batch classifies against the RESIDENT fingerprint
+    * index ([[graft.streaming.MediaStream.admitBatch]] — the real
+    * admission transaction: decode-hash, band-bucket-pruned index
+    * probe, idempotent verdict write, survivor indexing), cold-started
+    * from an empty corpus. Statuses follow the ingest convention
+    * (q143's rule): `dup_batch` = a lower-id near neighbor in the same
+    * batch, `dup_corpus` = a near neighbor among earlier SURVIVORS
+    * (batch 1 classifies against nothing; a batch-2 row whose only
+    * neighbor was dropped in batch 1 is `new`), `dup_corpus` wins over
+    * `dup_batch`. The oracle re-derives every fingerprint from the hex
+    * bytes and replays the same two-batch survivor-resident logic with
+    * exact all-pairs Hamming — hash-equality grades the decode-hash,
+    * the banded index probe (pigeonhole-exact against the resident
+    * bands), the keep-first precedence, and the grow-as-you-ingest
+    * index maintenance in one row set. */
+  val q154 = Q(
+    "q154_media_ingest",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-media-ingest").toString
+      val indexDir = s"$root/index"
+      val outDir = s"$root/out"
+      val media = phFixtureMedia(s).toDF()
+      val mid = {
+        val ids = phFixtures.map(_._1)
+        (ids.min + ids.max) / 2
+      }
+      graft.streaming.MediaStream.seedIndex(media.limit(0), indexDir)
+      graft.streaming.MediaStream.admitBatch(
+        media.filter(col("media_id") <= mid), indexDir, outDir, 0L)
+      graft.streaming.MediaStream.admitBatch(
+        media.filter(col("media_id") > mid), indexDir, outDir, 1L)
+      s.read.parquet(s"$outDir/admissions")
+        .select("media_id", "status")
+        .orderBy("media_id")
+    },
+    Some(s"""
+      WITH ph AS ($phOracleCte),
+      bnd AS (SELECT (min(media_id) + max(media_id)) // 2 AS mid FROM ph),
+      b1 AS (SELECT * FROM ph WHERE media_id <= (SELECT mid FROM bnd)),
+      b2 AS (SELECT * FROM ph WHERE media_id > (SELECT mid FROM bnd)),
+      dupb1 AS (
+        SELECT DISTINCT b.media_id FROM b1 b JOIN b1 a
+          ON a.media_id < b.media_id AND bit_count(xor(a.ph, b.ph)) <= 3),
+      s1 AS (SELECT media_id, ph FROM b1
+             WHERE media_id NOT IN (SELECT media_id FROM dupb1)),
+      dupc2 AS (
+        SELECT DISTINCT b.media_id FROM b2 b JOIN s1 r
+          ON bit_count(xor(r.ph, b.ph)) <= 3),
+      dupb2 AS (
+        SELECT DISTINCT b.media_id FROM b2 b JOIN b2 a
+          ON a.media_id < b.media_id AND bit_count(xor(a.ph, b.ph)) <= 3)
+      SELECT p.media_id,
+        CASE WHEN p.media_id <= (SELECT mid FROM bnd) THEN
+               CASE WHEN p.media_id IN (SELECT media_id FROM dupb1)
+                    THEN 'dup_batch' ELSE 'new' END
+             ELSE
+               CASE WHEN p.media_id IN (SELECT media_id FROM dupc2)
+                      THEN 'dup_corpus'
+                    WHEN p.media_id IN (SELECT media_id FROM dupb2)
+                      THEN 'dup_batch'
+                    ELSE 'new' END END AS status
+      FROM ph p ORDER BY media_id"""),
+    headline = true)
+
+  val defs: Seq[Q] = Seq(q86, q132, q152, q153, q154)
 }

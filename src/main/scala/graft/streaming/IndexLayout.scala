@@ -59,6 +59,11 @@ private[graft] object IndexLayout {
       case "bands"    => pmod(k("band_hash"), lit(nb))
       case "shingles" => pmod(xxhash64(k("doc_id")), lit(nb.toLong)).cast("int")
       case "vectors"  => pmod(k("cell"), lit(nb))
+      // the media fingerprint index ([[MediaStream]]): band_bits alone
+      // is 16 bits of entropy, so fold the band index in too — four
+      // bands of one fingerprint land in four different buckets
+      case "fingerprints" =>
+        pmod(xxhash64(col("band_idx"), k("band_bits")), lit(nb.toLong)).cast("int")
       case other => throw new IllegalArgumentException(
         s"no canonical bucket expression for index relation '$other'")
     }
