@@ -443,13 +443,23 @@ object VectorQs {
   private[graft] val SrpQdScratchKey = "spark.graft.srp.qdScratchBytes"
 
   /** Measured shuffle-scratch cost per expansion row for the escalated
-    * qd form, compression included (round-18 §2.0.2 calibration: the
-    * 128-table/T=64 rung at 200 k vectors = 1.638 G expansion rows died
-    * at ENOSPC with ~77 GB of scratch written → ~47 B/row; rounded up).
-    * The dominant term is the expansion join's shuffle spill — slim
-    * (vec_a, table_idx, bits) rows, but written once per sort pass on
-    * both the expansion and distinct exchanges. */
-  private[graft] val QdScratchBytesPerRow = 48L
+    * qd form, keyed on the SHUFFLE COMPRESSION CODEC (round-19 ADVICE:
+    * the single lz4 constant was conservative by ~1.6× under zstd and
+    * refused escalations that fit). Two measured points:
+    *  - lz4 (Spark's default `spark.io.compression.codec`): round-18
+    *    §2.0.2 calibration — the 128-table/T=64 rung at 200 k vectors
+    *    = 1.638 G expansion rows died at ENOSPC with ~77 GB written
+    *    → ~47 B/row, rounded up to 48;
+    *  - zstd: round-19 per-task instrumentation
+    *    (`SrpMultiProbe --calibrate`) measured 28.6–29.0 B/row at the
+    *    50 k 32/128-table rungs → 32, still rounded up.
+    * Unknown codecs take the larger lz4 constant — over-refusing is
+    * the safe direction for an ENOSPC gate. The dominant term is the
+    * expansion join's shuffle spill — slim (vec_a, table_idx, bits)
+    * rows, but written once per sort pass on both the expansion and
+    * distinct exchanges. */
+  private[graft] def qdScratchBytesPerRow(codec: String): Long =
+    if (codec.equalsIgnoreCase("zstd")) 32L else 48L
 
   /** The JVM heap the escalated form's hash builds will actually get —
     * the EXECUTOR's, because the OOM this key guards against is
@@ -508,13 +518,36 @@ object VectorQs {
     s.conf.getOption(SrpQdScratchKey).map(_.toLong).getOrElse {
       if (!s.conf.get("spark.master", "local").startsWith("local"))
         Long.MaxValue
-      else
-        s.conf.getOption("spark.local.dir")
+      else {
+        val dirs = s.conf.getOption("spark.local.dir")
           .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
           .getOrElse(System.getProperty("java.io.tmpdir"))
           .split(",").map(_.trim).filter(_.nonEmpty).distinct
-          .map(p => new java.io.File(p).getUsableSpace).sum
+        usableSpaceByStore(dirs)
+      }
     }
+
+  /** Sum of usable space across `dirs`, counted ONCE per underlying
+    * FILESYSTEM (round-19 ADVICE: two `spark.local.dir` entries on the
+    * same volume double-counted its free space, inflating the budget
+    * and letting the disk gate re-admit the ENOSPC form it exists to
+    * block — `getUsableSpace` reports the STORE's free bytes, not the
+    * directory's share). A dir that does not exist yet (Spark creates
+    * local dirs lazily) resolves through its deepest existing ancestor;
+    * a store that cannot be resolved at all contributes 0 — under-
+    * counting is the safe direction for an ENOSPC gate. */
+  private[graft] def usableSpaceByStore(dirs: Seq[String]): Long =
+    dirs.flatMap { p =>
+      var f = new java.io.File(p).getAbsoluteFile
+      while (f != null && !f.exists()) f = f.getParentFile
+      if (f == null) None
+      else
+        // FileStore.toString is "mountpoint (device)" — distinct per
+        // mount even when devices share a name (multiple tmpfs mounts)
+        try Some(java.nio.file.Files.getFileStore(f.toPath).toString ->
+          f.getUsableSpace)
+        catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap.values.sum
 
   /** Non-blocking memo fill for the per-corpus verdict maps below:
     * `computeIfAbsent` holds the hash bin's lock for the mapping
@@ -665,14 +698,17 @@ object VectorQs {
       // budget: divide (not multiply) so the !escalate sentinel can't
       // overflow. Budget semantics in [[qdScratchBudgetBytes]].
       val scratchBudget = qdScratchBudgetBytes(s)
-      val fitsScratch = probeRows <= scratchBudget / QdScratchBytesPerRow
+      val shuffleCodec = s.conf.get("spark.io.compression.codec", "lz4")
+      val scratchPerRow = qdScratchBytesPerRow(shuffleCodec)
+      val fitsScratch = probeRows <= scratchBudget / scratchPerRow
       if (escalate && probeRows <= probeBudget && fitsScratch) {
         log.warn(s"SRP density router: estimated candidate mass $est exceeds " +
           s"$SrpMaxCandsKey=$bound for corpus $d — escalating to the " +
           s"16-bit query-directed multiprobe form ($escTables tables = " +
           s"${qdMult}x the query's budget, T=$perRow margin-ranked probes; " +
           s"$probeRows expansion rows <= $SrpMaxProbeRowsKey=$probeBudget, " +
-          s"~${probeRows * QdScratchBytesPerRow >> 30} GiB scratch <= " +
+          s"~${probeRows * scratchPerRow >> 30} GiB scratch at " +
+          s"$scratchPerRow B/row ($shuffleCodec) <= " +
           s"budget ${scratchBudget >> 30} GiB). Measured trades at 200k " +
           "vectors: (4x, T=32) = recall 0.987 at 1217 s on a >=40g heap; " +
           "(2x, T=64) = recall 0.948 at 1384 s at the default 8g, " +
@@ -691,8 +727,8 @@ object VectorQs {
               s"exceed $SrpMaxProbeRowsKey=$probeBudget" else "") +
           (if (escalate && !fitsScratch)
             s" and the escalation's estimated shuffle scratch " +
-              s"(~${probeRows * QdScratchBytesPerRow >> 30} GiB at " +
-              s"$QdScratchBytesPerRow B/row) exceeds the " +
+              s"(~${probeRows * scratchPerRow >> 30} GiB at " +
+              s"$scratchPerRow B/row, codec $shuffleCodec) exceeds the " +
               s"${scratchBudget >> 30} GiB budget ($SrpQdScratchKey; the " +
               "measured ENOSPC class this gate exists for)" else "") +
           " — the SRP family is past its measured feasibility point at this " +

@@ -188,34 +188,53 @@ object SrpMultiProbe {
       val probes = if (qd) maxProbes else VectorQs.srpFlipMasks(bits, r).size
       val label = if (qd) "2 (qd)" else s"$r"
       // SCRATCH instrumentation (round 19 — calibrates the router's
-      // disk gate's B/row constant): sum every task's shuffle-write and
-      // disk-spill bytes across the run; their sum over the expansion
-      // row count is the constant the gate prices with
+      // disk gate's B/row constant): sum task shuffle-write and
+      // disk-spill bytes OF THE MEASURED ACTION ONLY — the measured
+      // jobs run under a job group, onJobStart collects their stage
+      // ids, onTaskEnd filters to them (round-19 ADVICE: the unscoped
+      // form counted every task in the session, so any concurrent job
+      // skewed the B/row constant the disk gate is calibrated from)
+      val tag = s"srp-calibrate-$bits-$l-$r-$maxProbes"
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
       val spillBytes = new java.util.concurrent.atomic.AtomicLong
       val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (js.properties != null &&
+            tag == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageInfos.foreach(si => stages.add(si.stageId))
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) {
+          if (m != null && stages.contains(te.stageId)) {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             spillBytes.addAndGet(m.diskBytesSpilled)
           }
         }
       }
       s.sparkContext.addSparkListener(listener)
+      s.sparkContext.setJobGroup(tag, "SRP scratch calibration",
+        interruptOnCancel = false)
       val t0 = System.nanoTime()
-      val out = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r, maxProbes)
-        .select("vec_a", "vec_b").cache()
-      val nOut = out.count()
+      val (out, nOut) =
+        try {
+          val o = VectorQs.srpMultiProbePairs(s, replDir, bits, l, r, maxProbes)
+            .select("vec_a", "vec_b").cache()
+          (o, o.count())
+        } finally s.sparkContext.clearJobGroup()
       val secs = (System.nanoTime() - t0) / 1e9
-      // SNAPSHOT the counters BEFORE the recall join (its shuffle is not
-      // the measured job's), and only after the async listener bus
-      // drains — task-end events are delivered off-thread, so reading
-      // immediately would undercount; poll until the sums stop moving
+      // SNAPSHOT the counters BEFORE the recall join (excluded from the
+      // group anyway, belt and braces), and only after the async
+      // listener bus drains — task-end events are delivered off-thread,
+      // so reading immediately would undercount. Poll until the sums
+      // stop moving, BOUNDED: a steady trickle of unrelated events can
+      // no longer move these sums (they are stage-filtered), but the
+      // drain must still terminate if the bus itself stalls
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var prev = -1L
       var cur = shuffleBytes.get + spillBytes.get
-      while (cur != prev) {
+      while (cur != prev && System.nanoTime() < deadline) {
         Thread.sleep(300); prev = cur
         cur = shuffleBytes.get + spillBytes.get
       }

@@ -102,6 +102,30 @@ class VecProbeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VectorQs.qdForm(big, None, Some(-1)))
   }
 
+  test("the disk-gate constant keys on the shuffle codec; scratch sums once per filesystem") {
+    // the two MEASURED points (lz4 ~47 B/row round 18, zstd 28.6–29.0
+    // round 19), and the safe default for codecs never calibrated
+    assert(VectorQs.qdScratchBytesPerRow("lz4") === 48L)
+    assert(VectorQs.qdScratchBytesPerRow("zstd") === 32L)
+    assert(VectorQs.qdScratchBytesPerRow("ZSTD") === 32L)
+    assert(VectorQs.qdScratchBytesPerRow("snappy") === 48L,
+      "uncalibrated codecs must take the conservative lz4 constant")
+    // two spark.local.dir entries on one filesystem must not double the
+    // budget (getUsableSpace reports the STORE's free bytes)
+    val tmp = java.nio.file.Files.createTempDirectory("scratch-dedup")
+    val a = java.nio.file.Files.createDirectory(tmp.resolve("a")).toString
+    val b = java.nio.file.Files.createDirectory(tmp.resolve("b")).toString
+    val one = VectorQs.usableSpaceByStore(Seq(a))
+    assert(one > 0)
+    val both = VectorQs.usableSpaceByStore(Seq(a, b))
+    assert(both === one,
+      s"same-filesystem dirs double-counted: $one vs $both")
+    // a dir Spark has not created yet resolves through its ancestor
+    assert(VectorQs.usableSpaceByStore(Seq(s"$a/not/yet/created")) === one)
+    // an unresolvable path contributes 0 (under-count = safe for ENOSPC)
+    assert(VectorQs.usableSpaceByStore(Nil) === 0L)
+  }
+
   test("the qd tier's disk gate routes to the cell fallback when the expansion spill cannot fit") {
     // mock a tiny scratch budget: the escalation's estimated shuffle
     // footprint (probeRows x 48 B) exceeds it, so the router must land
