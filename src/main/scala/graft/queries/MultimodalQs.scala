@@ -407,6 +407,99 @@ object MultimodalQs {
       chunk("IHDR", ihdr) ++ chunk("IDAT", comp) ++ chunk("IEND", Array.empty)
   }
 
+  /** A REAL-pixel GIF89a (grayscale 256-entry global color table,
+    * palette[i] = (i,i,i), non-interlaced, one image): pixels LZW-coded
+    * with min code size 8 either as pure LITERALS (`compress = false` —
+    * the oracle-mirrorable form: with ≤254 codes per clear cycle every
+    * code is 9 bits at a fixed bit offset in the single sub-block) or
+    * by a real dictionary encoder (`compress = true` — exercises
+    * variable code widths 9→12 and CLEAR resets at table overflow).
+    * `withGce = true` prepends a Graphic Control Extension so the
+    * decoder's extension-skipping sub-block walk is on the graded
+    * path. The payload [[graft.ops.MultimodalOps.gifDHash64]] decodes.
+    *
+    * Width protocol: the encoder tracks the DECODER's table size
+    * (one entry behind its own — the decoder adds no entry for the
+    * first code after a reset) and bumps the emit width exactly when
+    * the decoder's table hits 2^width, the giflib convention. */
+  private[graft] def gifOf(width: Int, height: Int, v: (Int, Int) => Int,
+      compress: Boolean = false, withGce: Boolean = false): Array[Byte] = {
+    val n = width * height
+    val px = Array.tabulate(n)(k => v(k % width, k / width) & 0xFF)
+    val Clear = 256
+    val Eoi = 257
+    // ---- LSB-first bit packer ----
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nAcc = 0
+    var codeWidth = 9
+    def emitCode(c: Int): Unit = {
+      acc |= c.toLong << nAcc
+      nAcc += codeWidth
+      while (nAcc >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    // ---- LZW ----
+    var next = 258 // the ENCODER's next free code
+    def maybeBump(): Unit = // decoder table = next - 1
+      if (next - 1 == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    val dict = new java.util.HashMap[Int, Int]() // (cur << 8 | px) -> code
+    emitCode(Clear)
+    var cur = px(0)
+    var k = 1
+    while (k < n) {
+      val p = px(k)
+      val key = (cur << 8) | p
+      val hit = if (compress) dict.getOrDefault(key, -1) else -1
+      if (hit >= 0) cur = hit
+      else {
+        emitCode(cur)
+        if (next < 4096) {
+          dict.put(key, next); next += 1; maybeBump()
+        } else { // table full: reset (the decoder's CLEAR path)
+          emitCode(Clear)
+          dict.clear(); next = 258; codeWidth = 9
+        }
+        cur = p
+      }
+      k += 1
+    }
+    emitCode(cur)
+    // the decoder adds an entry for this final data code too — its
+    // table may hit 2^width right here, so EOI must use the bumped width
+    if (next < 4096) { next += 1; maybeBump() }
+    emitCode(Eoi)
+    if (nAcc > 0) bits.write((acc & 0xFF).toInt)
+    val lzw = bits.toByteArray
+    // ---- container ----
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0xF7) // GCT present, 256 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    if (withGce) { // 0x21 F9, one 4-byte sub-block, terminator
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); out.write(0); out.write(0); out.write(0); out.write(0)
+    }
+    out.write(0x2C)
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xFF); out.write(width >> 8)
+    out.write(height & 0xFF); out.write(height >> 8)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val len = math.min(255, lzw.length - off)
+      out.write(len)
+      out.write(lzw, off, len)
+      off += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   /** A canonical-header 16-bit mono PCM WAV carrying `samples` — the
     * payload [[graft.ops.MultimodalOps.audioHash64]] walks. */
   private def wavPcm(samples: Seq[Int]): Array[Byte] = {
@@ -487,7 +580,15 @@ object MultimodalQs {
     // comparisons survive quantization at full dynamic range).
     (15L, "audio", "wav", hex(wavPcm((0 until 1300).map(k => sigA(k / 2))))),
     (16L, "audio", "wav", hex(wavPcm((0 until 650).map(sigD)))),
-    (17L, "audio", "wav8", hex(wavPcm8((0 until 650).map(k => (sigD(k) + 32768) >> 8)))))
+    (17L, "audio", "wav8", hex(wavPcm8((0 until 650).map(k => (sigD(k) + 32768) >> 8)))),
+    // round 20 (GIF lane): id 18 is a GIF re-encode of id 1's raster —
+    // the third container of the same image, Hamming 0 from the BMP
+    // and PNG twins through the real LZW decode + palette walk.
+    // Literal-coded (every code 9 bits at a fixed offset) so the
+    // oracle mirrors it with shift-and-mask byte math; the dictionary
+    // encoder, width growth and CLEAR resets are pinned JVM-side in
+    // MultimodalSpec.
+    (18L, "image", "gif", hex(gifOf(9, 8, grad))))
 
   /** The dHash mirror over a BMP hex literal: the SAME integer
     * downsample (gx = i·w div 9, gy = j·h div 8), the same
@@ -577,6 +678,36 @@ object MultimodalQs {
       .mkString("(", " + ", ")")
     s"""SELECT CAST($id AS BIGINT) AS media_id, CAST($hh AS UBIGINT) AS ph
     FROM (SELECT '$hx' AS hx, ${be32("16")} AS w, ${be32("20")} AS h)"""
+  }
+
+  /** The GIF dHash mirror over a LITERAL-coded grayscale GIF hex
+    * literal ([[gifOf]] with `compress = false`, no GCE, ≤254 pixels):
+    * every LZW code is 9 bits at a FIXED offset — code i (after the
+    * leading CLEAR) occupies bits [9·(1+i), 9·(1+i)+9) of the single
+    * sub-block's payload, LSB-first, at byte offset 793 (6 header + 7
+    * LSD + 768 GCT + 10 image descriptor + 1 min-code-size + 1
+    * sub-block length) — so the SQL extracts pixel (x, y)'s palette
+    * index with shift-and-mask byte math, resolves it through the
+    * GLOBAL COLOR TABLE at offset 13 (grading the palette walk too),
+    * and applies the same 9×8 grid and bit packing as
+    * [[graft.ops.MultimodalOps.gifDHash64]]. */
+  private def phGifSql(id: Long, hx: String): String = {
+    def gAt(xe: String, ye: String): String = {
+      val bit = s"(9 + 9*(($ye)*w + ($xe)))"
+      val idx = s"(((${byteAt(s"793 + ($bit)//8")} + " +
+        s"256*${byteAt(s"794 + ($bit)//8")}) >> (($bit) % 8)) & 511)"
+      s"((${byteAt(s"13 + 3*$idx")} + ${byteAt(s"14 + 3*$idx")} + " +
+        s"${byteAt(s"15 + 3*$idx")}) // 3)"
+    }
+    def rowv(j: Int): String =
+      s"list_sum([CASE WHEN ${gAt("((i+1)*w)//9", s"($j*h)//8")} > " +
+        s"${gAt("(i*w)//9", s"($j*h)//8")} THEN 1<<i ELSE 0 END " +
+        "for i in range(0, 8)])"
+    val hh = (0 until 8)
+      .map(j => s"(CAST(${rowv(j)} AS HUGEINT) << ${8 * j})")
+      .mkString("(", " + ", ")")
+    s"""SELECT CAST($id AS BIGINT) AS media_id, CAST($hh AS UBIGINT) AS ph
+    FROM (SELECT '$hx' AS hx, ${le16("6")} AS w, ${le16("8")} AS h)"""
   }
 
   /** The opaque-payload mirror: FNV-1a 64 over the raw bytes
@@ -796,6 +927,7 @@ object MultimodalQs {
       fmt match {
         case "bmp" => phBmpSql(id, hx)
         case "png" => phPngSql(id, hx)
+        case "gif" => phGifSql(id, hx)
         case "wav" => phWavSql(id, hx)
         case "wav8" => phWav8Sql(id, hx)
         case _ => phFnvSql(id, hx)

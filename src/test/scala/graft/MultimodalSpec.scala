@@ -484,7 +484,7 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val rep = clusters.map(c => c._1 -> c._2).toMap
     // total: every fixture media row is labeled exactly once
-    assert(clusters.map(_._1).sorted.toSeq == (1L to 17L))
+    assert(clusters.map(_._1).sorted.toSeq == (1L to 18L))
     // every near-dup pair lands in one cluster
     pairRows.foreach { case (a, b) =>
       assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
@@ -495,12 +495,12 @@ class MultimodalSpec extends AnyFunSuite {
       assert(members.count(_._4) == 1 && members.find(_._4).get._1 == r)
       assert(members.forall(_._3 == members.length.toLong))
     }
-    // the designed shape: {1,2,3,13} transitive + cross-container (13
-    // is a PNG re-encode of BMP 1), {5,6,14}, {7,8,9,15} (15 = 2x
-    // resample of 7), {11,12}, {16,17} (8-bit depth re-encode),
-    // singletons {4}, {10}
+    // the designed shape: {1,2,3,13,18} transitive + cross-container
+    // (13 and 18 are PNG and GIF re-encodes of BMP 1), {5,6,14},
+    // {7,8,9,15} (15 = 2x resample of 7), {11,12}, {16,17} (8-bit
+    // depth re-encode), singletons {4}, {10}
     val byRep = clusters.groupBy(_._2).map { case (r, m) => r -> m.map(_._1).sorted.toSeq }
-    assert(byRep(1L) == Seq(1L, 2L, 3L, 13L))
+    assert(byRep(1L) == Seq(1L, 2L, 3L, 13L, 18L))
     assert(byRep(5L) == Seq(5L, 6L, 14L))
     assert(byRep(7L) == Seq(7L, 8L, 9L, 15L))
     assert(byRep(11L) == Seq(11L, 12L))
@@ -558,6 +558,65 @@ class MultimodalSpec extends AnyFunSuite {
       chunk("IEND", Array.empty[Byte])
     assert(MultimodalOps.perceptualHash64(multi) == want,
       "multi-IDAT stream diverged from the single-IDAT hash")
+  }
+
+  // ——— GIF perceptual lane (round 20) ———
+
+  test("GIF lane: literal and dictionary-compressed re-encodes hash IDENTICALLY to the BMP twin") {
+    def grad(x: Int, y: Int) = 10 + 20 * x
+    def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
+    for ((w, h, v) <- Seq((9, 8, grad _), (64, 48, tex _), (13, 11, tex _))) {
+      val want = MultimodalOps.perceptualHash64(graft.queries.MultimodalQs.bmpOf(w, h, v))
+      for {
+        compress <- Seq(false, true)
+        gce <- Seq(false, true)
+      } {
+        val gif = graft.queries.MultimodalQs.gifOf(w, h, v, compress, gce)
+        val got = MultimodalOps.perceptualHash64(gif)
+        assert(got == want,
+          s"GIF(${w}x$h, compress=$compress, gce=$gce) " +
+            f"hashed $got%016x, BMP twin $want%016x")
+      }
+    }
+    // a raster big enough that the DICTIONARY overflows (300x300 =
+    // 90k pixels forces >4096 entries → mid-stream CLEAR resets and
+    // code widths 9→12) and the literal stream spans many sub-blocks
+    def tex2(x: Int, y: Int) = (x * 7 + y * 5) % 251
+    val want = MultimodalOps.perceptualHash64(graft.queries.MultimodalQs.bmpOf(300, 300, tex2))
+    assert(MultimodalOps.perceptualHash64(
+      graft.queries.MultimodalQs.gifOf(300, 300, tex2, compress = true)) == want,
+      "dictionary resets / width growth broke the LZW decode")
+    assert(MultimodalOps.perceptualHash64(
+      graft.queries.MultimodalQs.gifOf(300, 300, tex2, compress = false)) == want,
+      "multi-sub-block literal stream broke the decode")
+  }
+
+  test("GIF lane: hostile/undecodable payloads quarantine to exact FNV — never a task failure") {
+    def tex(x: Int, y: Int) = (x * 3 + y * 2) % 200 + 20
+    val good = graft.queries.MultimodalQs.gifOf(16, 16, tex)
+    def patched(f: ByteBuffer => Unit): Array[Byte] = {
+      val b = good.clone(); f(ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)); b
+    }
+    // image descriptor sits right after header(6)+LSD(7)+GCT(768):
+    // packed byte at 781+9 = 790
+    val cases = Seq[(String, Array[Byte])](
+      "interlaced" -> patched(_.put(790, 0x40.toByte)),
+      "no color table anywhere" -> patched(_.put(10, 0x00.toByte)),
+      "bomb dimensions" -> patched(b => { b.putShort(786, -1); b.putShort(788, -1) }),
+      "trailer before any image" -> patched(_.put(781, 0x3B.toByte)),
+      "desynchronized block stream" -> patched(_.put(781, 0x7F.toByte)),
+      "truncated mid-LZW" -> good.take(800),
+      "invalid min code size" -> patched(_.put(791, 1.toByte)),
+      // first code after CLEAR forced to 511 — a dictionary code where
+      // only a raw literal is legal
+      "corrupt LZW stream" -> patched { b =>
+        b.put(793, 0xFF.toByte); b.put(794, (b.get(794) | 1).toByte)
+      })
+    cases.foreach { case (name, bytes) =>
+      val h = MultimodalOps.perceptualHash64(bytes) // must not throw
+      assert(h == MultimodalOps.fnv64(bytes),
+        s"$name: undecodable GIF was not quarantined to the FNV lane")
+    }
   }
 
   test("PNG lane: hostile/undecodable payloads quarantine to exact FNV — never a task failure") {
