@@ -421,7 +421,11 @@ object MultimodalOps {
         while (got < raw.length && !inf.finished() && !stalled) {
           val n = inf.inflate(raw, got, raw.length - got)
           got += n
-          stalled = n == 0 && inf.needsInput() // truncated stream
+          // truncated stream, or a preset-dictionary (FDICT) stream we
+          // can never supply — without the needsDictionary check a
+          // hostile 0x78 0x20 zlib header spins this loop forever
+          // (inflate()==0, finished=false, needsInput=false)
+          stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
         }
         if (got < raw.length) return None
       } finally inf.end()

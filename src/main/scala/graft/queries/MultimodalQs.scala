@@ -822,8 +822,14 @@ object MultimodalQs {
       media: org.apache.spark.sql.Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBucket: Int = MediaMaxBucket): org.apache.spark.sql.DataFrame = {
+    // persisted: the hash relation feeds the ident join's two sides,
+    // the group collapse and the member expansion — without the cache
+    // each branch re-runs the DECODE pass (PNG inflate, GIF LZW) over
+    // every media byte. 16 B/row; the streaming twin persists its
+    // bands for the same reason (MediaStream.admitBatch)
     val hashes = MultimodalOps.perceptualHashes(media).toDF()
       .select("media_id", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // identical fingerprints: hamming 0 by definition — an equi-join on
     // the fingerprint itself, output-bounded, no band machinery
     def hs(n: String) = hashes.select(col("phash"), col("media_id").as(s"m_$n"))
@@ -872,8 +878,12 @@ object MultimodalQs {
       media: org.apache.spark.sql.Dataset[MediaRow],
       maxHamming: Int = 3,
       maxBucket: Int = MediaMaxBucket): org.apache.spark.sql.DataFrame = {
+    // persisted for the same reason as perceptualNearDupPairs — and
+    // here the CC loop's first count additionally materializes it
+    // before the label join-back re-reads it
     val hashes = MultimodalOps.perceptualHashes(media).toDF()
       .select("media_id", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = distinctHashReps(hashes)
     val rp = repPairs(groups, maxHamming, maxBucket)
       .select(col("rep_a").as("a"), col("rep_b").as("b"))

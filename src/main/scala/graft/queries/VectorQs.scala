@@ -459,7 +459,11 @@ object VectorQs {
     * rows, but written once per sort pass on both the expansion and
     * distinct exchanges. */
   private[graft] def qdScratchBytesPerRow(codec: String): Long =
-    if (codec.equalsIgnoreCase("zstd")) 32L else 48L
+    // contains, not equals: spark.io.compression.codec legally holds the
+    // short name OR the fully-qualified class name
+    // (org.apache.spark.io.ZstdCompressionCodec) — an exact match would
+    // silently price a zstd cluster at the lz4 constant
+    if (codec.toLowerCase.contains("zstd")) 32L else 48L
 
   /** The JVM heap the escalated form's hash builds will actually get —
     * the EXECUTOR's, because the OOM this key guards against is

@@ -61,9 +61,15 @@ private[graft] object IndexLayout {
       case "vectors"  => pmod(k("cell"), lit(nb))
       // the media fingerprint index ([[MediaStream]]): band_bits alone
       // is 16 bits of entropy, so fold the band index in too — four
-      // bands of one fingerprint land in four different buckets
+      // bands of one fingerprint land in four different buckets. The
+      // bucket key is the (band_idx, band_bits) PAIR, so the
+      // single-column `key` override cannot express a valid remap —
+      // reject it rather than hash a half-overridden pair
       case "fingerprints" =>
-        pmod(xxhash64(col("band_idx"), k("band_bits")), lit(nb.toLong)).cast("int")
+        require(key == null,
+          "the fingerprints bucket key is the (band_idx, band_bits) pair; " +
+            "a single-column key override would desynchronize placement")
+        pmod(xxhash64(col("band_idx"), col("band_bits")), lit(nb.toLong)).cast("int")
       case other => throw new IllegalArgumentException(
         s"no canonical bucket expression for index relation '$other'")
     }

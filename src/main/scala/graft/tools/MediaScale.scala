@@ -33,10 +33,19 @@ import org.apache.spark.sql.SparkSession
   * cluster labeled with its min id at size ≥ B, the planted texture
   * dups at size 2).
   *
+  * The `--formats` mode prices the round-20 DECODE lanes at synthetic
+  * scale: the same 9×8 texture family rendered per container — raw BMP,
+  * stored- and deflate-compressed PNG (Inflater + unfilter), literal-
+  * and dictionary-coded GIF (full LZW), 16-bit PCM WAV — so the per-
+  * row cost of each decode path is a measured number, not an argument
+  * (timed pass = in-plan generation + hash, same convention as the
+  * main table).
+  *
   * Usage: runMain graft.tools.MediaScale [n1,n2,...]   (default
   * 20000,200000)
   *        runMain graft.tools.MediaScale --cluster [n] [b1,b2,...]
   *        (default n=200000, blanks 0,10000)
+  *        runMain graft.tools.MediaScale --formats [n]  (default 100000)
   */
 object MediaScale {
 
@@ -95,10 +104,73 @@ object MediaScale {
     }
   }
 
+  /** `--formats` rung: per-container decode throughput on the same
+    * texture family (row i's grayscale function is identical across
+    * containers, so a planted cross-container audit rides along: the
+    * first row of every raster lane must hash identically). */
+  private val FormatLanes =
+    Seq("bmp", "png-stored", "png-deflate", "gif-literal", "gif-lzw", "wav16")
+
+  /** Row i's payload in format lane `lane` — the same per-row texture
+    * family across every raster container, so the raster lanes hash
+    * identically row for row. Object-level (not a local def) so the
+    * Dataset map lambda serializes without dragging a stack frame. */
+  private def formatRowOf(lane: Int, i: Long): MediaRow = {
+    def tex(x: Int, y: Int): Int =
+      java.lang.Long.remainderUnsigned(splitmix(i * 72L + y * 9L + x), 200L).toInt
+    val bytes = FormatLanes(lane) match {
+      case "bmp" => MultimodalQs.bmpOf(9, 8, tex)
+      case "png-stored" => MultimodalQs.pngOf(9, 8, tex)
+      case "png-deflate" => MultimodalQs.pngOf(9, 8, tex, stored = false)
+      case "gif-literal" => MultimodalQs.gifOf(9, 8, tex)
+      case "gif-lzw" => MultimodalQs.gifOf(9, 8, tex, compress = true)
+      case "wav16" =>
+        val b = java.nio.ByteBuffer.allocate(44 + 1300)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 1300)
+        b.put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        b.putShort(1).putShort(1).putInt(8000).putInt(16000)
+        b.putShort(2).putShort(16)
+        b.put("data".getBytes("US-ASCII")).putInt(1300)
+        var k = 0
+        while (k < 650) { b.putShort((splitmix(i * 650 + k) % 4001).toShort); k += 1 }
+        b.array()
+    }
+    MediaRow(i, "media", s"mem://$i", bytes)
+  }
+
+  private def runFormatsMode(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    // cross-container exactness: the same texture through every raster
+    // lane must produce ONE fingerprint (the spec pins this per-lane;
+    // this asserts it on the tool's own generators before timing)
+    val rasterHashes = (0 until 5).map(l => FormatLanes(l) ->
+      graft.ops.MultimodalOps.perceptualHash64(formatRowOf(l, 7L).bytes))
+    require(rasterHashes.map(_._2).distinct.size == 1,
+      s"cross-container divergence: $rasterHashes")
+    println("| lane | rows | hash pass (s) | rows/s |")
+    println("|---|---|---|---|")
+    FormatLanes.indices.foreach { lane =>
+      val media = spark.range(0, n.toLong, 1, 32).map(i => formatRowOf(lane, i))
+      media.count() // warm the generation path
+      System.gc()
+      val t0 = System.nanoTime()
+      graft.ops.MultimodalOps.perceptualHashes(media).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"| ${FormatLanes(lane)} | $n%,d | $t%.2f | ${(n / t).toLong}%,d |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark0 = Tables.configure(
       SparkSession.builder().appName("media-scale"), "32").getOrCreate()
     spark0.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("--formats")) {
+      runFormatsMode(spark0, args.lift(1).map(_.trim.toInt).getOrElse(100000))
+      spark0.stop()
+      return
+    }
     if (args.headOption.contains("--cluster")) {
       val n = args.lift(1).map(_.trim.toInt).getOrElse(200000)
       val bs = args.lift(2).getOrElse("0,10000")

@@ -632,6 +632,13 @@ class MultimodalSpec extends AnyFunSuite {
       "alpha color type" -> patched(_.put(25, 6.toByte)),
       "deflate-bomb dimensions" -> patched(b => { b.putInt(16, 60000); b.putInt(20, 60000) }),
       "corrupt zlib stream" -> patched(_.put(43, 0xEE.toByte)),
+      // 0x78 0x20 is a VALID zlib header with the FDICT bit set — the
+      // Inflater returns 0 forever with finished=false/needsInput=false
+      // and needsDictionary=true; without the needsDictionary stall
+      // check this was an unkillable busy-wait, not a quarantine
+      "preset-dictionary (FDICT) zlib stream" -> patched { b =>
+        b.put(41, 0x78.toByte); b.put(42, 0x20.toByte)
+      },
       "truncated payload" -> good.take(60),
       "zero width" -> patched(_.putInt(16, 0)))
     cases.foreach { case (name, bytes) =>

@@ -117,11 +117,15 @@ class VecProbeSpec extends AnyFunSuite {
     val b = java.nio.file.Files.createDirectory(tmp.resolve("b")).toString
     val one = VectorQs.usableSpaceByStore(Seq(a))
     assert(one > 0)
+    // snapshots are taken live a moment apart, so allow the store to
+    // drift a little between calls — the failure mode under test is a
+    // ~2x DOUBLING, orders of magnitude past this tolerance
+    def close(x: Long, y: Long): Boolean = math.abs(x - y) < one / 4
     val both = VectorQs.usableSpaceByStore(Seq(a, b))
-    assert(both === one,
+    assert(close(both, one),
       s"same-filesystem dirs double-counted: $one vs $both")
     // a dir Spark has not created yet resolves through its ancestor
-    assert(VectorQs.usableSpaceByStore(Seq(s"$a/not/yet/created")) === one)
+    assert(close(VectorQs.usableSpaceByStore(Seq(s"$a/not/yet/created")), one))
     // an unresolvable path contributes 0 (under-count = safe for ENOSPC)
     assert(VectorQs.usableSpaceByStore(Nil) === 0L)
   }
