@@ -423,7 +423,8 @@ object MultimodalQs {
     * first code after a reset) and bumps the emit width exactly when
     * the decoder's table hits 2^width, the giflib convention. */
   private[graft] def gifOf(width: Int, height: Int, v: (Int, Int) => Int,
-      compress: Boolean = false, withGce: Boolean = false): Array[Byte] = {
+      compress: Boolean = false, withGce: Boolean = false,
+      localTable: Boolean = false, version87: Boolean = false): Array[Byte] = {
     val n = width * height
     val px = Array.tabulate(n)(k => v(k % width, k / width) & 0xFF)
     val Clear = 256
@@ -472,12 +473,13 @@ object MultimodalQs {
     val lzw = bits.toByteArray
     // ---- container ----
     val out = new java.io.ByteArrayOutputStream()
-    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write((if (version87) "GIF87a" else "GIF89a").getBytes("US-ASCII"))
     out.write(width & 0xFF); out.write(width >> 8)
     out.write(height & 0xFF); out.write(height >> 8)
-    out.write(0xF7) // GCT present, 256 entries
+    out.write(if (localTable) 0x00 else 0xF7) // GCT present?, 256 entries
     out.write(0); out.write(0)
-    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    if (!localTable)
+      for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
     if (withGce) { // 0x21 F9, one 4-byte sub-block, terminator
       out.write(0x21); out.write(0xF9); out.write(4)
       out.write(0); out.write(0); out.write(0); out.write(0); out.write(0)
@@ -486,7 +488,9 @@ object MultimodalQs {
     out.write(0); out.write(0); out.write(0); out.write(0) // left, top
     out.write(width & 0xFF); out.write(width >> 8)
     out.write(height & 0xFF); out.write(height >> 8)
-    out.write(0) // no local table, not interlaced
+    out.write(if (localTable) 0x87 else 0x00) // LCT (256) / neither; not interlaced
+    if (localTable)
+      for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
     out.write(8) // LZW min code size
     var off = 0
     while (off < lzw.length) {

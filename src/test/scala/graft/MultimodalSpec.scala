@@ -578,6 +578,15 @@ class MultimodalSpec extends AnyFunSuite {
             f"hashed $got%016x, BMP twin $want%016x")
       }
     }
+    // LOCAL color table (the palette rides the image descriptor, LSD
+    // carries none) and GIF87a both decode identically
+    val wantTex = MultimodalOps.perceptualHash64(graft.queries.MultimodalQs.bmpOf(64, 48, tex))
+    assert(MultimodalOps.perceptualHash64(
+      graft.queries.MultimodalQs.gifOf(64, 48, tex, localTable = true)) == wantTex,
+      "local-color-table GIF diverged")
+    assert(MultimodalOps.perceptualHash64(
+      graft.queries.MultimodalQs.gifOf(64, 48, tex, version87 = true)) == wantTex,
+      "GIF87a diverged")
     // a raster big enough that the DICTIONARY overflows (300x300 =
     // 90k pixels forces >4096 entries → mid-stream CLEAR resets and
     // code widths 9→12) and the literal stream spans many sub-blocks
