@@ -111,6 +111,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("chunk_hash64"),
       new ExpressionInfo(classOf[ChunkHash64].getName, "chunk_hash64"),
       (children: Seq[Expression]) => ChunkHash64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_bucket16"),
+      new ExpressionInfo(classOf[Md5Bucket16].getName, "md5_bucket16"),
+      (children: Seq[Expression]) => Md5Bucket16(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[QualityScore].getName, "quality_score"),
+      (children: Seq[Expression]) => QualityScore(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id_scores"),
+      new ExpressionInfo(classOf[LangIdScores].getName, "lang_id_scores"),
+      (children: Seq[Expression]) => LangIdScores(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (children: Seq[Expression]) => TokenNgrams(children(0), children(1))))
     // the Rule[LogicalPlan] rung: naive key+band interval joins rewrite
     // to the binned form automatically (see plans/BinnedIntervalJoin)
     ext.injectOptimizerRule(_ => graft.plans.BinnedIntervalJoin)

@@ -30,7 +30,10 @@ object SampleOps {
     */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % buckets
+    // native digest-prefix form of conv(substring(md5(k),1,4),16,10) —
+    // same integer, no hex string or base-16 parse (round-21 opt;
+    // Md5FeaturesSpec pins equality with the conv spelling)
+    call_function("md5_bucket16", key.cast("string")) % buckets
   }
 
   /** Named split assignment from cumulative percent bounds, e.g.

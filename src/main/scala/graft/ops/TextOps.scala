@@ -346,7 +346,32 @@ object TextOps {
   val qualityWeights: Seq[Long] =
     (0 until QualityBuckets).map(b => (b.toLong * 2654435761L) % 1000003L - 501001L)
 
-  def modelScoresOf(docs: DataFrame): DataFrame = {
+  def modelScoresOf(docs: DataFrame): DataFrame =
+    // Fused native form (round-21 optimization, guide §1.2 step 2 /
+    // §4): `quality_score(text)` computes the whole feature loop —
+    // single-space tokenize, md5-bucket each unigram + adjacent bigram
+    // (a bigram is the contiguous byte range of its two tokens), sum
+    // the planted weights — in one codegen'd projection at the scan.
+    // Replaces explode(toks ++ bigrams) → md5-hex → conv → element_at
+    // → corpus×features groupBy (5M exploded rows at sf0.1; q129 was
+    // 4.05 s with this chain, the single hottest path in the bench).
+    // Row-for-row pinned against [[modelScoresReferenceOf]] by
+    // Md5FeaturesSpec; a null text emits no row in either form. The
+    // no-row contract is a PRE-filter on text — filtering the struct
+    // for null afterwards gets pushed below the projection and
+    // re-evaluates the whole fused pass per row (guide §4.4's
+    // duplicated-evaluation trap, observed in the executed plan).
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), call_function("quality_score", col("text")).as("__qs"))
+      .select(col("doc_id"),
+        col("__qs.n_feats").as("n_feats"), col("__qs.score").as("score"))
+
+  /** The relational spelling `quality_score` replaces — kept as the
+    * spec oracle ([[shingleHashReference]]'s convention): explode the
+    * unigram+bigram feature stream, md5-bucket each feature, look the
+    * planted weight up, aggregate per document. */
+  private[graft] def modelScoresReferenceOf(docs: DataFrame): DataFrame = {
     val wTab = typedlit(qualityWeights)
     val toks = split(col("text"), " ")
     val bigrams = when(size(toks) >= 2,
@@ -430,6 +455,40 @@ object TextOps {
     // structural, not a coincidence of langMarkers' declaration order
     // (round-18 ADVICE; the oracle generator sorts the same way)
     val langs = langMarkers.map(_._1).sorted
+    // Fused native form (round-21 optimization): `lang_id_scores(text,
+    // L)` runs the whole per-document pass — code-point trigram walk,
+    // ONE md5 bucket per gram feeding all L planted weight tables,
+    // integer sums — inside one codegen'd projection at the scan.
+    // Replaces explode(char_grams) → md5-hex → conv → L element_ats →
+    // corpus×grams groupBy (~15M exploded gram rows at sf0.1; q150 was
+    // 1.93 s with that chain). Row-for-row pinned against
+    // [[langIdScoresReferenceOf]] by Md5FeaturesSpec; a doc with no
+    // trigram emits no row in either form — expressed as a PRE-filter
+    // (null or sub-trigram text never reaches the scorer; `length` is
+    // Spark's code-point count, the same unit as the gram walk). A
+    // post-filter on the struct would push below the projection and
+    // re-evaluate the fused pass per row (guide §4.4's duplicated-
+    // evaluation trap, observed in the executed plan).
+    val scored = docs
+      .filter(col("text").isNotNull && length(col("text")) >= 3)
+      .select(col("doc_id"),
+        call_function("lang_id_scores", col("text"), lit(langs.length)).as("__ls"))
+      .select(col("doc_id") +: col("__ls.n_grams").as("n_grams") +:
+        langs.zipWithIndex.map { case (l, i) =>
+          col("__ls.scores").getItem(i).as(s"score_$l")
+        }: _*)
+    val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    // ties to the alphabetically-first language: earlier langs outermost
+    val pred = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** The explode-based spelling `lang_id_scores` replaces — kept as
+    * the spec oracle. */
+  private[graft] def langIdScoresReferenceOf(docs: DataFrame): DataFrame = {
+    val langs = langMarkers.map(_._1).sorted
     val bucket = (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
       % LangIdBuckets + 1).cast("int")
     val scored = docs
@@ -441,7 +500,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"),
         langs.map(l => sum(col(s"__w_$l")).as(s"score_$l")): _*)
     val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
-    // ties to the alphabetically-first language: earlier langs outermost
     val pred = langs.reverse.foldLeft(lit("und")) { case (acc, l) =>
       when(col(s"score_$l") === best, lit(l)).otherwise(acc)
     }

@@ -830,10 +830,15 @@ object MultimodalQs {
     // the group collapse and the member expansion — without the cache
     // each branch re-runs the DECODE pass (PNG inflate, GIF LZW) over
     // every media byte. 16 B/row; the streaming twin persists its
-    // bands for the same reason (MediaStream.admitBatch)
-    val hashes = MultimodalOps.perceptualHashes(media).toDF()
-      .select("media_id", "phash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands for the same reason (MediaStream.admitBatch). Via
+    // Memo.ensurePersisted (round-21, ADVICE r20): CacheManager keys
+    // on the canonicalized plan, so repeated invocations over the
+    // same media relation share ONE cache entry instead of logging
+    // re-cache churn per call; the entry lives until the session's
+    // clearCache, the same ownership as every memoized relation.
+    val hashes = graft.Memo.ensurePersisted(
+      MultimodalOps.perceptualHashes(media).toDF()
+        .select("media_id", "phash"))
     // identical fingerprints: hamming 0 by definition — an equi-join on
     // the fingerprint itself, output-bounded, no band machinery
     def hs(n: String) = hashes.select(col("phash"), col("media_id").as(s"m_$n"))
@@ -884,10 +889,13 @@ object MultimodalQs {
       maxBucket: Int = MediaMaxBucket): org.apache.spark.sql.DataFrame = {
     // persisted for the same reason as perceptualNearDupPairs — and
     // here the CC loop's first count additionally materializes it
-    // before the label join-back re-reads it
-    val hashes = MultimodalOps.perceptualHashes(media).toDF()
-      .select("media_id", "phash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // before the label join-back re-reads it. Memo.ensurePersisted:
+    // one plan-keyed entry shared across invocations (and with
+    // perceptualNearDupPairs over the same media — identical subplan),
+    // no re-cache churn (round-21, ADVICE r20).
+    val hashes = graft.Memo.ensurePersisted(
+      MultimodalOps.perceptualHashes(media).toDF()
+        .select("media_id", "phash"))
     val groups = distinctHashReps(hashes)
     val rp = repPairs(groups, maxHamming, maxBucket)
       .select(col("rep_a").as("a"), col("rep_b").as("b"))

@@ -108,13 +108,29 @@ object Relational {
   val q04 = Q(
     "q04_priority_revenue",
     (s, d) => {
+      // Round-21 restructure (guide §2.3 "aggregate before you
+      // shuffle"): lineitem pre-aggregates per order key BEFORE the
+      // fact-fact join, so (a) the join exchange carries one partial
+      // row per order instead of every line, and (b) the
+      // countDistinct disappears — after the per-key rollup each
+      // order key is exactly one row, so n_orders is a plain count.
+      // Exactness: Det.dsum is an associative DECIMAL(30,6) sum, so
+      // sum-of-partial-sums is bit-identical to the flat sum (the
+      // whole point of Det), and the final cast to double is the same
+      // single rounding. Oracle unchanged; hash-verified.
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(revenue.cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+            .as("__rev"),
+          count(lit(1)).as("__n_lines"))
       Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-          Det.dsum(revenue).as("total_revenue"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_lines"))
+          sum(col("__rev")).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("__n_lines")).as("n_lines"))
         .orderBy("o_orderpriority")
     },
     Some(s"""

@@ -961,9 +961,8 @@ object TextQs {
       .select(col("gram").as("prefix"), col("n").as("c2"))
     val vocab = counts.filter(col("gram_order") === 1).agg(count(lit(1)).as("v"))
     docs
-      .select(col("doc_id"), explode(TextOps.lmGrams(col("text"), 3)).as("g"))
-      .filter(col("g._1") === 3)
-      .select(col("doc_id"), col("g._2").as("gram"))
+      .select(col("doc_id"),
+        explode(call_function("token_ngrams", col("text"), lit(3))).as("gram"))
       .join(tri, Seq("gram"), "left")
       .withColumn("prefix", substring_index(col("gram"), " ", 2))
       .join(big, Seq("prefix"), "left")
@@ -1045,15 +1044,24 @@ object TextQs {
     * byte-exact. Corpus touched once (the word-count aggregate);
     * everything iterative is vocabulary-sized.
     */
-  val q124 = Q(
-    "q124_bpe_merges",
-    (s, d) => {
-      val words = Tables.documents(s, d)
+  /** The corpus word-count relation BPE training and encoding both
+    * start from, persisted ONCE per (session, dir) — q124 consumes it
+    * once, q125 TWICE (the training pass and the encode projection
+    * were two separate plan trees, so each q125 invocation re-ran the
+    * corpus explode+aggregate twice before round 21). Vocabulary-sized
+    * (Zipf), spillable — the same footing as `lm_gram_counts`. */
+  private def bpeWordCounts(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "bpe_word_counts") {
+      Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("cnt"))
-      TextOps.bpeMerges(words, "w", "cnt", rounds = 5).orderBy("round")
-    },
+    }
+
+  val q124 = Q(
+    "q124_bpe_merges",
+    (s, d) =>
+      TextOps.bpeMerges(bpeWordCounts(s, d), "w", "cnt", rounds = 5).orderBy("round"),
     Some {
       val rounds = (1 to 5).map { i =>
         s"""p$i AS MATERIALIZED (
@@ -1096,10 +1104,7 @@ object TextQs {
   val q125 = Q(
     "q125_bpe_encode",
     (s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val words = bpeWordCounts(s, d)
       val merges = TextOps.bpeMerges(words, "w", "cnt", rounds = 5)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
@@ -1315,10 +1320,13 @@ object TextQs {
         .withColumn("num", col("c3") + lit(1L))
         .withColumn("den", col("c2") + col("v"))
         .select(col("gram"), (expr(lqSparkSql("den")) - expr(lqSparkSql("num"))).as("nlp_q"))
+      // token_ngrams(text, 3): the native order-3 gram stream — the
+      // lmGrams UDF emitted all of orders 1..3 as boxed (order, gram)
+      // tuples and 2/3 of the rows were filtered right back out
+      // (round-21 opt; Md5FeaturesSpec pins gram-for-gram equality)
       val docTri = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.lmGrams(col("text"), 3)).as("g"))
-        .filter(col("g._1") === 3)
-        .select(col("doc_id"), col("g._2").as("gram"))
+        .select(col("doc_id"),
+          explode(call_function("token_ngrams", col("text"), lit(3))).as("gram"))
       docTri.join(nlp, "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tri"), sum(col("nlp_q")).as("nll_q"))
@@ -1392,11 +1400,13 @@ object TextQs {
       // production scale this is the materialized feature stream a DSIR
       // deployment writes once and scores many targets against.
       val feats = graft.Memo.cached(s, d, "dsir_feats") {
+        // md5_bucket16: the native digest-prefix form of
+        // conv(substring(md5(f),1,4),16,10) — same integer, no hex
+        // string, no base-16 parse (round-21; Md5FeaturesSpec pins it)
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), explode(concat(toks, bigrams)).as("f"))
           .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
-              % QualityBuckets).cast("int").as("b"))
+            (call_function("md5_bucket16", col("f")) % QualityBuckets).as("b"))
       }
       val counts = feats.groupBy("b").agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),

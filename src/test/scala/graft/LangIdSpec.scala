@@ -81,17 +81,25 @@ class LangIdSpec extends AnyFunSuite {
     assert(nullGrams.isEmpty, "null text must yield an EMPTY gram array")
   }
 
-  test("the gram stage is codegen-native: q150's plan carries CharGrams, no ScalaUDF") {
-    // the language gate runs charGrams on every admitted micro-batch —
-    // the expression must stay inside whole-stage codegen, never a
-    // per-row Scala UDF (round-18 verdict wrong #2; the ShingleHash64
-    // convention pin)
+  test("the scoring stage is codegen-native: q150 carries LangIdScores, no ScalaUDF") {
+    // the language gate runs the classifier on every admitted
+    // micro-batch — the pass must stay inside whole-stage codegen,
+    // never a per-row Scala UDF (round-18 verdict wrong #2; the
+    // ShingleHash64 convention pin). Round 21 fused the gram walk +
+    // md5 bucketing + weight sums into ONE LangIdScores expression
+    // (which subsumes the earlier CharGrams stage), evaluated exactly
+    // once — a duplicate evaluation (e.g. a filter pushed below the
+    // projection, guide §4.4) would double the corpus pass.
     val plan = Queries.byName("q150_lang_classifier").fn(spark, sf)
-      .queryExecution.analyzed
+      .queryExecution.optimizedPlan
     val exprs = plan.collect { case p => p.expressions }.flatten
-    assert(exprs.exists(_.exists(
-        _.isInstanceOf[graft.expressions.CharGrams])),
-      "q150's gram stage no longer uses the native char_grams expression")
+    val scorers = exprs.flatMap(_.collect {
+      case e: graft.expressions.LangIdScores => e
+    })
+    assert(scorers.nonEmpty,
+      "q150's scoring stage no longer uses the native lang_id_scores expression")
+    assert(scorers.size == 1,
+      s"lang_id_scores appears ${scorers.size} times — duplicated evaluation")
     assert(!exprs.exists(_.exists(
         _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
       "a per-row Scala UDF crept back into q150's plan")

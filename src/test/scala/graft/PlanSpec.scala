@@ -273,7 +273,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q144_cluster_split")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "cluster-split join fell back to an unkeyed pairing")
-    assert(p.contains("md5("), "portable split hash not computed in-plan")
+    // round 21: the split hash is the native md5_bucket16 (the same
+    // digest-prefix integer as the old conv(substring(md5 ..)) chain)
+    assert(p.contains("md5_bucket16("), "portable split hash not computed in-plan")
     assert(p.contains("partial_count") || p.contains("Partial"),
       "cluster sizes lost their map-side partials")
   }
