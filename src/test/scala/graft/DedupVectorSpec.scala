@@ -304,6 +304,40 @@ class DedupVectorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: driver fast path equals the distributed loop") {
+    // round-21: small edge lists take a driver union-find (the
+    // labelDeltaShard posture generalized); the two paths must be
+    // byte-equal on chains, cliques, forests, self-loops, and random
+    // graphs. The distributed loop is forced via the conf gate.
+    val rnd = new scala.util.Random(21)
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq, // chain
+      (for (i <- 1 to 8; j <- (i + 1) to 8) yield (i.toLong, j.toLong)), // clique
+      Seq((5L, 5L), (7L, 8L)), // self-loop + edge
+      Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))) // random
+    shapes.foreach { es =>
+      val edges = spark.createDataFrame(es).toDF("a", "b")
+      val fast = graft.ops.DedupOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(graft.ops.DedupOps.DriverCcMaxEdgesKey, "0")
+      val dist = try graft.ops.DedupOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(graft.ops.DedupOps.DriverCcMaxEdgesKey)
+      assert(fast == dist, s"paths diverged on ${es.take(5)}...")
+    }
+  }
+
+  test("connected components: edge lists past the driver bound take the distributed loop") {
+    // bound 10 < 39 chain edges → the distributed path must produce
+    // the same labels (and the fast path's size probe must not lie)
+    val edges = spark.range(1, 40).toDF("a").select(col("a"), (col("a") + 1).as("b"))
+    spark.conf.set(graft.ops.DedupOps.DriverCcMaxEdgesKey, "10")
+    val got = try graft.ops.DedupOps.connectedComponents(edges)
+      .filter(col("comp") =!= 1L).count()
+    finally spark.conf.unset(graft.ops.DedupOps.DriverCcMaxEdgesKey)
+    assert(got == 0L)
+  }
+
   test("connected components: reliable checkpointDir variant writes rounds durably, same labels") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val edges = spark.createDataFrame(Seq(
