@@ -191,8 +191,80 @@ object GraphOps {
     * @return (node: long, dist: long) — every node within `maxHops` of a
     *         seed, at its minimal hop count (seeds at 0)
     */
+  /** Size bound for the bfs/sssp driver fast paths (edges AND seeds,
+    * after dedup/aggregation). The frontier loops pay the same fixed
+    * per-round machinery the CC loop does (eager localCheckpoints, an
+    * isEmpty job per round, the cached-edge materialization — see
+    * [[DedupOps.connectedComponents]]'s round-21 decomposition: ~1.7 s
+    * for the loop alone on a trivial graph), so small graphs run the
+    * identical synchronous recurrence on the driver (the q68
+    * bounded-action posture). Past the bound the distributed loop runs
+    * unchanged. 0 disables. */
+  private val DriverGraphMaxEdgesDefault = 200000L
+  private[graft] val DriverGraphMaxEdgesKey = "spark.graft.graph.maxDriverEdges"
+
+  private def driverBound(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.getOption(DriverGraphMaxEdgesKey).map(_.toLong)
+      .getOrElse(DriverGraphMaxEdgesDefault)
+
+  /** `df.limit(bound+1).collect()` if that stays within `bound`, else
+    * None — in the small case the rows ARE the input (no second
+    * materialization); in the large case executeTake stops early. */
+  private def collectIfSmall(df: DataFrame, bound: Long)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    if (bound <= 0 || bound > Int.MaxValue - 1) return None
+    val rows = df.limit(bound.toInt + 1).collect()
+    if (rows.length <= bound) Some(rows) else None
+  }
+
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val bound = driverBound(edges.sparkSession)
+    val small = for {
+      e <- collectIfSmall(edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct(), bound)
+      s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
+        .distinct(), bound)
+    } yield (e, s)
+    small match {
+      case Some((e, s)) => driverBfs(edges.sparkSession, e, s, maxHops)
+      case None => bfsDistributed(edges, seeds, maxHops)
+    }
+  }
+
+  /** Driver form of [[bfs]]: the identical layered traversal (layers
+    * disjoint, layer index = distance) over collected edges/seeds. */
+  private def driverBfs(sp: org.apache.spark.sql.SparkSession,
+      eRows: Array[org.apache.spark.sql.Row],
+      sRows: Array[org.apache.spark.sql.Row], maxHops: Int): DataFrame = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    eRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1))
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    }
+    val dist = scala.collection.mutable.LongMap.empty[Long]
+    var frontier = sRows.iterator.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq
+    frontier.foreach(n => dist(n) = 0L)
+    var h = 0
+    while (h < maxHops && frontier.nonEmpty) {
+      h += 1
+      val nxt = scala.collection.mutable.LongMap.empty[Boolean]
+      frontier.foreach { n =>
+        adj.get(n).foreach(_.foreach { d =>
+          if (!dist.contains(d)) nxt(d) = true
+        })
+      }
+      frontier = nxt.keys.toSeq
+      frontier.foreach(n => dist(n) = h.toLong)
+    }
+    import sp.implicits._
+    dist.toSeq.map { case (n, d) => (n, d) }.toDF("node", "dist")
+  }
+
+  private def bfsDistributed(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
     val e = graft.Memo.ensurePersisted(
       edges.select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
@@ -238,6 +310,58 @@ object GraphOps {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val bound = driverBound(edges.sparkSession)
+    val small = for {
+      e <- collectIfSmall(edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .groupBy("src", "dst").agg(min(col("w")).as("w")), bound)
+      s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
+        .distinct(), bound)
+    } yield (e, s)
+    small match {
+      case Some((e, s)) => driverSssp(edges.sparkSession, e, s, rounds)
+      case None => ssspDistributed(edges, seeds, rounds)
+    }
+  }
+
+  /** Driver form of [[sssp]]: the identical round-bounded synchronous
+    * Bellman-Ford with an improved-only frontier over collected
+    * min-aggregated edges — exact integer costs, same early exit. */
+  private def driverSssp(sp: org.apache.spark.sql.SparkSession,
+      eRows: Array[org.apache.spark.sql.Row],
+      sRows: Array[org.apache.spark.sql.Row], rounds: Int): DataFrame = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    eRows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+        adj.getOrElseUpdate(r.getLong(0),
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) +=
+          ((r.getLong(1), r.getLong(2)))
+    }
+    val best = scala.collection.mutable.LongMap.empty[Long]
+    var frontier = sRows.iterator.filterNot(_.isNullAt(0)).map(_.getLong(0)).toSeq
+    frontier.foreach(n => best(n) = 0L)
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      r += 1
+      val cand = scala.collection.mutable.LongMap.empty[Long]
+      frontier.foreach { n =>
+        val c0 = best(n)
+        adj.get(n).foreach(_.foreach { case (d, w) =>
+          val c = c0 + w
+          if (cand.get(d).forall(c < _)) cand(d) = c
+        })
+      }
+      val improved = cand.filter { case (n, c) => best.get(n).forall(c < _) }
+      improved.foreach { case (n, c) => best(n) = c }
+      frontier = improved.keys.toSeq
+    }
+    import sp.implicits._
+    best.toSeq.map { case (n, c) => (n, c) }.toDF("node", "cost")
+  }
+
+  private def ssspDistributed(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
     val ePlan = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .groupBy("src", "dst").agg(min(col("w")).as("w"))

@@ -18,17 +18,23 @@ object GraphQs {
     * directs these; q90 forgets direction. One definition so the two
     * queries can never disagree about the graph.
     */
-  private def transitions(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val ev = Tables.events(s, d).select(
-      col("user_id"), col("event_id"),
-      col("ts_us").as("us"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
-    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    ev.withColumn("next_item", lead(col("item"), 1).over(w))
-      .filter(col("item").isNotNull && col("next_item").isNotNull &&
-        col("item") =!= col("next_item"))
-      .select("item", "next_item")
-  }
+  private def transitions(s: org.apache.spark.sql.SparkSession, d: String) =
+    // Memoized per (session, dir) since round 21: all four graph
+    // queries derive from this one relation, and each derived BOTH its
+    // edge list and its node/seed set from it — two full event-window
+    // passes per invocation before the cache. Two longs per transition,
+    // MEMORY_AND_DISK — the doc_shingles footing.
+    graft.Memo.cached(s, d, "item_transitions") {
+      val ev = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        col("ts_us").as("us"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.withColumn("next_item", lead(col("item"), 1).over(w))
+        .filter(col("item").isNotNull && col("next_item").isNotNull &&
+          col("item") =!= col("next_item"))
+        .select("item", "next_item")
+    }
 
   /** The oracle-side mirror of [[transitions]] (ev + tr CTEs). */
   private val TransitionsCte = """

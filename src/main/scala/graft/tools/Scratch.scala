@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main (not part of the library surface) — rebuilt per
-  * investigation; currently: phase decomposition of the CC-family
-  * queries (round 21): how much of q39/q122/q144 is pair generation vs
-  * the connected-components loop vs output assembly. */
+  * investigation; currently: INTERLEAVED A/B of the round-21 driver
+  * fast paths vs the distributed loops (host speed drifts on a
+  * minutes scale, so alternating forms within one session is the only
+  * robust comparison). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -16,30 +17,36 @@ object Scratch {
     s.sparkContext.setLogLevel("ERROR")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def t(tag: String)(body: => Unit): Unit = {
-      val runs = (1 to 5).map { _ =>
-        System.gc()
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e9
+    def one(q: String): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      noop(graft.Queries.byName(q).fn(s, d))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ab(q: String): Unit = {
+      // warm both forms
+      one(q)
+      s.conf.set("spark.graft.graph.maxDriverEdges", "0")
+      s.conf.set("spark.graft.cc.maxDriverEdges", "0")
+      one(q)
+      s.conf.unset("spark.graft.graph.maxDriverEdges")
+      s.conf.unset("spark.graft.cc.maxDriverEdges")
+      val fast = scala.collection.mutable.ArrayBuffer[Double]()
+      val dist = scala.collection.mutable.ArrayBuffer[Double]()
+      (1 to 5).foreach { _ =>
+        fast += one(q)
+        s.conf.set("spark.graft.graph.maxDriverEdges", "0")
+        s.conf.set("spark.graft.cc.maxDriverEdges", "0")
+        dist += one(q)
+        s.conf.unset("spark.graft.graph.maxDriverEdges")
+        s.conf.unset("spark.graft.cc.maxDriverEdges")
       }
-      println(f"$tag: median ${runs.sorted.apply(2)}%.2f  runs ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      def med(xs: Seq[Double]) = xs.sorted.apply(2)
+      println(f"$q: fast ${med(fast.toSeq)}%.2f (${fast.map(x => f"$x%.2f").mkString(",")})  " +
+        f"dist ${med(dist.toSeq)}%.2f (${dist.map(x => f"$x%.2f").mkString(",")})")
     }
-    // warm-up: build memoized relations once
-    noop(graft.Queries.byName("q39_dup_clusters").fn(s, d))
-    t("q36 pairs only") {
-      noop(graft.Queries.byName("q36_minhash_lsh").fn(s, d))
-    }
-    t("q39 pairs + CC") {
-      noop(graft.Queries.byName("q39_dup_clusters").fn(s, d))
-    }
-    // CC over a tiny literal edge list — isolates the loop machinery
-    import s.implicits._
-    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
-    noop(graft.ops.DedupOps.connectedComponents(edges))
-    t("CC loop on 50 literal edges") {
-      noop(graft.ops.DedupOps.connectedComponents(edges))
-    }
+    Seq("q95_bfs_hops", "q117_weighted_sssp", "q39_dup_clusters",
+      "q153_media_dup_clusters").foreach(ab)
     s.stop()
   }
 }

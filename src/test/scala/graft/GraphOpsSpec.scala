@@ -219,4 +219,36 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bfs/sssp: driver fast path equals the distributed loop (round 21)") {
+    // the suite's other tests run tiny graphs, i.e. the driver path;
+    // this pins byte-equality against the distributed loop, forced via
+    // the conf gate — on random graphs, chains, and a hop/round sweep
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(21)
+    val es = Seq.fill(60)((rnd.nextLong(20), rnd.nextLong(20), rnd.nextLong(5) + 1))
+      .filter { case (a, b, _) => a != b } ++
+      (30L to 45L).map(i => (i, i + 1, 2L))
+    val edgesW = spark.createDataFrame(es).toDF("src", "dst", "w")
+    val edges = edgesW.select("src", "dst")
+    val seeds = spark.createDataFrame(Seq(Tuple1(0L), Tuple1(30L))).toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 to 5).foreach { h =>
+      val fastB = m(graft.ops.GraphOps.bfs(edges, seeds, h))
+      val fastS = m(graft.ops.GraphOps.sssp(edgesW, seeds, h))
+      spark.conf.set(graft.ops.GraphOps.DriverGraphMaxEdgesKey, "0")
+      val (distB, distS) = try {
+        (m(graft.ops.GraphOps.bfs(edges, seeds, h)),
+          m(graft.ops.GraphOps.sssp(edgesW, seeds, h)))
+      } finally spark.conf.unset(graft.ops.GraphOps.DriverGraphMaxEdgesKey)
+      assert(fastB == distB, s"bfs diverged at maxHops=$h")
+      assert(fastS == distS, s"sssp diverged at rounds=$h")
+    }
+    // and the over-bound fallback still answers correctly
+    spark.conf.set(graft.ops.GraphOps.DriverGraphMaxEdgesKey, "3")
+    val far = try m(graft.ops.GraphOps.bfs(edges, seeds, 3))
+    finally spark.conf.unset(graft.ops.GraphOps.DriverGraphMaxEdgesKey)
+    assert(far == m(graft.ops.GraphOps.bfs(edges, seeds, 3)))
+  }
 }
