@@ -360,9 +360,19 @@ object MultimodalOps {
   /** Decoded-pixel cap for the PNG lane: a hostile payload can be a
     * DEFLATE bomb (a few KB of IDAT inflating to gigabytes), so any
     * image whose raw scanline size exceeds this quarantines to the FNV
-    * lane before a byte is inflated. 1 GiB of raw scanlines covers every
-    * real raster this lane targets (~18k×18k truecolor). */
-  private val MaxPngRaw = 1L << 30
+    * lane before a byte is inflated. Default 128 MiB (round-21, ADVICE
+    * r20: the old 1 GiB cap let a 32-task decode pass pin up to 32 GiB
+    * of raw scanline buffers on the 8 GiB executor heap the session's
+    * other gates are calibrated for; 128 MiB × cores stays inside the
+    * unmanaged-memory headroom and still covers a ~6.5k×6.5k truecolor
+    * raster). Overridable for fatter-heap deployments via
+    * `graft.media.maxPngRawBytes` (a JVM system property, not a Spark
+    * conf — this code runs inside executor tasks where the session
+    * conf isn't in reach; anything above the cap safely quarantines to
+    * FNV, so the knob trades lane coverage, never correctness). */
+  private lazy val MaxPngRaw: Long =
+    Option(System.getProperty("graft.media.maxPngRawBytes"))
+      .flatMap(_.toLongOption).getOrElse(128L << 20)
 
   /** The PNG half of the perceptual lane (round-20 — the round-19
     * verdict's "PNG quarantines even though Inflater ships in the JDK"):
