@@ -38,6 +38,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Warm-up (first-run) seconds per query — the round-21 verdict's ask:
+    // memoized relations materialize during the untimed warm-up, so this
+    // is where amortized cache-build cost is visible. ADDITIVE field; the
+    // gate metric (5-run medians in "queries") is unchanged.
+    val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // dev affordance: SPARK_GRAFT_BENCH_FILTER=q36_minhash_lsh,... to
     // re-measure a subset while iterating (driver runs unfiltered)
@@ -46,7 +51,9 @@ object Bench {
     selected.foreach { q =>
       try {
         spark.sharedState.cacheManager.clearCache()
+        val w0 = System.nanoTime()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        warmups(q.name) = (System.nanoTime() - w0) / 1e9
         val runs = (1 to 5).map { _ =>
           System.gc()
           val t0 = System.nanoTime()
@@ -62,12 +69,17 @@ object Bench {
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // 3-decimal warmups bound the line growth: the one JSON line is also
+    // what the driver captures from stdout, and a past round lost its
+    // bench record to stdout truncation (BENCH_r20 parsed: null)
+    val wu = warmups.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
     }.mkString("{", ",", "}")
     val total = if (timings.nonEmpty) timings.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup":$wu,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json artifact truncates stdout at 2000
     // chars, which hides the tail of an 80-query map from the judge — so

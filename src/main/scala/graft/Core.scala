@@ -47,6 +47,25 @@ object Tables {
       // at every heap size the harness uses; the cost is only more
       // spill-page bookkeeping on multi-GB sorts.
       .config("spark.buffer.pageSize", "2m")
+      // Let AQE re-optimize INSIDE cached plans (off by default only to
+      // keep a cache's output partitioning stable for consumers that
+      // expect it). With it off, every memoized relation is cached at
+      // exactly `spark.sql.shuffle.partitions` partitions regardless of
+      // size — a vocabulary-sized count table gets 32 near-empty
+      // partitions, and every downstream exchange then pays the
+      // bypass-merge writer's O(maps x reducers) tiny-file creates (the
+      // guide §2.2 many-small-blocks cost, measured here as the
+      // q49/q116/q100/q112 inverse scaling: 32-task stages whose
+      // per-task executor time was ~90% shuffle-file open/concat).
+      // With AQE coalescing applied at cache-build time the cached
+      // partition count derives from DATA SIZE (advisory partition
+      // size), so small relations cache into few partitions and
+      // corpus-sized ones keep full parallelism — the scale-adaptive
+      // posture §2 asks for. Round-22 interleaved A/B (rotated variant
+      // order, 9 runs each): q49 1.17→0.40, q116 0.42→0.19,
+      // q100 0.50→0.29, q112 1.08→0.78; q38/q94/q105/q137/q30 within
+      // noise.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // The default 0.6 unified-memory fraction lets 32 concurrent sorts
       // pin ~4.3 GB of execution pages on an 8 GiB heap — and AQE
       // materializes independent broadcast exchanges IN PARALLEL with

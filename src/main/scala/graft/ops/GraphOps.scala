@@ -219,17 +219,28 @@ object GraphOps {
 
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val eDist = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
     val bound = driverBound(edges.sparkSession)
-    val small = for {
-      e <- collectIfSmall(edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct(), bound)
-      s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
-        .distinct(), bound)
-    } yield (e, s)
-    small match {
-      case Some((e, s)) => driverBfs(edges.sparkSession, e, s, maxHops)
-      case None => bfsDistributed(edges, seeds, maxHops)
-    }
+    if (bound <= 0 || bound > Int.MaxValue - 1)
+      return bfsDistributed(eDist, seeds, maxHops)
+    // Lease-persist the deduped edge relation BEFORE the size probe
+    // (round-21 verdict): an over-bound `limit(bound+1)` probe scans
+    // most upstream partitions; persisting first hands that scan to the
+    // distributed fallback instead of throwing it away. Small case: the
+    // collected rows are the input and the lease drops right after.
+    val leased = graft.Memo.Lease.acquire(eDist)
+    try {
+      val small = for {
+        e <- collectIfSmall(leased, bound)
+        s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
+          .distinct(), bound)
+      } yield (e, s)
+      small match {
+        case Some((e, s)) => driverBfs(edges.sparkSession, e, s, maxHops)
+        case None => bfsDistributed(leased, seeds, maxHops)
+      }
+    } finally graft.Memo.Lease.release(leased)
   }
 
   /** Driver form of [[bfs]]: the identical layered traversal (layers
@@ -263,12 +274,12 @@ object GraphOps {
     dist.toSeq.map { case (n, d) => (n, d) }.toDF("node", "dist")
   }
 
-  private def bfsDistributed(edges: DataFrame, seeds: DataFrame,
+  /** @param eDist the already-normalized `(src, dst)` DISTINCT edge
+    *   relation ([[bfs]] builds it once so the probe and the fallback
+    *   share one materialization). */
+  private def bfsDistributed(eDist: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val e = graft.Memo.ensurePersisted(
-      edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        .distinct().repartition(col("src")))
+    val e = graft.Memo.ensurePersisted(eDist.repartition(col("src")))
     var frontier = seeds.select(col("node").cast("long").as("node"))
       .distinct().localCheckpoint(true)
     val layers = scala.collection.mutable.ArrayBuffer((frontier, 0))
@@ -310,18 +321,27 @@ object GraphOps {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val eAgg = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
     val bound = driverBound(edges.sparkSession)
-    val small = for {
-      e <- collectIfSmall(edges.select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-        .groupBy("src", "dst").agg(min(col("w")).as("w")), bound)
-      s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
-        .distinct(), bound)
-    } yield (e, s)
-    small match {
-      case Some((e, s)) => driverSssp(edges.sparkSession, e, s, rounds)
-      case None => ssspDistributed(edges, seeds, rounds)
-    }
+    if (bound <= 0 || bound > Int.MaxValue - 1)
+      return ssspDistributed(eAgg, seeds, rounds)
+    // Same probe-then-reuse posture as [[bfs]]: the min-aggregated edge
+    // relation is lease-persisted before the size probe so an over-bound
+    // probe's scan feeds the distributed fallback.
+    val leased = graft.Memo.Lease.acquire(eAgg)
+    try {
+      val small = for {
+        e <- collectIfSmall(leased, bound)
+        s <- collectIfSmall(seeds.select(col("node").cast("long").as("node"))
+          .distinct(), bound)
+      } yield (e, s)
+      small match {
+        case Some((e, s)) => driverSssp(edges.sparkSession, e, s, rounds)
+        case None => ssspDistributed(leased, seeds, rounds)
+      }
+    } finally graft.Memo.Lease.release(leased)
   }
 
   /** Driver form of [[sssp]]: the identical round-bounded synchronous
@@ -360,12 +380,12 @@ object GraphOps {
     best.toSeq.map { case (n, c) => (n, c) }.toDF("node", "cost")
   }
 
-  private def ssspDistributed(edges: DataFrame, seeds: DataFrame,
+  /** @param eAgg the already min-aggregated `(src, dst, w)` relation
+    *   ([[sssp]] builds it once so the probe and the fallback share one
+    *   materialization). */
+  private def ssspDistributed(eAgg: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
-    val ePlan = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .groupBy("src", "dst").agg(min(col("w")).as("w"))
-      .repartition(col("src"))
+    val ePlan = eAgg.repartition(col("src"))
     // CacheManager entries key on the canonicalized plan, so a concurrent
     // graph op over the same edge relation SHARES the entry. A leased
     // persist (refcounted under one lock, [[graft.Memo.Lease]]) rather

@@ -29,6 +29,15 @@ object TextOps {
   def buildVocab(flat: DataFrame, tokCol: String = "tok",
       minCount: Long = 1L): DataFrame = {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    // SINGLE-PARTITION window, deliberately: dense ranking is a total
+    // order, and its input here is the POST-AGGREGATE vocabulary — Zipf
+    // (sublinear in corpus size), bounded by the token-type count, never
+    // by the corpus. The guard lever for composition over an unbounded
+    // token universe (ids, URLs, hashes as "tokens") is `minCount`:
+    // hapax-flooring keeps the window sized by the USEFUL vocabulary.
+    // Do NOT lift this window shape onto an occurrence-grain relation —
+    // that is the q46/q145 prefix-sum problem and belongs to
+    // [[PrefixOps]]'s bounded two-level scan.
     flat.groupBy(tokCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .select(col(tokCol),

@@ -1454,6 +1454,9 @@ object TextQs {
         .orderBy(col("weight_q").desc, col("doc_id"))
         .limit(100)
       ranked
+        // unpartitioned rank window: safe — its input is `ranked`, the
+        // TakeOrderedAndProject-pruned `.limit(100)` relation, so the
+        // single partition holds exactly <= 100 rows at any corpus size
         .withColumn("rank", row_number().over(
           Window.orderBy(col("weight_q").desc, col("doc_id"))).cast("int"))
         .select("rank", "doc_id", "n_feats", "weight_q")

@@ -6,47 +6,68 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratchpad main (not part of the library surface) — rebuilt per
-  * investigation; currently: INTERLEAVED A/B of the round-21 driver
-  * fast paths vs the distributed loops (host speed drifts on a
-  * minutes scale, so alternating forms within one session is the only
-  * robust comparison). */
+  * investigation; currently: drift-robust alternating-session A/B of
+  * cached-plan AQE coalescing + tmpfs shuffle scratch. Variant order
+  * rotates per alternation so session position does not bias a variant. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val s = Tables.configure(SparkSession.builder(), "32").getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def one(q: String): Double = {
-      System.gc()
-      val t0 = System.nanoTime()
-      noop(graft.Queries.byName(q).fn(s, d))
-      (System.nanoTime() - t0) / 1e9
-    }
-    def ab(q: String): Unit = {
-      // warm both forms
-      one(q)
-      s.conf.set("spark.graft.graph.maxDriverEdges", "0")
-      s.conf.set("spark.graft.cc.maxDriverEdges", "0")
-      one(q)
-      s.conf.unset("spark.graft.graph.maxDriverEdges")
-      s.conf.unset("spark.graft.cc.maxDriverEdges")
-      val fast = scala.collection.mutable.ArrayBuffer[Double]()
-      val dist = scala.collection.mutable.ArrayBuffer[Double]()
-      (1 to 5).foreach { _ =>
-        fast += one(q)
-        s.conf.set("spark.graft.graph.maxDriverEdges", "0")
-        s.conf.set("spark.graft.cc.maxDriverEdges", "0")
-        dist += one(q)
-        s.conf.unset("spark.graft.graph.maxDriverEdges")
-        s.conf.unset("spark.graft.cc.maxDriverEdges")
+    val cpus = args.lift(1).getOrElse("32")
+    val qs = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
+      "q49_tfidf_keywords", "q116_lm_gram_counts", "q112_bm25_retrieval",
+      "q100_collocations", "q38_ngram_jaccard", "q94_scd2_history",
+      "q105_gap_fill", "q137_pipeline_select", "q30_term_frequency"))
+    val alternations = args.lift(3).map(_.toInt).getOrElse(3)
+
+    final case class Variant(name: String, confs: Map[String, String])
+    val variants = Seq(
+      Variant("base", Map.empty),
+      Variant("shm", Map("spark.local.dir" -> "/dev/shm/graft-ab")),
+      Variant("ccp", Map(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")),
+      Variant("ccpshm", Map(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+        "spark.local.dir" -> "/dev/shm/graft-ab")))
+
+    val results = scala.collection.mutable.Map[(String, String),
+      scala.collection.mutable.ArrayBuffer[Double]]()
+
+    (0 until alternations).foreach { alt =>
+      val order = variants.drop(alt % variants.size) ++ variants.take(alt % variants.size)
+      order.foreach { v =>
+        var b = Tables.configure(SparkSession.builder(), cpus)
+        v.confs.foreach { case (k, x) => b = b.config(k, x) }
+        val s = b.getOrCreate()
+        s.sparkContext.setLogLevel("ERROR")
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        qs.foreach { q =>
+          s.sharedState.cacheManager.clearCache()
+          noop(graft.Queries.byName(q).fn(s, d))
+          (1 to 3).foreach { _ =>
+            System.gc()
+            val t0 = System.nanoTime()
+            noop(graft.Queries.byName(q).fn(s, d))
+            results.getOrElseUpdate((q, v.name),
+              scala.collection.mutable.ArrayBuffer()) += (System.nanoTime() - t0) / 1e9
+          }
+        }
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        println(s"-- alternation $alt variant ${v.name} done")
       }
-      def med(xs: Seq[Double]) = xs.sorted.apply(2)
-      println(f"$q: fast ${med(fast.toSeq)}%.2f (${fast.map(x => f"$x%.2f").mkString(",")})  " +
-        f"dist ${med(dist.toSeq)}%.2f (${dist.map(x => f"$x%.2f").mkString(",")})")
     }
-    Seq("q95_bfs_hops", "q117_weighted_sssp", "q39_dup_clusters",
-      "q153_media_dup_clusters").foreach(ab)
-    s.stop()
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    qs.foreach { q =>
+      val line = variants.map { v =>
+        f"${v.name}=${med(results((q, v.name)).toSeq)}%.3f"
+      }.mkString("  ")
+      println(s"== $q: $line")
+      variants.foreach { v =>
+        val xs = results((q, v.name)).toSeq
+        println(f"     ${v.name}: ${xs.map(x => f"$x%.2f").mkString(",")}")
+      }
+    }
   }
 }

@@ -338,6 +338,29 @@ class DedupVectorSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  test("connected components: over-bound probe's scan feeds the distributed loop (one materialization)") {
+    // round-22: the size probe LEASE-PERSISTS the pair stream before
+    // limiting, so the partitions executeTake scans become the
+    // fallback's materialization instead of thrown-away work (at scale:
+    // an expensive LSH+verify pair pipeline no longer runs twice when
+    // it overruns the driver bound). Count upstream evaluations with an
+    // accumulator UDF over a SINGLE-partition edge build — one
+    // partition makes the count deterministic: computing a persisted
+    // partition stores the whole block, so the probe's scan caches it
+    // fully and every later scan (sym's two union legs) must hit cache.
+    val acc = spark.sparkContext.longAccumulator("edgeEvals")
+    val cnt = udf((x: Long) => { acc.add(1L); x })
+    val edges = spark.range(1, 40).coalesce(1).toDF("x")
+      .select(cnt(col("x")).as("a"), (col("x") + 1).as("b"))
+    spark.conf.set(graft.ops.DedupOps.DriverCcMaxEdgesKey, "10")
+    val labels = try graft.ops.DedupOps.connectedComponents(edges).collect()
+    finally spark.conf.unset(graft.ops.DedupOps.DriverCcMaxEdgesKey)
+    assert(labels.map(r => r.getLong(0) -> r.getLong(1)).forall(_._2 == 1L))
+    assert(labels.length == 40)
+    assert(acc.value == 39L,
+      s"pair stream evaluated ${acc.value} row-times; expected exactly 39 (one materialization)")
+  }
+
   test("connected components: reliable checkpointDir variant writes rounds durably, same labels") {
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     val edges = spark.createDataFrame(Seq(
