@@ -17,16 +17,29 @@ import org.apache.spark.sql.functions._
 object SinkOps {
 
   /** Write `df` as parquet clustered by `sortCol`: range-repartitioned
-    * (`parts` ways, one exchange — the sampled range partitioner keeps
-    * output files balanced even on skewed keys), sorted within each
-    * partition (no global sort barrier), each file capped at
-    * `maxRecordsPerFile` rows. Result: per-file key ranges are disjoint
-    * and ordered, the shape min/max row-group pruning wants.
+    * (one exchange — the sampled range partitioner keeps output files
+    * balanced even on skewed keys), sorted within each partition (no
+    * global sort barrier), each file capped at `maxRecordsPerFile` rows.
+    * Result: per-file key ranges are disjoint and ordered, the shape
+    * min/max row-group pruning wants.
+    *
+    * `parts = 0` (the default posture) leaves the partition count to
+    * AQE: `repartitionByRange` without an explicit count is
+    * coalescible, so the FILE count derives from DATA SIZE (advisory
+    * partition size) — a KB-scale fold lands as one file instead of
+    * `spark.sql.shuffle.partitions` near-empty ones (whose per-file
+    * reader init then taxes every downstream scan), while a 100-TB
+    * write keeps full width. AQE merges only ADJACENT range partitions,
+    * so per-file ranges stay disjoint and ordered either way. A pinned
+    * `parts >= 1` keeps the old exact-width behavior.
     */
   def rangedSortedParquet(df: DataFrame, sortCol: String, out: String,
-      parts: Int, maxRecordsPerFile: Long): Unit = {
-    require(parts >= 1 && maxRecordsPerFile >= 1)
-    df.repartitionByRange(parts, col(sortCol))
+      parts: Int = 0, maxRecordsPerFile: Long): Unit = {
+    require(parts >= 0 && maxRecordsPerFile >= 1)
+    val ranged =
+      if (parts == 0) df.repartitionByRange(col(sortCol))
+      else df.repartitionByRange(parts, col(sortCol))
+    ranged
       .sortWithinPartitions(sortCol)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)

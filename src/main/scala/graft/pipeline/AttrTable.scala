@@ -108,8 +108,11 @@ object AttrTable {
   def ensureWritten(s: SparkSession, d: String): String =
     written.computeIfAbsent((s, d, derivedLang(s)), { k =>
       val out = dir(d, k._3)
+      // parts = 0: file count derives from data size via AQE (not the
+      // shuffle-partition constant — a small corpus's table is one
+      // file, not 32 near-empty ones taxing every downstream scan)
       graft.ops.SinkOps.rangedSortedParquet(build(s, d), "doc_id", out,
-        parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        parts = 0,
         maxRecordsPerFile = 5000000L)
       out
     })

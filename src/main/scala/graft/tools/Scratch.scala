@@ -14,20 +14,27 @@ object Scratch {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(1).getOrElse("32")
     val qs = args.lift(2).map(_.split(",").toSeq).getOrElse(Seq(
-      "q49_tfidf_keywords", "q116_lm_gram_counts", "q112_bm25_retrieval",
-      "q100_collocations", "q38_ngram_jaccard", "q94_scd2_history",
-      "q105_gap_fill", "q137_pipeline_select", "q30_term_frequency"))
+      "q94_scd2_history", "q105_gap_fill", "q99_rolling_1h",
+      "q97_mad_outliers", "q114_prefix_filter_join", "q137_pipeline_select",
+      "q83_incremental_dedup", "q151_incr_assembly", "q01_pricing_summary",
+      "q38_ngram_jaccard", "q17_dedup_window", "q57_span_dedup"))
     val alternations = args.lift(3).map(_.toInt).getOrElse(3)
 
     final case class Variant(name: String, confs: Map[String, String])
+    // base = the committed session defaults (incl. cached-plan AQE);
+    // oc  = scan splits no longer floored at the 4 MB per-file open cost
+    //       (small-file scans parallelize; large files stay
+    //       maxPartitionBytes-bounded)
+    // mps = AQE partition coalescing may keep partitions down to 256 KB
+    //       (CPU-dense post-shuffle stages keep parallelism)
     val variants = Seq(
       Variant("base", Map.empty),
-      Variant("shm", Map("spark.local.dir" -> "/dev/shm/graft-ab")),
-      Variant("ccp", Map(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")),
-      Variant("ccpshm", Map(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
-        "spark.local.dir" -> "/dev/shm/graft-ab")))
+      Variant("oc", Map("spark.sql.files.openCostInBytes" -> "131072")),
+      Variant("mps", Map(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "262144")),
+      Variant("ocmps", Map(
+        "spark.sql.files.openCostInBytes" -> "131072",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "262144")))
 
     val results = scala.collection.mutable.Map[(String, String),
       scala.collection.mutable.ArrayBuffer[Double]]()

@@ -588,7 +588,19 @@ class IncrAttrSpec extends AnyFunSuite {
     assert(liveDirs("attrs").size == 8, s"expected 8 leaf dirs: ${liveDirs("attrs")}")
     val before = IncrAttrTable.attrsOf(spark, root)
       .orderBy("doc_id").collect().map(_.toString).toSeq
-    IncrAttrTable.compactIndex(spark, root)
+    // the fold's width is ADAPTIVE (round 22: file count derives from
+    // data size, not the shuffle-partition constant) — a KB advisory
+    // size forces several range partitions HERE so the disjointness pin
+    // below stays non-vacuous on a 16-row artifact
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    // the 1 MB minPartitionSize floor would still merge a KB-scale fold
+    // to one partition — lower it so the adaptive width actually splits
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128b")
+    try IncrAttrTable.compactIndex(spark, root)
+    finally {
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
     // the live generation holds exactly the folded slice — the
     // O(lifetime-batches) dir listing term is gone from the read path
     assert(liveDirs("attrs") == Seq("batch_id=-1"), liveDirs("attrs").toString)
@@ -612,6 +624,12 @@ class IncrAttrSpec extends AnyFunSuite {
     IncrAttrTable.compactIndex(spark, root)
     assert(liveDirs("attrs") == Seq("batch_id=-1"))
     assert(IncrAttrTable.attrsOf(spark, root).count() == 17)
+    // default advisory size: a KB-scale fold lands as ONE file — the
+    // 32-near-empty-files layout taxed every downstream scan with
+    // per-file reader init (q151 scans attrs five times per run)
+    val nFiles = IncrAttrTable.attrsOf(spark, root)
+      .select(input_file_name()).distinct().count()
+    assert(nFiles <= 2, s"tiny fold should land as ~one file, got $nFiles")
   }
 
   test("a zero-survivor batch folded by compaction never re-seeds the frozen LM") {

@@ -40,6 +40,33 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == li.count())
   }
 
+  test("ranged sorted sink, adaptive width (parts=0): file count derives from data size, ranges stay disjoint") {
+    // round-22: parts=0 leaves the range exchange to AQE, so a KB-scale
+    // fold lands as ~one file instead of spark.sql.shuffle.partitions
+    // near-empty ones (whose per-file reader init taxed every downstream
+    // scan of the artifact — q151 scans attrs five times per run)
+    val out = java.nio.file.Files.createTempDirectory("ranged-adaptive").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+    SinkOps.rangedSortedParquet(li, "l_orderkey", out,
+      parts = 0, maxRecordsPerFile = 5000000L)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(files.length < shufflePartitions / 2,
+      s"adaptive width did not coalesce a tiny write: ${files.length} files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges interleave: $hi > $lo2")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == li.count())
+  }
+
   test("z-order sink: per-file rectangles prune BOTH columns; single-column sort cannot") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
     def fileRangeFractions(out: String): (Double, Double) = {
