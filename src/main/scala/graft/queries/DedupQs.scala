@@ -298,7 +298,17 @@ object DedupQs {
   private[graft] def simhashQuery(s: SparkSession, d: String,
       bitsPerBand: Int): DataFrame = {
     // capped form memoized directly (same rationale as
-    // cappedBandsCached: the cap subplan re-derives per consumed side)
+    // cappedBandsCached: the cap subplan re-derives per consumed side).
+    // The cache width is PINNED to the session's shuffle width: this
+    // relation's bytes are tiny (doc_id + sig + band keys) but its
+    // consumer is the most CPU-dense pipeline in the suite (banded
+    // self-join × bit_count over capped buckets, then exact verify), so
+    // AQE's bytes-based cache coalescing would fold it to ~1 partition
+    // and serialize the whole chain — and with a single-partition
+    // source, EVERY downstream clustering is trivially satisfied, so no
+    // later exchange re-widens it (measured round 22: q37 1.1 → 11.5 s
+    // under canChangeCachedPlanOutputPartitioning before this pin).
+    // Width from conf, not a literal: resource-derived at any scale.
     val capped = graft.Memo.cached(s, d, s"simhash_bands_capped_b$bitsPerBand") {
       DedupOps.capBuckets(
         graft.Memo.cached(s, d, s"simhash_bands_b$bitsPerBand") {
@@ -307,6 +317,8 @@ object DedupQs {
               .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
             "doc_id", bitsPerBand)
         }, Seq("band_idx", "band_hash"), MaxBucket)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band_idx"), col("band_hash"))
     }
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
@@ -360,6 +372,8 @@ object DedupQs {
     * `q130_simhash16[found-pairs]` job). Width must divide 64. */
   private[graft] def simhashFnvQuery(s: SparkSession, d: String,
       bitsPerBand: Int): DataFrame = {
+    // same pinned cache width as [[simhashQuery]]: tiny bytes, CPU-dense
+    // banded consumer — bytes-based cache coalescing would serialize it
     val capped = graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands_capped") {
       DedupOps.capBuckets(
         graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands") {
@@ -368,6 +382,8 @@ object DedupQs {
               .select(col("doc_id"), TextOps.ngramHashes(col("text"), 1).as("hs")),
             "doc_id", "hs", bitsPerBand = bitsPerBand)
         }, Seq("band_idx", "band_hash"), MaxBucket)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("band_idx"), col("band_hash"))
     }
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),

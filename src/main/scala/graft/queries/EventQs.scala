@@ -570,13 +570,19 @@ object EventQs {
     (s, d) => {
       // both self-join sides consume sess — persist so the events scan +
       // sessionization runs once (the q87/q106 lesson; nothing pins that
-      // ReuseExchange would dedupe the two aggregate subtrees)
+      // ReuseExchange would dedupe the two aggregate subtrees). Cache
+      // width pinned to the session's shuffle width: the relation's
+      // bytes are tiny but its consumer (the width-replicated interval
+      // self-join) is CPU-dense per row, and AQE's bytes-based cache
+      // coalescing would run the explode+join nearly serial (the q37
+      // lesson, round 22 — measured +32% on this row before the pin)
       val sess = graft.Memo.ensurePersisted(Tables.events(s, d)
         .groupBy(session_window(col("event_ts"), "10 minutes").as("w"),
           col("user_id"))
         .agg(unix_micros(min(col("event_ts"))).as("ss"),
           unix_micros(max(col("event_ts"))).as("se"))
-        .select("user_id", "ss", "se"))
+        .select("user_id", "ss", "se")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("user_id")))
       val a = sess.select(col("user_id").as("user_a"),
         col("ss").as("sa"), col("se").as("ea"))
       val b = sess.select(col("user_id").as("user_b"),
