@@ -299,15 +299,22 @@ object DedupQs {
       bitsPerBand: Int): DataFrame = {
     // capped form memoized directly (same rationale as
     // cappedBandsCached: the cap subplan re-derives per consumed side).
-    // The cache width is PINNED to the session's shuffle width: this
-    // relation's bytes are tiny (doc_id + sig + band keys) but its
-    // consumer is the most CPU-dense pipeline in the suite (banded
-    // self-join × bit_count over capped buckets, then exact verify), so
-    // AQE's bytes-based cache coalescing would fold it to ~1 partition
-    // and serialize the whole chain — and with a single-partition
-    // source, EVERY downstream clustering is trivially satisfied, so no
-    // later exchange re-widens it (measured round 22: q37 1.1 → 11.5 s
-    // under canChangeCachedPlanOutputPartitioning before this pin).
+    // Cache width+key PINNED to hashpartitioning(doc_id, conf width)
+    // (round 22): this relation's bytes are tiny (doc_id + sig + band
+    // keys) but its consumer is the most CPU-dense pipeline in the
+    // suite (banded self-join × bit_count over capped buckets, then
+    // exact verify), so AQE's bytes-based cache coalescing folds it to
+    // ~1 partition and serializes the whole chain (measured: q37
+    // 1.1 → 11.5 s) — a single-partition source satisfies every
+    // downstream clustering, so no later exchange re-widens the plan.
+    // doc_id is the load-bearing KEY, not just a width choice: the band
+    // self-join broadcasts the capped side and streams this layout, so
+    // hashpartitioning(doc_a) already satisfies the candidate
+    // distinct's (doc_a, doc_b) clustering and the whole
+    // join→bit_count→distinct→verify chain fuses into ONE stage at
+    // cache width with ZERO exchanges — pinning by the band keys
+    // instead costs a 20 MB pair exchange whose coalesced read
+    // re-serializes the verify (measured: q37 2.0 s vs 1.25 here).
     // Width from conf, not a literal: resource-derived at any scale.
     val capped = graft.Memo.cached(s, d, s"simhash_bands_capped_b$bitsPerBand") {
       DedupOps.capBuckets(
@@ -317,8 +324,7 @@ object DedupQs {
               .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens")),
             "doc_id", bitsPerBand)
         }, Seq("band_idx", "band_hash"), MaxBucket)
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("band_idx"), col("band_hash"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
     }
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),
@@ -372,8 +378,9 @@ object DedupQs {
     * `q130_simhash16[found-pairs]` job). Width must divide 64. */
   private[graft] def simhashFnvQuery(s: SparkSession, d: String,
       bitsPerBand: Int): DataFrame = {
-    // same pinned cache width as [[simhashQuery]]: tiny bytes, CPU-dense
-    // banded consumer — bytes-based cache coalescing would serialize it
+    // same doc_id-pinned cache layout as [[simhashQuery]] (see the
+    // comment there): tiny bytes, CPU-dense banded consumer — bytes-
+    // based cache coalescing would serialize the fused verify chain
     val capped = graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands_capped") {
       DedupOps.capBuckets(
         graft.Memo.cached(s, d, s"simhash${bitsPerBand}_fnv_bands") {
@@ -382,8 +389,7 @@ object DedupQs {
               .select(col("doc_id"), TextOps.ngramHashes(col("text"), 1).as("hs")),
             "doc_id", "hs", bitsPerBand = bitsPerBand)
         }, Seq("band_idx", "band_hash"), MaxBucket)
-        .repartition(s.sessionState.conf.numShufflePartitions,
-          col("band_idx"), col("band_hash"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
     }
     def side(n: String): DataFrame =
       capped.select(col("doc_id").as(s"doc_$n"), col("sig").as(s"sig_$n"),

@@ -570,12 +570,13 @@ object EventQs {
     (s, d) => {
       // both self-join sides consume sess — persist so the events scan +
       // sessionization runs once (the q87/q106 lesson; nothing pins that
-      // ReuseExchange would dedupe the two aggregate subtrees). Cache
-      // width pinned to the session's shuffle width: the relation's
-      // bytes are tiny but its consumer (the width-replicated interval
-      // self-join) is CPU-dense per row, and AQE's bytes-based cache
-      // coalescing would run the explode+join nearly serial (the q37
-      // lesson, round 22 — measured +32% on this row before the pin)
+      // ReuseExchange would dedupe the two aggregate subtrees).
+      // Cache width pinned to the session's shuffle width (round 22):
+      // the relation's bytes are tiny but its consumer (the width-
+      // replicated interval self-join) is CPU-dense per row, and AQE's
+      // bytes-based cache coalescing would run the explode+join nearly
+      // serial (the q37 lesson — measured +32% on this row before the
+      // pin). user_id keys the replication deterministically.
       val sess = graft.Memo.ensurePersisted(Tables.events(s, d)
         .groupBy(session_window(col("event_ts"), "10 minutes").as("w"),
           col("user_id"))
